@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB (tables registered over the
+same parquet files), sorts columns by name and rows by all columns, and
+compares values exactly (doubles: bit-exact unless GRAFT_TOL is set).
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b, tol):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        if tol == 0:
+            return fa == fb
+        return abs(fa - fb) <= tol * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    tol = float(os.environ.get("GRAFT_TOL", "0"))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    results = {}
+    names = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d))
+    )
+    for name in names:
+        spark_df = pd.read_parquet(os.path.join(out_dir, name))
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(spark_df)}"
+            continue
+        try:
+            oracle_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {str(e).splitlines()[0][:160]}"
+            continue
+        s, o = canon(spark_df), canon(oracle_df)
+        if list(s.columns) != list(o.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"
+            continue
+        if len(s) != len(o):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} oracle={len(o)}"
+            continue
+        bad = None
+        for col in s.columns:
+            sv, ov = s[col].tolist(), o[col].tolist()
+            for i, (x, y) in enumerate(zip(sv, ov)):
+                x = None if (isinstance(x, float) and math.isnan(x)) else x
+                y = None if (isinstance(y, float) and math.isnan(y)) else y
+                if not values_equal(x, y, tol):
+                    bad = f"VALUE_MISMATCH col={col} row={i} spark={x!r} oracle={y!r}"
+                    break
+            if bad:
+                break
+        results[name] = bad or f"OK rows={len(s)}"
+
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    for name in sorted(results):
+        print(f"{'PASS' if results[name].startswith(('OK', 'ROWS_ONLY')) else 'FAIL':4} {name}: {results[name]}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

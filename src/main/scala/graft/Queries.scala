@@ -1,0 +1,748 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{AggFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{Audit, Cleaning, Dedup, Rollup, Similarity}
+
+/** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
+  * the LLM-data-pipeline surface (dedup / similarity / text analysis /
+  * multimodal). Each `queries` entry has a DuckDB `oracleSql` twin where the
+  * semantics are SQL-expressible; non-SQL operators (MinHash, SimHash, LSH
+  * ANN) are rows-only entries backed by ScalaTest golden specs.
+  *
+  * Cross-engine determinism: every floating-point aggregate goes through
+  * exact DECIMAL accumulation ([[AggFunctions]], [[VectorFunctions]]), so
+  * Spark and DuckDB produce bit-identical doubles regardless of row order or
+  * partitioning; every LIMIT carries a total tie-breaking ORDER BY.
+  */
+object Queries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // SQL fragment helpers (DuckDB dialect) mirroring AggFunctions exactly.
+  private def dSum(e: String, scale: Int = 4) =
+    s"CAST(sum(CAST($e AS DECIMAL(38,$scale))) AS DOUBLE)"
+  private def dAvg(e: String, scale: Int = 4) =
+    s"${dSum(e, scale)}/count($e)"
+
+  /** Exact-decimal money product: 2-decimal source columns are cast to
+    * decimal BEFORE multiplying, so the product is exact in both engines.
+    * (Casting a ~1e5-magnitude double product to DECIMAL(38,10) is NOT
+    * cross-engine safe: DuckDB's double→decimal conversion multiplies by
+    * 10^scale in double precision and can land one unit off Spark's exact
+    * BigDecimal rounding.)
+    */
+  private def discPriceDec: Column =
+    (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))).cast(DecimalType(18, 4))
+  private def chargeDec: Column =
+    (discPriceDec * (lit(1.0) + col("l_tax")).cast(DecimalType(18, 2))).cast(DecimalType(18, 6))
+  private val discPriceDecSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(CAST(1.0 AS DOUBLE) - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+  private val chargeDecSql =
+    s"CAST($discPriceDecSql * CAST(CAST(1.0 AS DOUBLE) + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))"
+  private val revenueSql = s"CAST(sum($discPriceDecSql) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01
+  // A2-family grouped aggregation (SURVEY §2.7): the TPC-H Q1 shape —
+  // scan + filter + 8-way hash aggregate with map-side partials.
+  private val q01: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        AggFunctions.sumExact(col("l_quantity")).as("sum_qty"),
+        AggFunctions.sumExact(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPriceDec).cast("double").as("sum_disc_price"),
+        sum(chargeDec).cast("double").as("sum_charge"),
+        AggFunctions.avgExact(col("l_quantity")).as("avg_qty"),
+        AggFunctions.avgExact(col("l_extendedprice")).as("avg_price"),
+        AggFunctions.avgExact(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${dSum("l_quantity")} AS sum_qty,
+       | ${dSum("l_extendedprice")} AS sum_base_price,
+       | CAST(sum($discPriceDecSql) AS DOUBLE) AS sum_disc_price,
+       | CAST(sum($chargeDecSql) AS DOUBLE) AS sum_charge,
+       | ${dAvg("l_quantity")} AS avg_qty,
+       | ${dAvg("l_extendedprice")} AS avg_price,
+       | ${dAvg("l_discount")} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // The reference's v_hourly_traffic view shape (src/database.py:101-112):
+  // DATE_TRUNC tumbling-hour rollup (A2/X3) over the events stream table.
+  private val q02: Q = (s, dir) =>
+    Rollup
+      .hourlyRollup(Tables.events(s, dir), "ts", Seq("event_type"), "value")
+      .orderBy("hour", "event_type")
+
+  private val q02Sql =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       | count(*) AS n_events, ${dSum("\"value\"")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  // The reference acceptance query get_top_cells (src/etl.py:283-299):
+  // rollup → temporal filter → per-key AVG → top-10 (TakeOrderedAndProject).
+  private val q03: Q = (s, dir) => {
+    val hourly = Rollup.hourlyRollup(Tables.events(s, dir), "ts", Seq("user_id"), "value")
+    hourly
+      .filter(col("hour") >= lit("2024-01-05 00:00:00").cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(AggFunctions.avgExact(col("total_value")).as("avg_load"))
+      .orderBy(col("avg_load").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  private val q03Sql =
+    s"""WITH hourly AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, user_id,
+       |         ${dSum("\"value\"")} AS total_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, ${dAvg("total_value")} AS avg_load
+       |FROM hourly WHERE hour >= TIMESTAMP '2024-01-05 00:00:00'
+       |GROUP BY user_id ORDER BY avg_load DESC, user_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // A4 value_counts (notebook cell 13): group-count, desc.
+  private val q04: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type").asc)
+
+  private val q04Sql =
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // A6 per-column null profile (notebook isnull().sum()) — single pass.
+  private val q05: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val aggs = l.columns.toSeq.map(c => (count(lit(1)) - count(col(c))).as(c))
+    l.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val q05Sql = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    "SELECT " + cols.map(c => s"count(*) - count($c) AS $c").mkString(", ") + " FROM lineitem"
+  }
+
+  // ---------------------------------------------------------------- q06
+  // A5 describe(): count/mean/std/min/max per metric column, melted.
+  // Std uses the deterministic sum-of-squares identity (AggFunctions).
+  private val q06: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
+    metrics
+      .map { m =>
+        l.agg(
+          lit(m).as("metric"),
+          count(col(m)).as("n"),
+          AggFunctions.avgExact(col(m)).as("mean"),
+          AggFunctions.stddevExact(col(m)).as("std"),
+          min(col(m)).as("min"),
+          max(col(m)).as("max")
+        )
+      }
+      .reduce(_ unionAll _)
+      .orderBy("metric")
+  }
+
+  private val q06Sql = {
+    def one(m: String) =
+      s"""SELECT '$m' AS metric, count($m) AS n, ${dAvg(m)} AS mean,
+         | sqrt((${dSum(s"$m*$m", 8)} - ${dSum(m)}*${dSum(m)}/CAST(count($m) AS DOUBLE))
+         |      /(CAST(count($m) AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std,
+         | min($m) AS min, max($m) AS max FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+  }
+
+  // ---------------------------------------------------------------- q07
+  // C1/C2/C3 cleaning semantics (reference src/etl.py:134-153) on events:
+  // coerce-or-null cast with fill-0 + negative clamp, per row, no shuffle.
+  private val q07: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
+        Cleaning.coerceNumericFill0(regexp_extract(col("props"), "[0-9]+", 0)).as("k_value"),
+        Cleaning.clampNonNegative(col("value") - lit(150.0)).as("value_clamped")
+      )
+      .orderBy("event_id")
+
+  private val q07Sql =
+    """SELECT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      | coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE), CAST(0.0 AS DOUBLE)) AS k_value,
+      | greatest("value" - CAST(150.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS value_clamped
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // F2 range predicates + P6 computed projection; filters reach the scan
+  // (PushedFilters) so the 100 TB version prunes at parquet row-group level.
+  private val q08: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_partkey").between(100, 1099) && col("l_quantity").between(10, 40))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q08Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      | l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 1099 AND l_quantity BETWEEN 10 AND 40
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // F3/J4 membership via broadcast left-semi join (the Spark form of the
+  // reference's isin(valid_provinces), src/etl.py:260-263).
+  private val q09: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val q09Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // J1 FK-orphan audit as broadcast left-anti join.
+  private val q10: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // X1/X2/J3 normalization: title-case + literal-map patch (the reference's
+  // province_map, src/etl.py:217-225) as a pure expression — no join.
+  private val q11: Q = (s, dir) => {
+    val m = map(lit("Middle East"), lit("Mid-East"))
+    Tables.region(s, dir)
+      .select(
+        col("r_regionkey"),
+        coalesce(element_at(m, initcap(lower(trim(col("r_name"))))), initcap(lower(trim(col("r_name")))))
+          .as("r_name_norm")
+      )
+      .orderBy("r_regionkey")
+  }
+
+  private val q11Sql =
+    """WITH t AS (
+      |  SELECT r_regionkey,
+      |    list_aggregate(list_transform(string_split(lower(trim(r_name)), ' '),
+      |                   w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS titled
+      |  FROM region)
+      |SELECT r_regionkey,
+      |  CASE WHEN titled = 'Middle East' THEN 'Mid-East' ELSE titled END AS r_name_norm
+      |FROM t ORDER BY r_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // 3-way join + grouped agg + top-k (TPC-H Q3 shape): broadcast the
+  // filtered customer dim, shuffle-join orders⋈lineitem on orderkey.
+  private val q12: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(discPriceDec).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q12Sql =
+    s"""SELECT o_orderkey, o_orderdate,
+       | $revenueSql AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  // 6-way star join (TPC-H Q5 shape): dims broadcast, facts shuffle once on
+  // orderkey; the supplier-nation colocation condition rides the same join.
+  private val q13: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name").isin("EUROPE", "ASIA"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .filter(c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(
+        o("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          o("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp")
+      )
+      .groupBy(col("n_name"))
+      .agg(
+        sum(discPriceDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  private val q13Sql =
+    s"""SELECT n_name,
+       | $revenueSql AS revenue,
+       | count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name IN ('EUROPE', 'ASIA')
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // Window top-N per group: one shuffle on the partition key, rank inside.
+  private val q14: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("event_type", "rnk")
+  }
+
+  private val q14Sql =
+    """SELECT event_type, event_id, "value", rnk FROM (
+      |  SELECT event_type, event_id, "value",
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS BIGINT) AS rnk
+      |  FROM events) t
+      |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // ROLLUP grouping sets over a dim join (extension beyond the reference —
+  // Catalyst expands to a single Expand + hash aggregate).
+  private val q15: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(
+        AggFunctions.sumExact(col("o_totalprice")).as("total_sales"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("n_name")).cast("long").as("is_total")
+      )
+      .orderBy(col("is_total"), col("n_name").asc_nulls_first)
+  }
+
+  private val q15Sql =
+    s"""SELECT n_name, ${dSum("o_totalprice")} AS total_sales, count(*) AS n_orders,
+       | CAST(grouping(n_name) AS BIGINT) AS is_total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name)
+       |ORDER BY is_total, n_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // DISTINCT (hash-distinct = groupBy on all columns).
+  private val q16: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q16Sql =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // §2.9 constraint audit suite: the reference's 9-invariant validator
+  // (src/etl.py:302-328) generalized — CHECK-style predicates fused into
+  // one pass per table, plus FK-orphan and PK-uniqueness audits.
+  private val q17: Q = (s, dir) => {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val e = Tables.events(s, dir)
+    val checks = Audit.auditAll(
+      Map("lineitem" -> l, "orders" -> o, "events" -> e),
+      Seq(
+        Audit.Constraint("lineitem_quantity_nonneg", "lineitem", col("l_quantity") >= 0),
+        Audit.Constraint("lineitem_discount_range", "lineitem", col("l_discount").between(0, 1)),
+        Audit.Constraint("lineitem_price_nonneg", "lineitem", col("l_extendedprice") >= 0),
+        Audit.Constraint("orders_totalprice_nonneg", "orders", col("o_totalprice") >= 0),
+        Audit.Constraint("events_value_nonneg", "events", col("value") >= 0)
+      )
+    )
+    val fk = Seq(
+      ("fk_orders_customer", Audit.fkOrphanCount(o, Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))),
+      ("pk_lineitem_unique", Audit.pkViolationCount(l, Seq("l_orderkey", "l_linenumber")))
+    ).toDF("check_name", "violations")
+    checks.withColumnRenamed("constraint", "check_name")
+      .unionAll(fk)
+      .orderBy("check_name")
+  }
+
+  private val q17Sql =
+    """SELECT 'events_value_nonneg' AS check_name,
+      |  (SELECT count(*) FROM events WHERE NOT ("value" >= 0)) AS violations
+      |UNION ALL SELECT 'fk_orders_customer',
+      |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL SELECT 'lineitem_discount_range',
+      |  (SELECT count(*) FROM lineitem WHERE NOT (l_discount BETWEEN 0 AND 1))
+      |UNION ALL SELECT 'lineitem_price_nonneg',
+      |  (SELECT count(*) FROM lineitem WHERE NOT (l_extendedprice >= 0))
+      |UNION ALL SELECT 'lineitem_quantity_nonneg',
+      |  (SELECT count(*) FROM lineitem WHERE NOT (l_quantity >= 0))
+      |UNION ALL SELECT 'orders_totalprice_nonneg',
+      |  (SELECT count(*) FROM orders WHERE NOT (o_totalprice >= 0))
+      |UNION ALL SELECT 'pk_lineitem_unique',
+      |  (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      |                         GROUP BY 1, 2 HAVING count(*) > 1) t)
+      |ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  // Exact dedup by normalized-content hash (one shuffle on a 128-bit key).
+  private val q20: Q = (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("n_docs", col("n_docs"))
+      .orderBy("fingerprint")
+
+  private val q20Sql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      | count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Token counting / char stats (text-analysis surface) — per-row codegen.
+  private val q21: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.charCountNoSpace(col("text")).cast("long").as("n_chars_nospace"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_token_len")
+      )
+      .orderBy("doc_id")
+
+  private val q21Sql =
+    """SELECT doc_id,
+      | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars,
+      | CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nospace,
+      | CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+      |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |           / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+      |                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END
+      |   AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // Quality scoring: length/punctuation/stopword heuristics composed into a
+  // deterministic [0,1] score.
+  private val q22: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality_score")
+      )
+      .orderBy("doc_id")
+
+  private val q22Sql = {
+    val nTokens =
+      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+    val stop =
+      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
+    val punctRatio =
+      s"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($punct AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
+    val stopRatio =
+      s"CASE WHEN $nTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($stop AS DOUBLE)/CAST($nTokens AS DOUBLE) END"
+    s"""SELECT doc_id,
+       | $punctRatio AS punct_ratio,
+       | $stopRatio AS stopword_ratio,
+       | least(CAST($nTokens AS DOUBLE)/CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
+       |  + least(($stopRatio)*CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
+       |  + least(($punctRatio)*CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.2 AS DOUBLE) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+  // Language identification (marker-token heuristic + CJK codepoint rule).
+  private val q23: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val q23Sql = {
+    def markers(lang: String) =
+      TextFunctions.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    def cnt(lang: String) =
+      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN (${markers(lang)})))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    ${cnt("en")} AS c_en, ${cnt("de")} AS c_de, ${cnt("es")} AS c_es, ${cnt("fr")} AS c_fr,
+       |    (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) AS c_zh
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN c_zh * 2 > length(text) THEN 'zh'
+       |       WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+       |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |       WHEN c_es >= c_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  // Document fingerprinting: normalized md5 (cross-engine); the rolling
+  // 64-bit variant is a rows-only op (q27 family) with ScalaTest goldens.
+  private val q24: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val q24Sql =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // N-gram Jaccard near-dup candidates: shingle-bucket self-join — the
+  // exact-verification tier of the dedup stack. k=5 word-grams: on the
+  // harness's small-vocabulary synthetic docs, k=3 shingles collide across
+  // most doc pairs and the self-join goes quadratic (~86M join rows at
+  // sf0.1); 5-grams keep buckets selective with the same oracle on both
+  // sides.
+  private val q25: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 5, minShared = 2)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  private val q25Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 5 THEN []
+      |      ELSE list_transform(range(0, len(regexp_split_to_array(trim(text), '\s+')) - 4),
+      |        i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i+1, i+5), ' '))
+      |      END) AS shingles
+      |  FROM documents),
+      |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+      |  CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) AS jaccard
+      |FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      |HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q26/q27
+  // MinHash signatures and SimHash sketches — per-row codegen'd sketches
+  // (xxhash64-based, not SQL-oracle-expressible → rows-only entries; golden
+  // values pinned in ScalaTest).
+  private val q26: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.select(
+      col("doc_id"),
+      Dedup.minHashSignature(col("text"), k = 3, numHashes = 32).as("sig")
+    ).select(
+      col("doc_id"),
+      element_at(col("sig"), 1).as("sig_0"),
+      element_at(col("sig"), 2).as("sig_1"),
+      element_at(col("sig"), 3).as("sig_2"),
+      element_at(col("sig"), 4).as("sig_3")
+    ).orderBy("doc_id")
+  }
+
+  private val q27: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q28
+  // Exact KNN: brute-force cosine top-k, decimal-exact scoring (broadcast
+  // queries, map-only scan, per-query top-k window).
+  private val q28: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity
+      .knnExact(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, exact = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val q28Sql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |p AS (SELECT q.qid, c.vec_id AS nid, unnest(q.qv) AS qe, unnest(c.embedding) AS ce
+      |      FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+      |d AS (SELECT qid, nid,
+      |  CAST(sum(CAST(CAST(qe AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(ce AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+      |  CAST(sum(CAST(CAST(qe AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(qe AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS nq,
+      |  CAST(sum(CAST(CAST(ce AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(ce AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS nc
+      |  FROM p GROUP BY qid, nid),
+      |s AS (SELECT qid AS query_id, nid AS neighbor_id, dot/sqrt(nq*nc) AS cosine FROM d),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  // Embedding-cosine near-dup pairs above a threshold (blocked subset).
+  private val q29: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+    Similarity
+      .nearDupPairs(e, "vec_id", "embedding", threshold = 0.25, exact = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q29Sql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, unnest(a.embedding) AS ae, unnest(b.embedding) AS be
+      |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |d AS (SELECT ida, idb,
+      |  CAST(sum(CAST(CAST(ae AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(be AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+      |  CAST(sum(CAST(CAST(ae AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(ae AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS na,
+      |  CAST(sum(CAST(CAST(be AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(be AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS nb
+      |  FROM p GROUP BY ida, idb)
+      |SELECT ida AS id_a, idb AS id_b, dot/sqrt(na*nb) AS cosine
+      |FROM d WHERE dot/sqrt(na*nb) > 0.25
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  // LSH ANN (random hyperplanes, multi-table probing) — rows-only entry;
+  // recall vs exact KNN asserted in ScalaTest.
+  private val q30: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity
+      .knnLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---------------------------------------------------------------- q31
+  // Multimodal-column plumbing: opaque binary payload + typed metadata.
+  // The "decode" is a deterministic stub (container has no codec libs); the
+  // byte-level metadata extraction is real and oracle-checked.
+  private val q31: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha256_hex"),
+        (lit(32L) + length(col("payload")).cast("long") % 480).as("fake_width"),
+        (lit(32L) + (length(col("payload")).cast("long") * 7) % 480).as("fake_height")
+      )
+      .orderBy("doc_id")
+
+  private val q31Sql =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | sha256(text) AS sha256_hex,
+      | 32 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS fake_width,
+      | 32 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_hourly_rollup" -> q02,
+    "q03_top_users" -> q03,
+    "q04_event_counts" -> q04,
+    "q05_null_counts" -> q05,
+    "q06_describe_stats" -> q06,
+    "q07_clean_coerce" -> q07,
+    "q08_range_filter" -> q08,
+    "q09_semi_join" -> q09,
+    "q10_anti_join" -> q10,
+    "q11_normalize_lookup" -> q11,
+    "q12_top_orders" -> q12,
+    "q13_region_revenue" -> q13,
+    "q14_window_top3" -> q14,
+    "q15_rollup_sales" -> q15,
+    "q16_distinct_flags" -> q16,
+    "q17_constraint_audit" -> q17,
+    "q20_dedup_exact" -> q20,
+    "q21_token_stats" -> q21,
+    "q22_quality_score" -> q22,
+    "q23_lang_id" -> q23,
+    "q24_fingerprint" -> q24,
+    "q25_ngram_jaccard" -> q25,
+    "q26_minhash_sig" -> q26,
+    "q27_simhash" -> q27,
+    "q28_knn_exact" -> q28,
+    "q29_embedding_near_dup" -> q29,
+    "q30_ann_lsh" -> q30,
+    "q31_multimodal_meta" -> q31
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_hourly_rollup" -> q02Sql,
+    "q03_top_users" -> q03Sql,
+    "q04_event_counts" -> q04Sql,
+    "q05_null_counts" -> q05Sql,
+    "q06_describe_stats" -> q06Sql,
+    "q07_clean_coerce" -> q07Sql,
+    "q08_range_filter" -> q08Sql,
+    "q09_semi_join" -> q09Sql,
+    "q10_anti_join" -> q10Sql,
+    "q11_normalize_lookup" -> q11Sql,
+    "q12_top_orders" -> q12Sql,
+    "q13_region_revenue" -> q13Sql,
+    "q14_window_top3" -> q14Sql,
+    "q15_rollup_sales" -> q15Sql,
+    "q16_distinct_flags" -> q16Sql,
+    "q17_constraint_audit" -> q17Sql,
+    "q20_dedup_exact" -> q20Sql,
+    "q21_token_stats" -> q21Sql,
+    "q22_quality_score" -> q22Sql,
+    "q23_lang_id" -> q23Sql,
+    "q24_fingerprint" -> q24Sql,
+    "q25_ngram_jaccard" -> q25Sql,
+    "q28_knn_exact" -> q28Sql,
+    "q29_embedding_near_dup" -> q29Sql,
+    "q31_multimodal_meta" -> q31Sql
+  )
+}

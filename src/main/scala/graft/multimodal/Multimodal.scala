@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract /
+  * frame-sample run as **batched partition transforms** (the Scala analog of
+  * a Pandas-UDF `mapInPandas`: fixed-size record batches through a
+  * vectorizable kernel).
+  *
+  * The container ships no codec libraries, so [[StubCodec]] is a
+  * clearly-marked deterministic fake standing in for the real
+  * decoder — the Spark-side contract (schema, batching, partitioning,
+  * output shape) is real and tested, and a production codec drops into
+  * the same `decode` signature.
+  */
+object Multimodal {
+
+  /** One media record: payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long
+  )
+
+  /** Extracted features per record. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sha256_hex: String,
+      decoded_width: Int,
+      decoded_height: Int,
+      n_frames_sampled: Int,
+      byte_histogram: Array[Long] // 16-bucket byte-value histogram
+  )
+
+  /** STUB CODEC — deterministic fake decode. A real build replaces this
+    * object with JNI/javacpp bindings; signatures are the contract. */
+  object StubCodec {
+    /** "Decode" dimensions from content bytes (deterministic fake). */
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      val n = payload.length
+      (32 + n % 480, 32 + (n * 7) % 480)
+    }
+
+    /** Sample up to `maxFrames` frame offsets, evenly spaced (real decoder
+      * would seek keyframes; offsets here are byte positions). */
+    def sampleFrameOffsets(payload: Array[Byte], maxFrames: Int): Seq[Int] = {
+      val n = payload.length
+      if (n == 0) Seq.empty
+      else (0 until math.min(maxFrames, n)).map(i => (i.toLong * n / math.min(maxFrames, n)).toInt)
+    }
+  }
+
+  val BatchSize = 256
+
+  /** Feature extraction as a batched mapPartitions: records stream through
+    * in fixed-size batches (the Pandas-UDF batch shape), one codec context
+    * per batch. Partition-parallel, no shuffle. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { iter =>
+      iter.grouped(BatchSize).flatMap { batch =>
+        // per-batch context (real codec: decoder instance reuse)
+        val md = MessageDigest.getInstance("SHA-256")
+        batch.map { r =>
+          md.reset()
+          val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+          val (w, h) = StubCodec.decodeDims(r.payload)
+          val frames = if (r.kind == "video") StubCodec.sampleFrameOffsets(r.payload, 8) else Seq.empty
+          val hist = new Array[Long](16)
+          r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest, w, h, frames.size, hist)
+        }
+      }
+    }
+  }
+
+  /** Wrap any table with a binary payload column into MediaRecords (schema
+    * adapter used by tests and the q31 catalog query). */
+  def fromBinaryColumn(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit("stub").as("format"),
+      lit(0).as("width"),
+      lit(0).as("height"),
+      lit(0L).as("duration_ms")
+    ).as[MediaRecord]
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audits — the Spark re-expression of the constraints
+  * PostgreSQL enforced at insert time in the reference (DDL CHECK/PK/FK,
+  * reference `src/database.py:68-99`) plus the post-hoc audit pass
+  * `validate_schema_constraints` (reference `src/etl.py:302-328`).
+  *
+  * Spark has no insert-time constraint engine, so the contract is: clean
+  * before write ([[Cleaning]]), audit after. Each audit is a count over a
+  * negated predicate — scans parallelize, counts are map-side partial, and
+  * several constraints over one table fuse into a single pass via
+  * [[auditAll]].
+  */
+object Audit {
+
+  /** One declared invariant: violations = COUNT(*) WHERE NOT cond. */
+  final case class Constraint(name: String, table: String, cond: Column)
+
+  /** Evaluate every constraint over its table in ONE pass per table
+    * (conditional-sum fusion — unlike the reference's query-per-constraint
+    * loop, this reads each table once regardless of constraint count). */
+  def auditAll(tables: Map[String, DataFrame], constraints: Seq[Constraint]): DataFrame = {
+    val spark = tables.values.head.sparkSession
+    import spark.implicits._
+    val perTable = constraints.groupBy(_.table).toSeq.sortBy(_._1).map {
+      case (table, cs) =>
+        val df = tables(table)
+        val aggs = cs.map(c => sum(when(!c.cond, 1L).otherwise(0L)).as(c.name))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        cs.zipWithIndex.map { case (c, i) => (c.name, row.getLong(i)) }
+    }
+    perTable.flatten.toDF("constraint", "violations").orderBy("constraint")
+  }
+
+  /** PK-uniqueness audit (reference PRIMARY KEY src/database.py:90):
+    * duplicate key-group count. */
+  def pkViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  def pkViolationCount(df: DataFrame, keys: Seq[String]): Long =
+    pkViolations(df, keys).count()
+
+  /** FK-coverage audit (reference FKs src/database.py:83,95-96): child rows
+    * whose key has no parent — broadcast left-anti join (dims are small;
+    * the fact side never shuffles). */
+  def fkOrphans(child: DataFrame, parent: DataFrame, keys: Seq[String]): DataFrame =
+    child.join(broadcast(parent.select(keys.map(col): _*).distinct()), keys, "left_anti")
+
+  def fkOrphanCount(child: DataFrame, parent: DataFrame, keys: Seq[String]): Long =
+    fkOrphans(child, parent, keys).count()
+
+  /** Single-pass per-column null profile (reference notebook
+    * `df.isnull().sum()`, cells 6/7/9/21). */
+  def nullCounts(df: DataFrame): DataFrame = {
+    val aggs = df.columns.toSeq.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

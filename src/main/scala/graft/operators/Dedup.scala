@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Document deduplication for training-data pipelines, at four fidelity
+  * tiers (SURVEY-adjacent north-star surface):
+  *
+  *  1. exact       — content-hash groupBy (one shuffle on a 128-bit key)
+  *  2. n-gram      — shingle-overlap candidate pairs + exact Jaccard verify
+  *  3. MinHash/LSH — signature banding; shuffle volume ∝ docs × bands, not
+  *                   docs², the only tier that survives 100 TB all-pairs
+  *  4. SimHash     — 64-bit per-doc sketch, hamming-radius grouping
+  *
+  * Signatures and sketches are pure codegen'd expressions (no UDFs, no
+  * shuffle to build); only candidate generation shuffles, and it shuffles
+  * on (band, bucket) — bounded-size keys with natural load spreading.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct (normalized) content hash with group
+    * size and the minimum id as the canonical survivor. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keep_id")
+      )
+
+  /** Rows surviving exact dedup (min-id per content group). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** N-gram candidate pairs: documents sharing ≥ minShared distinct word
+    * k-shingles, with exact Jaccard over the shingle sets. Self-join on the
+    * shingle key; at scale, cap the explosion by dropping
+    * ultra-frequent shingles (stop-shingles) before the join. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minShared: Int = 2,
+      maxShingleFreq: Long = 1000L
+  ): DataFrame = {
+    val shingled = df
+      .select(col(idCol).as("doc"), TextFunctions.distinctShingles(col(textCol), k).as("sh"))
+      .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    // Drop shingles shared by too many docs: they generate quadratic pair
+    // blowup while signalling nothing (the "stop-shingle" cut).
+    val rare = shingled
+      .groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+      .filter(col("df_freq") <= maxShingleFreq)
+    val pruned = shingled.join(rare.select("shingle"), Seq("shingle"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs.select(
+      col("doc_a"), col("doc_b"), col("n_shared"),
+      (col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard")
+    )
+  }
+
+  /** MinHash signature column: for each of numHashes seeded hash-family
+    * members, the minimum over the document's distinct shingle hashes.
+    * Entirely per-row (aggregate over the shingle array) — no shuffle.
+    *
+    * Single fold over the shingles with an array-of-mins accumulator: the
+    * text is tokenized/shingled/hashed ONCE per row. (The naive
+    * per-seed-aggregate form re-evaluates the whole shingle pipeline once
+    * per hash — 32x the string work; measured 200s vs ~7s on 5k docs.) */
+  def minHashSignature(textCol: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val shingleHashes = transform(
+      TextFunctions.distinctShingles(textCol, k),
+      s => HashFunctions.tokenHash(s)
+    )
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, seeds, (m, s) => least(m, HashFunctions.seeded(h, s)))
+    )
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
+    * band; docs colliding on any (band, hash) are candidate pairs. Shuffle
+    * key is the band bucket — cardinality ~ docs × bands / collision-rate,
+    * never docs². */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = df.select(col(idCol).as("doc"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+    val banded = sig.select(
+      col("doc"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(numBands - 1)),
+          b =>
+            aggregate(
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              lit(1125899906842597L),
+              (acc, h) => HashFunctions.mix64(acc * lit(31L) + h)
+            )
+        )
+      ).as(Seq("band", "bucket"))
+    )
+    banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc")
+      )
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from MinHash signatures (fraction of agreeing
+    * components) for verifying LSH candidates without re-shingling. */
+  def minHashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x
+    ).cast("double") / size(sigA).cast("double")
+
+  /** 64-bit SimHash sketch: bit b is the sign of the sum over tokens of
+    * ±1 according to bit b of the token hash. Near-duplicates land within a
+    * small hamming distance. Pure per-row expression. */
+  def simHash64(textCol: Column): Column = {
+    val tokenHashes = transform(TextFunctions.tokens(TextFunctions.normalize(textCol)), t => xxhash64(t))
+    // One literal bit-mask per output bit (lambda variables can't feed the
+    // Int-typed shift builtins; masks keep everything in codegen). Single
+    // fold with a 64-wide counter accumulator — tokenizes once per row,
+    // not once per bit.
+    val masks = array((0 to 63).map(b => lit(1L << b)): _*)
+    val counts = aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks, (c, mask) => c + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+    )
+    val bits = transform(counts, c => when(c >= 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`, using 4×16-bit chunk
+    * blocking (pigeonhole: distance ≤ 3 ⇒ at least one identical 16-bit
+    * chunk) so the join is equi on chunk values, never a cross product. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("doc"), simHash64(col(textCol)).as("sk"))
+    val chunked = sk.select(
+      col("doc"), col("sk"),
+      posexplode(
+        array((0 to 3).map(i => shiftrightunsigned(col("sk"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("chunk_idx", "chunk"))
+    )
+    chunked.as("a")
+      .join(
+        chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc") < col("b.doc")
+      )
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming64(col("a.sk"), col("b.sk")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

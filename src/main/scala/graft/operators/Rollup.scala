@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.AggFunctions.{avgExact, sumExact}
+
+/** The reference's warehouse aggregation layer: the `v_hourly_traffic` view
+  * (reference `src/database.py:101-112`) and the acceptance query
+  * `get_top_cells` (reference `src/etl.py:283-299`).
+  *
+  * Physical shape at scale: one hash-aggregate with map-side partial
+  * aggregation, shuffled on (hour, key) — the natural high-cardinality
+  * grouping key, so no skew; the second aggregate reuses the shuffle's
+  * key prefix. The final top-k plans as `TakeOrderedAndProject` (no global
+  * sort).
+  */
+object Rollup {
+
+  /** Tumbling 1-hour rollup of the traffic fact: `DATE_TRUNC('hour',
+    * datetime), cell_id, SUM(each metric), SUM(total)` — reference
+    * v_hourly_traffic. Exact (order-independent) sums so re-runs at any
+    * partitioning produce identical doubles. */
+  def hourlyTraffic(fact: DataFrame, metrics: Seq[String] = Cleaning.TrafficMetricCols): DataFrame = {
+    val totalExpr = metrics.map(col).reduce(_ + _)
+    val aggs =
+      metrics.map(m => sumExact(col(m)).as(s"total_$m")) :+
+        sumExact(totalExpr).as("total_activity")
+    fact
+      .groupBy(date_trunc("hour", col("datetime")).as("hour"), col("cell_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The reference acceptance query: per-cell mean hourly activity since
+    * `since`, top `limit` cells. Tie-break on cell_id for a deterministic
+    * result set. */
+  def topCells(hourly: DataFrame, since: Column, limit: Int = 10): DataFrame =
+    hourly
+      .filter(col("hour") >= since)
+      .groupBy(col("cell_id"))
+      .agg(avgExact(col("total_activity")).as("avg_load"))
+      .orderBy(col("avg_load").desc, col("cell_id").asc)
+      .limit(limit)
+
+  /** Generic tumbling-window rollup for any timestamped fact (the shape the
+    * harness `events` table exercises). */
+  def hourlyRollup(df: DataFrame, tsCol: String, keys: Seq[String], valueCol: String): DataFrame = {
+    val groupCols = date_trunc("hour", col(tsCol)).as("hour") +: keys.map(col)
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_events"), sumExact(col(valueCol)).as("total_value"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate & exact nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Scale shape: the query set is broadcast (it is the small side by
+  * construction); scoring is a map-only pass over the corpus — no corpus
+  * shuffle — followed by a per-query top-k. The LSH variant cuts the scored
+  * candidate set by bucketing both sides on random-hyperplane signatures
+  * first, trading recall for a ~2^bits reduction in pairs.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k.
+    * @param exact use order-independent decimal accumulation
+    *              (bit-reproducible, ~2x cost) instead of a double fold.
+    */
+  def knnExact(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      exact: Boolean = false
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cos =
+      if (exact) VectorFunctions.cosineExact(col("qv"), col("cv"))
+      else VectorFunctions.cosine(col("qv"), col("cv"))
+    val scored = c
+      .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join, map-only
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All near-duplicate pairs with cosine above `threshold` within the
+    * corpus (or a blocked subset — pass a pre-filtered frame at scale). */
+  def nearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      exact: Boolean = false
+  ): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val cos =
+      if (exact) VectorFunctions.cosineExact(col("va"), col("vb"))
+      else VectorFunctions.cosine(col("va"), col("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .filter(col("cosine") > threshold)
+  }
+
+  /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`
+    * sign bits, score only within matching buckets, then per-query top-k.
+    * Recall < 1; raise recall by probing multiple signature tables (seeds).
+    */
+  def knnLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 8,
+      seeds: Seq[Int] = Seq(17, 41, 97)
+  ): DataFrame = {
+    def bucketed(df: DataFrame, id: String): DataFrame =
+      seeds
+        .map { s =>
+          df.select(
+            col(idCol).as(id),
+            col(vecCol).as(s"${id}_v"),
+            lit(s).as("tbl"),
+            VectorFunctions
+              .packBits(VectorFunctions.hyperplaneSignBits(col(vecCol), numPlanes, s))
+              .as("bucket")
+          )
+        }
+        .reduce(_ unionAll _)
+
+    val cb = bucketed(corpus, "neighbor_id")
+    val qb = broadcast(bucketed(queries, "query_id"))
+    val candidates = cb
+      .join(qb, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        VectorFunctions.cosine(col("query_id_v"), col("neighbor_id_v")).as("cosine")
+      )
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Audit
+
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("auditAll fuses constraints per table into one pass and counts violations") {
+    val t = Seq((1, 5.0), (2, -1.0), (10001, 3.0)).toDF("cell_id", "metric")
+    val out = Audit.auditAll(
+      Map("t" -> t),
+      Seq(
+        Audit.Constraint("cell_range", "t", col("cell_id").between(0, 9999)),
+        Audit.Constraint("metric_nonneg", "t", col("metric") >= 0)
+      )
+    ).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("cell_range" -> 1L, "metric_nonneg" -> 1L))
+  }
+
+  test("pkViolations finds duplicate key groups") {
+    val df = Seq((1, 1), (1, 1), (1, 2)).toDF("k1", "k2")
+    assert(Audit.pkViolationCount(df, Seq("k1", "k2")) == 1L)
+  }
+
+  test("fkOrphans finds child keys missing from parent via broadcast anti join") {
+    val child = Seq(1, 2, 3, 99).toDF("id")
+    val parent = Seq(1, 2, 3).toDF("id")
+    assert(Audit.fkOrphanCount(child, parent, Seq("id")) == 1L)
+    val plan = Audit.fkOrphans(child, parent, Seq("id")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("nullCounts profiles all columns in one aggregation") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("x", "y")
+    val r = Audit.nullCounts(df).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+  }
+}

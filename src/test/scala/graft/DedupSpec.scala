@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "THE  Quick Brown fox jumps over the lazy dog"), // normalized dup of 0
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup (1 token)
+    (4L, "completely different content about spark engines and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(g.length == 3)
+    assert(g(0).getAs[Long]("keep_id") == 0L && g(0).getAs[Long]("n_docs") == 3L)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 3L, 4L))
+  }
+
+  test("ngram jaccard pairs rank near-duplicates high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val dupPair = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(dupPair.exists(_._3 == 1.0)) // identical docs → jaccard 1
+    val nearPair = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(nearPair.exists(p => p._3 > 0.3 && p._3 < 1.0))
+    assert(!pairs.exists(p => p._2 == 4L)) // unrelated doc shares < 2 shingles
+  }
+
+  test("minhash signatures are identical for identical texts, close for near-dups") {
+    val sig = docs.select(col("doc_id"), Dedup.minHashSignature(col("text"), 3, 64).as("sig"))
+    val est = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        Dedup.minHashJaccardEstimate(col("a.sig"), col("b.sig")).as("est")
+      )
+      .collect().map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Double]("est"))).toMap
+    assert(est((0L, 1L)) == 1.0)
+    assert(est((0L, 3L)) > 0.4)
+    assert(est((0L, 4L)) < 0.2)
+  }
+
+  test("minhash LSH banding surfaces duplicate and near-duplicate candidates") {
+    // rowsPerBand=2 → 32 bands: collision prob ≈ 1-(1-j²)³² ≈ 0.996 at
+    // j=0.4, so the near-dup pair is found with near-certainty while the
+    // j≈0 unrelated pair stays out.
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", k = 3, numHashes = 64, rowsPerBand = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("simhash: zero hamming for identical, small for near-dup, pairs found via chunk blocking") {
+    val sk = docs.select(col("doc_id"), Dedup.simHash64(col("text")).as("sk"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sk")).toMap
+    assert(sk(0L) == sk(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sk(0L), sk(3L)) <= 16)
+    assert(ham(sk(0L), sk(4L)) > 16)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

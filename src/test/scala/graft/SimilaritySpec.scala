@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/cosineExact compute correct values on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 1.0f), 1.0 / math.sqrt(2))
+    ).toDF("a", "b", "expected")
+    df.select(
+      VectorFunctions.cosine($"a", $"b").as("c"),
+      VectorFunctions.cosineExact($"a", $"b").as("ce"),
+      $"expected"
+    ).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12)
+    }
+  }
+
+  test("knnExact returns the true top-k by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.knnExact(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 2)
+      .orderBy("rank")
+      .collect().map(r => r.getAs[Long]("neighbor_id"))
+    assert(knn.toSeq == Seq(1L, 4L))
+  }
+
+  test("LSH ANN achieves reasonable recall vs exact KNN on deterministic data") {
+    // deterministic pseudo-random corpus (seeded by id — no Random state)
+    val n = 200
+    val dim = 16
+    val corpus = (0 until n).map { i =>
+      val v = Array.tabulate(dim)(d => (math.sin(i * 31 + d * 7).toFloat))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val k = 5
+    val exact = Similarity.knnExact(corpus, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnLsh(corpus, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("nearDupPairs finds planted high-similarity pairs") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

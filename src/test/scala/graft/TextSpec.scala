@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/tokenCount handle empty, padded, and multi-space text") {
+    val df = Seq("", "  ", "one", " a  b   c ").toDF("t")
+      .select(TextFunctions.tokenCount($"t").as("n")).as[Int].collect().toSeq
+    assert(df == Seq(0, 0, 1, 3))
+  }
+
+  test("normalize + fingerprint are whitespace/case insensitive") {
+    val fp = Seq("Hello  World", "hello world", "HELLO WORLD  ")
+      .toDF("t").select(TextFunctions.fingerprintMd5($"t")).as[String].collect()
+    assert(fp.distinct.length == 1)
+  }
+
+  test("rollingHash64 is deterministic and content-sensitive") {
+    val h = Seq("a b c", "a b c", "a b d").toDF("t")
+      .select(TextFunctions.rollingHash64($"t")).as[Long].collect()
+    assert(h(0) == h(1) && h(0) != h(2))
+  }
+
+  test("wordShingles produce n-k+1 shingles, empty below k") {
+    val sh = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3).as("s"))
+      .select(size($"s")).as[Int].collect().toSeq
+    assert(sh == Seq(2, 0))
+  }
+
+  test("quality score rewards prose, penalizes token soup") {
+    val rows = Seq(
+      "The quick brown fox, with a flick of the tail, jumps over the lazy dog. It is a fine day in the field, and the sun is warm.",
+      "x1 x2 x3 x4"
+    ).toDF("t").select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(rows(0) > rows(1))
+    assert(rows.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langId detects marker languages and CJK") {
+    val preds = Seq(
+      "the cat and the dog of the house is in that garden it",
+      "der hund und die katze ist nicht ein problem zu haben",
+      "le chat et le chien est que des animaux une merveille",
+      "你好世界这是中文文本",
+      "zzz qqq www"
+    ).toDF("t").select(TextFunctions.langId($"t")).as[String].collect().toSeq
+    assert(preds == Seq("en", "de", "fr", "zh", "und"))
+  }
+}
