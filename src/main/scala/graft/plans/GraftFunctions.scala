@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Registration surface for the engine's native Catalyst expressions —
+  * usable three ways:
+  *
+  *   - Column API: `GraftFunctions.cosineFast(a, b)`
+  *   - existing session: `GraftFunctions.register(spark)` then
+  *     `spark.sql("SELECT graft_cosine(a, b) ...")`
+  *   - cluster-wide: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  */
+object GraftFunctions {
+
+  /** Fused codegen cosine (fast ranking tier — see [[CosineSimilarity]]). */
+  def cosineFast(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_cosine expects exactly 2 arguments")
+    CosineSimilarity(children(0), children(1))
+  }
+
+  private val cosineInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+
+  /** Register `graft_cosine` into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+}
+
+/** `spark.sql.extensions` entry point injecting the engine's functions at
+  * session build time (the deployment path for a real cluster). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        { children: Seq[Expression] => CosineSimilarity(children.head, children(1)) })
+    )
+}

@@ -69,4 +69,39 @@ object MilanCsvSource {
 
   def mobility(spark: SparkSession, paths: Seq[String]): DataFrame =
     readCsv(spark, mobilitySchema, paths)
+
+  // --- S3: ISTAT census wide table (notebook cell 9/15: 110 rows × 135
+  // cols, `PROVINCIA` + 134 int64 demographic measures; the variable-code
+  // list has gaps — P63, P67-P127 etc. are absent from the 2011 extract).
+
+  /** The 134 measure codes, verbatim from the reference profiling output
+    * (notebook cell 15). */
+  val censusMeasures: Seq[String] =
+    ((1 to 62) ++ Seq(64, 65, 66) ++ (128 to 132) ++ (135 to 140)).map(i => s"P$i") ++
+      (1 to 15).map(i => s"ST$i") ++
+      (Seq(2, 3, 5, 44, 46, 47, 48)).map(i => s"A$i") ++
+      (1 to 9).map(i => s"PF$i") ++
+      (1 to 27).map(i => s"E$i")
+
+  /** Explicit 135-column schema — integers are read as LongType (pandas
+    * int64); a narrower IntegerType would silently null 2^31+ counts under
+    * non-ANSI coercion. */
+  val censusSchema: StructType = StructType(
+    StructField("PROVINCIA", StringType) +:
+      censusMeasures.map(c => StructField(c, LongType))
+  )
+
+  def census(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(censusSchema).csv(path)
+
+  /** Wide → long melt: (provincia, variable, value) — the generic
+    * per-variable analytics shape (SURVEY.md §1.3). One `stack` Generator,
+    * no shuffle; 110×134 output rows. */
+  def meltCensus(df: DataFrame): DataFrame = {
+    val pairs = censusMeasures.map(c => s"'$c', `$c`").mkString(", ")
+    df.select(
+      col("PROVINCIA").as("provincia"),
+      expr(s"stack(${censusMeasures.size}, $pairs) AS (variable, value)")
+    )
+  }
 }
