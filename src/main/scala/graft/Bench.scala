@@ -38,9 +38,14 @@ object Bench {
 
     // Best-of-2 per query: a long-lived local[32] JVM sees multi-second GC
     // jitter (observed 5-20x swings on sub-second queries); the min of two
-    // runs measures the plan, not the collector.
+    // runs measures the plan, not the collector. A query is reported failed
+    // (-1) only when BOTH runs fail — one bad run must not mask a real
+    // timing from the other.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> math.min(run(n), run(n)))
+    val results = names.map { n =>
+      val ok = Seq(run(n), run(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

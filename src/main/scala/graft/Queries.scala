@@ -394,7 +394,6 @@ object Queries {
   // (src/etl.py:302-328) generalized — CHECK-style predicates fused into
   // one pass per table, plus FK-orphan and PK-uniqueness audits.
   private val q17: Q = (s, dir) => {
-    import s.implicits._
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     val e = Tables.events(s, dir)
@@ -408,12 +407,14 @@ object Queries {
         Audit.Constraint("events_value_nonneg", "events", col("value") >= 0)
       )
     )
-    val fk = Seq(
-      ("fk_orders_customer", Audit.fkOrphanCount(o, Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))),
-      ("pk_lineitem_unique", Audit.pkViolationCount(l, Seq("l_orderkey", "l_linenumber")))
-    ).toDF("check_name", "violations")
-    checks.withColumnRenamed("constraint", "check_name")
-      .unionAll(fk)
+    // FK/PK audits as lazy union legs: the entire 7-check suite is ONE plan
+    // and ONE action; Spark schedules the independent scan stages
+    // concurrently (previously 4+ sequential driver-blocking jobs).
+    val fk = Audit.fkOrphanAudit("fk_orders_customer", o,
+      Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+    val pk = Audit.pkViolationAudit("pk_lineitem_unique", l, Seq("l_orderkey", "l_linenumber"))
+    checks.unionAll(fk).unionAll(pk)
+      .withColumnRenamed("constraint", "check_name")
       .orderBy("check_name")
   }
 
@@ -600,21 +601,29 @@ object Queries {
   // most doc pairs and the self-join goes quadratic (~86M join rows at
   // sf0.1); 5-grams keep buckets selective with the same oracle on both
   // sides.
+  // Stop-shingle prune ON (shingles shared by more docs than this carry no
+  // near-dup signal but drive quadratic pair blowup); the DuckDB oracle
+  // below applies the IDENTICAL doc-frequency cut so both engines compute
+  // the same pruned result.
+  private val q25MaxShingleFreq = 200L
+
   private val q25: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 5, minShared = 2,
-        maxShingleFreq = 0) // 5-gram buckets are already selective here
+        maxShingleFreq = q25MaxShingleFreq)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .orderBy("doc_a", "doc_b")
 
   private val q25Sql =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 5 THEN []
-      |      ELSE list_transform(range(0, len(regexp_split_to_array(trim(text), '\s+')) - 4),
-      |        i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i+1, i+5), ' '))
+      |    list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 5 THEN []
+      |      ELSE list_transform(range(0, len(regexp_split_to_array(trim(text), '\\s+')) - 4),
+      |        i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i+1, i+5), ' '))
       |      END) AS shingles
       |  FROM documents),
-      |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+      |e0 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM e0 GROUP BY shingle HAVING count(*) <= $q25MaxShingleFreq),
+      |e AS (SELECT e0.* FROM e0 JOIN rare USING (shingle))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
       |  CAST(count(*) AS DOUBLE) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) AS jaccard
       |FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -623,9 +632,11 @@ object Queries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q26/q27
-  // MinHash signatures and SimHash sketches — per-row codegen'd sketches
-  // (xxhash64-based, not SQL-oracle-expressible → rows-only entries; golden
-  // values pinned in ScalaTest).
+  // MinHash signatures and SimHash sketches. The sketches are xxhash64 +
+  // splitmix64 over shingles/tokens — pure 64-bit integer arithmetic, so
+  // the DuckDB oracle reimplements BOTH hashes in SQL ([[DuckHash]]:
+  // wrap-around u64 via HUGEINT-mod, list_reduce folds) and checks the
+  // sketch VALUES bit-for-bit, not just row counts.
   private val q26: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
     Dedup.minHashSignatures(d, "doc_id", "text", k = 3, numHashes = 32)
@@ -639,10 +650,59 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  private val q26Sql = {
+    def sig(i: Int) =
+      s"coalesce(a.s$i, 9223372036854775807) AS sig_$i"
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |shg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+       |    ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(list_slice(t, i+1, i+3), ' ')) END) AS shingles
+       |  FROM toks),
+       |hx0 AS (SELECT doc_id, unnest(shingles) AS tok FROM shg),
+       |${DuckHash.xxhash64Ctes("tok")},
+       |mx0 AS (SELECT doc_id,
+       |  ${DuckHash.wadd("h", DuckHash.wmul("CAST(seed AS UBIGINT)", DuckHash.Golden.toString))} AS sx,
+       |  seed
+       |  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS seed FROM hx12)),
+       |${DuckHash.mix64Ctes("sx")},
+       |mins AS (SELECT doc_id, seed, min(${DuckHash.signed("mh")}) AS mn FROM mx4 GROUP BY doc_id, seed),
+       |agg AS (SELECT doc_id,
+       |  min(CASE WHEN seed = 0 THEN mn END) AS s0,
+       |  min(CASE WHEN seed = 1 THEN mn END) AS s1,
+       |  min(CASE WHEN seed = 2 THEN mn END) AS s2,
+       |  min(CASE WHEN seed = 3 THEN mn END) AS s3
+       |  FROM mins GROUP BY doc_id)
+       |SELECT d.doc_id, ${sig(0)}, ${sig(1)}, ${sig(2)}, ${sig(3)}
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   private val q27: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
       .orderBy("doc_id")
+
+  private val q27Sql =
+    s"""WITH nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt FROM documents),
+       |hx0 AS (SELECT doc_id,
+       |  unnest(CASE WHEN length(trim(nt)) = 0 THEN []
+       |    ELSE regexp_split_to_array(trim(nt), '\\s+') END) AS tok
+       |  FROM nrm),
+       |${DuckHash.xxhash64Ctes("tok")},
+       |bits AS (SELECT doc_id, h, unnest(range(0, 64)) AS bitpos FROM hx12),
+       |cnts AS (SELECT doc_id, bitpos,
+       |  sum(CASE WHEN (h // CAST(power(2, bitpos) AS UBIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM bits GROUP BY doc_id, bitpos),
+       |sims AS (SELECT doc_id,
+       |  sum(CASE WHEN c >= 0 THEN CAST(power(2, 63 - bitpos) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sim
+       |  FROM cnts GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(CAST(CASE WHEN s.sim >= CAST('9223372036854775808' AS HUGEINT)
+       |                     THEN s.sim - CAST('18446744073709551616' AS HUGEINT)
+       |                     ELSE s.sim END AS BIGINT), -1) AS simhash
+       |FROM documents d LEFT JOIN sims s USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q28
   // Exact KNN: brute-force cosine top-k, decimal-exact scoring (broadcast
@@ -672,11 +732,13 @@ object Queries {
       |ORDER BY query_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------- q29
-  // Embedding-cosine near-dup pairs above a threshold (blocked subset).
+  // Embedding-cosine near-dup pairs above a threshold. `allPairs = true`
+  // (explicit, exact-recall quadratic form) on a blocked 200-vector subset —
+  // the DEFAULT nearDupPairs path is LSH-blocked and is what runs at scale.
   private val q29: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
     Similarity
-      .nearDupPairs(e, "vec_id", "embedding", threshold = 0.25, exact = true)
+      .nearDupPairs(e, "vec_id", "embedding", threshold = 0.25, exact = true, allPairs = true)
       .orderBy("id_a", "id_b")
   }
 
@@ -694,14 +756,56 @@ object Queries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q30
-  // LSH ANN (random hyperplanes, multi-table probing) — rows-only entry;
-  // recall vs exact KNN asserted in ScalaTest.
+  // LSH ANN (random hyperplanes, multi-table probing), exact-decimal
+  // candidate scoring. The oracle replays the WHOLE pipeline in DuckDB:
+  // hyperplane weights from the same splitmix64 mix (DuckHash), the same
+  // ordered double fold for projections (list_reduce mirrors Spark's
+  // sequential `aggregate`), bucket equi-join, then q28-style decimal
+  // cosine — so bucketing AND ranking are value-checked. Recall vs exact
+  // KNN is additionally asserted in ScalaTest.
   private val q30: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     Similarity
-      .knnLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .knnLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, exact = true)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"), col("cosine"))
       .orderBy("query_id", "rnk")
+  }
+
+  private val q30Sql = {
+    // w(seed, plane, dim) = splitmix64(p*1000003 + d + seed*2654435761) as
+    // signed double / 2^63 — VectorFunctions.hyperplaneSignBits verbatim.
+    val mixed = DuckHash.signed(
+      DuckHash.mix64Inline("CAST(p*1000003 + dd + tbl*2654435761 AS UBIGINT)"))
+    val proj =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(0, len(embedding)), dd ->
+         |    CAST(embedding[dd+1] AS DOUBLE) * ($mixed / 9.223372036854776e18))),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val bucket =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(0, 8), p ->
+         |    CASE WHEN $proj >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |  (acc, bb) -> acc * 2 + bb)""".stripMargin
+    s"""WITH b0 AS (
+       |  SELECT vec_id, embedding, unnest([17, 41, 97]) AS tbl FROM embeddings),
+       |b AS (SELECT vec_id, tbl, $bucket AS bucket FROM b0),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |p AS (SELECT cand.query_id, cand.neighbor_id,
+       |        unnest(qe.embedding) AS qe, unnest(ce.embedding) AS ce
+       |      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |  CAST(sum(CAST(CAST(qe AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(ce AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+       |  CAST(sum(CAST(CAST(qe AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(qe AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS nq,
+       |  CAST(sum(CAST(CAST(ce AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(ce AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS nc
+       |  FROM p GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, dot/sqrt(nq*nc) AS cosine,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot/sqrt(nq*nc) DESC, neighbor_id) AS BIGINT) AS rnk
+       |      FROM d)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   // ---------------------------------------------------------------- q31
@@ -857,6 +961,39 @@ object Queries {
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  // §2.12 streaming rollup, executed in BATCH mode: hourlyWindow is the
+  // same code that runs under readStream/writeStream (StreamingSpec runs it
+  // with a MemoryStream); `window('1 hour')` tumbling start == date_trunc
+  // hour, so the batch result is fully oracle-checkable.
+  private val q38: Q = (s, dir) =>
+    graft.streaming.StreamingRollup
+      .hourlyWindow(Tables.events(s, dir), "ts", Seq("event_type"), "value")
+      .orderBy("hour", "event_type")
+
+  private val q38Sql =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       | count(*) AS n_events, ${dSum("\"value\"")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // S3-family wide→long melt (the census unpivot shape, catalog-visible):
+  // one stack Generator per row, no shuffle; DuckDB UNPIVOT is the oracle.
+  private val q39: Q = (s, dir) =>
+    Cleaning
+      .melt(
+        Tables.lineitem(s, dir),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        varName = "variable", valName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "variable")
+
+  private val q39Sql =
+    """SELECT l_orderkey, l_linenumber, variable, "value"
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
+      |UNPIVOT ("value" FOR variable IN (l_quantity, l_extendedprice, l_discount))
+      |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // Composed training-data pipeline: quality-filter → exact-dedup →
   // per-(lang, source) corpus stats. The shape every 100 TB curation job
@@ -943,6 +1080,8 @@ object Queries {
     "q35_set_ops" -> q35,
     "q36_pivot_case" -> q36,
     "q37_percentiles" -> q37,
+    "q38_streaming_hourly" -> q38,
+    "q39_census_melt" -> q39,
     "q40_pipeline_compose" -> q40
   )
 
@@ -972,7 +1111,10 @@ object Queries {
     "q23_lang_id" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
+    "q26_minhash_sig" -> q26Sql,
+    "q27_simhash" -> q27Sql,
     "q28_knn_exact" -> q28Sql,
+    "q30_ann_lsh" -> q30Sql,
     "q29_embedding_near_dup" -> q29Sql,
     "q31_multimodal_meta" -> q31Sql,
     "q32_cube_flags" -> q32Sql,
@@ -981,6 +1123,8 @@ object Queries {
     "q35_set_ops" -> q35Sql,
     "q36_pivot_case" -> q36Sql,
     "q37_percentiles" -> q37Sql,
+    "q38_streaming_hourly" -> q38Sql,
+    "q39_census_melt" -> q39Sql,
     "q40_pipeline_compose" -> q40Sql
   )
 }

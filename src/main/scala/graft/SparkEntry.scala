@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible sketch ops
-    * (q26 MinHash, q27 SimHash, q30 LSH ANN) → rows-only check. */
+    * the same parquet tables — including the sketch ops (q26 MinHash,
+    * q27 SimHash, q30 LSH ANN), whose xxhash64/splitmix64 pipelines are
+    * ported to DuckDB SQL in [[DuckHash]]. */
   def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
   * schema plus `events` (stream-shaped), `documents` and `embeddings`
   * (LLM-pipeline tables). Every loader goes through [[Graft.prepare]] so the
   * catalog queries are self-contained regardless of who built the session.
+  *
+  * Fact tables are hash-repartitioned on their natural join/group key right
+  * after the scan ([[spread]]). Two reasons:
+  *  - The harness parquet files are single-rowgroup, and a parquet rowgroup
+  *    is Spark's atomic split — without the repartition EVERY downstream
+  *    per-row kernel runs in one task regardless of cluster size. The
+  *    shuffle moves at most the (tiny relative to compute) raw columns once.
+  *  - Partitioning by the table's dominant join/window key means downstream
+  *    `join`/`groupBy`/`Window.partitionBy` on that key satisfy their
+  *    distribution requirement from this exchange (ENSURE_REQUIREMENTS adds
+  *    no second shuffle), so the co-location is reused across the query.
+  *  On a real 100 TB layout (many files, many rowgroups) the scan splits
+  *  natively and the same explicit key-partitioning is what you'd choose for
+  *  bucketed/co-located storage; predicates still push to the scan — Catalyst
+  *  moves filters below Repartition.
   */
 object Tables {
 
@@ -17,15 +32,28 @@ object Tables {
     spark.read.parquet(path(dir, name))
   }
 
+  /** Hash-repartition on `key` to the session's shuffle parallelism (an
+    * explicit partition count, so AQE keeps it rather than coalescing). */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
+  // Dimensions: small, broadcast-joined — no repartition (a broadcast reads
+  // the one task's output once; spreading them would only add a shuffle).
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  // Facts: spread on the dominant downstream key.
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spread(read(spark, dir, "orders"), "o_orderkey")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spread(read(spark, dir, "lineitem"), "l_orderkey")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(read(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(read(spark, dir, "embeddings"), "vec_id")
 
   /** `events.parquet` carries TIMESTAMP(NANOS); with
     * `spark.sql.legacy.parquet.nanosAsLong` the physical int64 arrives as a
@@ -34,6 +62,8 @@ object Tables {
     * microsecond timestamp, so oracle comparisons line up exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    spread(
+      read(spark, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")),
+      "user_id")
 }

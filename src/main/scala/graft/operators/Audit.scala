@@ -21,19 +21,40 @@ object Audit {
 
   /** Evaluate every constraint over its table in ONE pass per table
     * (conditional-sum fusion — unlike the reference's query-per-constraint
-    * loop, this reads each table once regardless of constraint count). */
+    * loop, this reads each table once regardless of constraint count).
+    *
+    * Fully LAZY: each table contributes one aggregate whose single row is
+    * unpivoted to (constraint, violations) rows, and the tables' frames are
+    * unioned — so the whole audit is ONE plan / ONE action, and Spark runs
+    * the per-table scan stages concurrently instead of the driver blocking
+    * on a collect per table. */
   def auditAll(tables: Map[String, DataFrame], constraints: Seq[Constraint]): DataFrame = {
-    val spark = tables.values.head.sparkSession
-    import spark.implicits._
     val perTable = constraints.groupBy(_.table).toSeq.sortBy(_._1).map {
       case (table, cs) =>
         val df = tables(table)
-        val aggs = cs.map(c => sum(when(!c.cond, 1L).otherwise(0L)).as(c.name))
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        cs.zipWithIndex.map { case (c, i) => (c.name, row.getLong(i)) }
+        val aggs = cs.map(c => coalesce(sum(when(!c.cond, 1L).otherwise(0L)), lit(0L)).as(c.name))
+        val kvs = cs.map(c => struct(lit(c.name).as("constraint"), col(c.name).as("violations")))
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(kvs: _*)).as("kv"))
+          .select(col("kv.constraint").as("constraint"), col("kv.violations").as("violations"))
     }
-    perTable.flatten.toDF("constraint", "violations").orderBy("constraint")
+    perTable.reduce(_ unionAll _).orderBy("constraint")
   }
+
+  /** Lazy single-row (constraint, violations) frame for an FK audit —
+    * union-composable with [[auditAll]] so a whole audit suite stays one
+    * action. */
+  def fkOrphanAudit(name: String, child: DataFrame, parent: DataFrame, keys: Seq[String]): DataFrame =
+    fkOrphans(child, parent, keys)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("constraint"), col("violations"))
+
+  /** Lazy single-row (constraint, violations) frame for a PK-uniqueness
+    * audit. */
+  def pkViolationAudit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+    pkViolations(df, keys)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("constraint"), col("violations"))
 
   /** PK-uniqueness audit (reference PRIMARY KEY src/database.py:90):
     * duplicate key-group count. */

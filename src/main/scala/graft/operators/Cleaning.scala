@@ -144,6 +144,24 @@ object Cleaning {
     cellIdInRange(kept)
   }
 
+  /** Generic wide→long melt (pandas `melt` / SQL UNPIVOT): one `stack`
+    * Generator per row — no shuffle, no UDF; value columns must share a
+    * type. The census S3 melt ([[graft.sources.MilanCsvSource.meltCensus]])
+    * is this with (PROVINCIA, the 134 measure codes). */
+  def melt(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      varName: String = "variable",
+      valName: String = "value"
+  ): DataFrame = {
+    val pairs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
+    df.select(
+      idCols.map(col) :+
+        expr(s"stack(${valueCols.size}, $pairs) AS (`$varName`, `$valName`)"): _*
+    )
+  }
+
   /** Rejection accounting (reference logs initial/final/rejected counts,
     * src/etl.py:129-169). Computed as a single-pass conditional aggregation
     * rather than multiple count() actions. */

@@ -50,9 +50,13 @@ object Dedup {
   ): DataFrame = {
     // Shingles join on their 64-bit hash, not the string: same pair counts
     // (collisions are ~n²/2⁶⁴ improbable) at ~60% of the shuffle bytes and
-    // compare cost.
+    // compare cost. Tokens are materialized in their own projection so the
+    // per-shingle slice lambda reads a bound array instead of re-running
+    // the regex split per shingle (see TextFunctions.shinglesOfTokens).
     val shingled = df
-      .select(col(idCol).as("doc"), TextFunctions.distinctShingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        array_distinct(TextFunctions.shinglesOfTokens(col("toks"), k)).as("sh"))
       .select(col("doc"), size(col("sh")).as("n_sh"),
         explode(transform(col("sh"), s => xxhash64(s))).as("shingle"))
     // Drop shingles shared by too many docs: they generate quadratic pair
@@ -113,11 +117,12 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 64
   ): DataFrame = {
-    val shingleHashes = transform(
-      TextFunctions.distinctShingles(col(textCol), k),
-      s => HashFunctions.tokenHash(s)
-    )
-    val exploded = df.select(col(idCol).as("doc"), explode_outer(shingleHashes).as("h"))
+    val exploded = df
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        array_distinct(TextFunctions.shinglesOfTokens(col("toks"), k)).as("sh"))
+      .select(col("doc"),
+        explode_outer(transform(col("sh"), s => HashFunctions.tokenHash(s))).as("h"))
     val aggs = (0 until numHashes).map { i =>
       coalesce(min(HashFunctions.seeded(col("h"), lit(i))), lit(Long.MaxValue)).as(s"sig_$i")
     }
@@ -196,16 +201,27 @@ object Dedup {
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`, using 4×16-bit chunk
-    * blocking (pigeonhole: distance ≤ 3 ⇒ at least one identical 16-bit
-    * chunk) so the join is equi on chunk values, never a cross product. */
+  /** SimHash near-dup pairs within `maxHamming`, using pigeonhole chunk
+    * blocking: the 64-bit sketch is split into `maxHamming + 1` chunks, so
+    * any pair within the radius must agree on at least one whole chunk and
+    * the join is equi on chunk values, never a cross product. The chunk
+    * count is DERIVED from the radius — recall is complete for every legal
+    * `maxHamming` (narrower chunks at larger radii trade join selectivity,
+    * not correctness). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    // Distribute 64 bits as evenly as possible across the chunks.
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftrightunsigned(col("sk"), offsets(i)).bitwiseAND(lit(mask))
+    }
     val sk = df.select(col(idCol).as("doc"), simHash64(col(textCol)).as("sk"))
     val chunked = sk.select(
       col("doc"), col("sk"),
-      posexplode(
-        array((0 to 3).map(i => shiftrightunsigned(col("sk"), i * 16).bitwiseAND(lit(0xffffL))): _*)
-      ).as(Seq("chunk_idx", "chunk"))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk"))
     )
     chunked.as("a")
       .join(

@@ -57,36 +57,91 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** All near-duplicate pairs with cosine above `threshold` within the
-    * corpus (or a blocked subset — pass a pre-filtered frame at scale). */
+  /** Near-duplicate pairs with cosine above `threshold` within the corpus.
+    *
+    * DEFAULT path is LSH-blocked: candidate pairs come from
+    * random-hyperplane bucket collisions (union over `seeds` signature
+    * tables), then only candidates are exactly re-scored — shuffle volume is
+    * ∝ corpus × seeds plus the (sparse) candidate set, never corpus². This
+    * is the only shape that survives a 100 TB corpus. Recall is < 1 and
+    * rises with `seeds.size` / falls with `numPlanes`; at the defaults,
+    * pairs at near-dup-grade cosine (≥ ~0.9) are found with ≥ 0.99
+    * probability while the bucket join stays selective.
+    *
+    * `allPairs = true` requests the exact quadratic comparison (recall = 1)
+    * — viable only on small or pre-blocked subsets, so it is opt-in rather
+    * than the default.
+    *
+    * @param exact use order-independent decimal scoring (bit-reproducible
+    *              across engines/partitionings) instead of the fused double
+    *              kernel.
+    */
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      exact: Boolean = false
+      exact: Boolean = false,
+      allPairs: Boolean = false,
+      numPlanes: Int = 4,
+      seeds: Seq[Int] = Seq(17, 41, 97, 131, 197, 241)
   ): DataFrame = {
-    if (!exact) {
-      val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      return a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          graft.plans.GraftFunctions.cosineFast(col("va"), col("vb")).as("cosine"))
-        .filter(col("cosine") > threshold)
-    }
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      VectorFunctions.norm2Exact(col(vecCol)).as("na"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      VectorFunctions.norm2Exact(col(vecCol)).as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (VectorFunctions.dotExact(col("va"), col("vb")) / sqrt(col("na") * col("nb"))).as("cosine"))
+    // Norms are per-VECTOR, computed once per side before any pair join
+    // (computing them per pair triples the decimal work — measured 2.5x).
+    def withNorm(df: DataFrame, v: String, n: String): DataFrame =
+      if (exact) df.withColumn(n, VectorFunctions.norm2Exact(col(v))) else df
+    val pairs: DataFrame =
+      if (allPairs) {
+        val a = withNorm(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "va", "na")
+        val b = withNorm(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "vb", "nb")
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        // Candidate generation: equi-join on (table, bucket); vectors (and
+        // norms) ride along so re-scoring needs no second corpus join. All
+        // seed signatures come from ONE projection + posexplode — a union
+        // over seeds would re-scan (and re-compute norms) once per seed.
+        val base = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
+        val bucketed = base.select(
+          Seq(col("id"), col("v")) ++ (if (exact) Seq(col("n")) else Nil) :+
+            explode(array(seeds.map(s =>
+              struct(
+                lit(s).as("tbl"),
+                VectorFunctions
+                  .packBits(VectorFunctions.hyperplaneSignBits(col("v"), numPlanes, s))
+                  .as("bucket"))): _*)).as("tb"): _*
+        ).select(
+          Seq(col("id"), col("v")) ++ (if (exact) Seq(col("n")) else Nil) :+
+            col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*
+        )
+        val aCols = Seq(col("a.id").as("id_a"), col("a.v").as("va")) ++
+          (if (exact) Seq(col("a.n").as("na")) else Nil)
+        val bCols = Seq(col("b.id").as("id_b"), col("b.v").as("vb")) ++
+          (if (exact) Seq(col("b.n").as("nb")) else Nil)
+        bucketed.as("a")
+          .join(
+            bucketed.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id")
+          )
+          .select(aCols ++ bCols: _*)
+          .distinct() // a pair may collide in several signature tables
+      }
+    val cos =
+      if (exact) VectorFunctions.dotExact(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+      else graft.plans.GraftFunctions.cosineFast(col("va"), col("vb"))
+    pairs
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") > threshold)
   }
 
   /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`
     * sign bits, score only within matching buckets, then per-query top-k.
     * Recall < 1; raise recall by probing multiple signature tables (seeds).
+    *
+    * @param exact score candidates with order-independent decimal
+    *              accumulation (bit-reproducible across engines — the tier
+    *              the DuckDB oracle checks) instead of the fused double
+    *              kernel.
     */
   def knnLsh(
       corpus: DataFrame,
@@ -95,34 +150,43 @@ object Similarity {
       vecCol: String,
       k: Int,
       numPlanes: Int = 8,
-      seeds: Seq[Int] = Seq(17, 41, 97)
+      seeds: Seq[Int] = Seq(17, 41, 97),
+      exact: Boolean = false
   ): DataFrame = {
-    def bucketed(df: DataFrame, id: String): DataFrame =
-      seeds
-        .map { s =>
-          df.select(
-            col(idCol).as(id),
-            col(vecCol).as(s"${id}_v"),
+    // One projection computes every seed's signature, then posexplode —
+    // a union over seeds would re-scan the frame once per seed. Norms (for
+    // the exact tier) are computed once per vector, before bucketing.
+    def bucketed(df: DataFrame, id: String): DataFrame = {
+      val base =
+        if (exact)
+          df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+            VectorFunctions.norm2Exact(col(vecCol)).as(s"${id}_n"))
+        else df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"))
+      val keep = Seq(col(id), col(s"${id}_v")) ++ (if (exact) Seq(col(s"${id}_n")) else Nil)
+      base.select(
+        keep :+ explode(array(seeds.map(s =>
+          struct(
             lit(s).as("tbl"),
             VectorFunctions
-              .packBits(VectorFunctions.hyperplaneSignBits(col(vecCol), numPlanes, s))
-              .as("bucket")
-          )
-        }
-        .reduce(_ unionAll _)
+              .packBits(VectorFunctions.hyperplaneSignBits(col(s"${id}_v"), numPlanes, s))
+              .as("bucket"))): _*)).as("tb"): _*
+      ).select(keep :+ col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
+    }
 
     val cb = bucketed(corpus, "neighbor_id")
     val qb = broadcast(bucketed(queries, "query_id"))
+    val cos =
+      if (exact)
+        VectorFunctions.dotExact(col("query_id_v"), col("neighbor_id_v")) /
+          sqrt(col("query_id_n") * col("neighbor_id_n"))
+      else
+        // fused codegen kernel (graft.plans.CosineSimilarity) — the ANN
+        // candidate-scoring loop is the compute-bound inner kernel
+        graft.plans.GraftFunctions.cosineFast(col("query_id_v"), col("neighbor_id_v"))
     val candidates = cb
       .join(qb, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        // fused codegen kernel (graft.plans.CosineSimilarity) — the ANN
-        // candidate-scoring loop is the compute-bound inner kernel
-        graft.plans.GraftFunctions.cosineFast(col("query_id_v"), col("neighbor_id_v")).as("cosine")
-      )
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

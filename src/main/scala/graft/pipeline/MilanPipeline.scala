@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Audit, Cleaning, Rollup}
@@ -21,10 +21,14 @@ import graft.sources.MilanCsvSource
   *   4. run the constraint-audit suite.
   *
   * Idempotency (reference K4 guards, src/etl.py:16-19 etc.): a ledger file
-  * per ingested source file; already-ledgered files are skipped, making
-  * re-runs no-ops — the check-then-write window is per-file, same as the
-  * reference's count-guard, but crash-safe because the ledger is appended
-  * only after the write commits.
+  * per ingested source file; already-ledgered files are skipped. The ledger
+  * alone is NOT crash-safe against duplicates (a crash between the data
+  * commit and the ledger append would re-ingest the file), so the write
+  * itself is idempotent: facts are partitioned by (event_date, src_file)
+  * and written with DYNAMIC partition overwrite — re-ingesting a file
+  * replaces exactly its own partitions, so a post-crash rerun converges to
+  * the same table instead of appending duplicates. The ledger then only
+  * short-circuits work, it never guards correctness.
   */
 final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
 
@@ -46,18 +50,28 @@ final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
 
   private def tablePath(name: String) = s"$warehouseDir/$name"
 
+  /** Idempotent fact write: partition by (event_date, src_file) and
+    * dynamically overwrite — only the partitions present in this batch are
+    * replaced, so re-running the same source file converges instead of
+    * duplicating (see class doc). `src_file` doubles as lineage. */
+  private def writeFacts(cleaned: DataFrame, table: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cleaned
+      .withColumn("event_date", to_date(col("datetime")))
+      .withColumn("src_file", element_at(split(col("source_file"), "/"), -1))
+      .write
+      .partitionBy("event_date", "src_file")
+      .mode(SaveMode.Overwrite)
+      .parquet(tablePath(table))
+  }
+
   /** Load new traffic day-files. Returns number of files ingested. */
   def loadTraffic(dataDir: String, pattern: String = "sms-call-internet-mi-*.csv",
                   limitFiles: Option[Int] = None): Int = {
     val fresh = MilanCsvSource.discover(dataDir, pattern, limitFiles)
       .filterNot(ledgered.contains)
     if (fresh.isEmpty) return 0
-    val cleaned = Cleaning.cleanTraffic(MilanCsvSource.traffic(spark, fresh))
-      .withColumn("event_date", to_date(col("datetime")))
-    cleaned.write
-      .partitionBy("event_date")
-      .mode(SaveMode.Append)
-      .parquet(tablePath("fact_traffic_milan"))
+    writeFacts(Cleaning.cleanTraffic(MilanCsvSource.traffic(spark, fresh)), "fact_traffic_milan")
     appendLedger(fresh)
     fresh.size
   }
@@ -69,12 +83,9 @@ final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
     val fresh = MilanCsvSource.discover(dataDir, pattern, limitFiles)
       .filterNot(ledgered.contains)
     if (fresh.isEmpty) return 0
-    val cleaned = Cleaning.cleanMobility(MilanCsvSource.mobility(spark, fresh), provinces)
-      .withColumn("event_date", to_date(col("datetime")))
-    cleaned.write
-      .partitionBy("event_date")
-      .mode(SaveMode.Append)
-      .parquet(tablePath("fact_mobility_provinces"))
+    writeFacts(
+      Cleaning.cleanMobility(MilanCsvSource.mobility(spark, fresh), provinces),
+      "fact_mobility_provinces")
     appendLedger(fresh)
     fresh.size
   }
@@ -88,6 +99,18 @@ final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
   def topCells(since: String = "2013-11-01 00:00:00", limit: Int = 10): DataFrame =
     Rollup.topCells(hourlyTraffic, lit(since).cast("timestamp"), limit)
 
+  /** K5 — conditional backfill UPDATE (reference src/etl.py:21-29:
+    * `UPDATE grid_cells SET bounds = COALESCE(bounds, ST_AsText(
+    * ST_Envelope(geometry))) WHERE bounds IS NULL`): fill NULLs of one
+    * column from an expression over the same row. Parquet has no in-place
+    * UPDATE, so the operator is a crash-safe snapshot rewrite:
+    * read → coalesce → write a NEW snapshot directory → two renames swap it
+    * in. A crash before the first rename leaves the table untouched; a
+    * crash between the renames leaves the `<table>.backfill_old` snapshot,
+    * from which [[MilanPipeline.recoverBackfill]] restores. */
+  def backfillColumn(table: String, column: String, fill: Column): Unit =
+    MilanPipeline.backfillColumn(spark, tablePath(table), column, fill)
+
   /** The reference's 9-invariant audit (src/etl.py:302-328) over the loaded
     * facts — single pass per table. */
   def auditConstraints(): DataFrame = {
@@ -100,5 +123,36 @@ final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
         Audit.Constraint(s"traffic_${m}_nonneg", "fact_traffic_milan", col(m) >= 0)
       )
     )
+  }
+}
+
+object MilanPipeline {
+
+  /** See [[MilanPipeline.backfillColumn]]. Standalone so any parquet
+    * directory can be backfilled without a pipeline instance. */
+  def backfillColumn(spark: SparkSession, tableDir: String, column: String, fill: Column): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(tableDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tableDir + ".backfill_tmp")
+    val old = new Path(tableDir + ".backfill_old")
+    require(!fs.exists(old), s"unfinished backfill at $old — run recoverBackfill first")
+    val filled = spark.read.parquet(tableDir).withColumn(column, coalesce(col(column), fill))
+    filled.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: the table dir is never in a partially-written state
+    if (!fs.rename(target, old)) sys.error(s"backfill swap failed: $target -> $old")
+    if (!fs.rename(tmp, target)) sys.error(s"backfill swap failed: $tmp -> $target")
+    fs.delete(old, true)
+  }
+
+  /** Restore after a crash mid-swap: if the table dir is missing but the
+    * `.backfill_old` snapshot exists, move it back. */
+  def recoverBackfill(spark: SparkSession, tableDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(tableDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(tableDir + ".backfill_old")
+    if (fs.exists(old) && !fs.exists(target)) fs.rename(old, target)
+    else false
   }
 }

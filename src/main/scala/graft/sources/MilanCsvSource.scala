@@ -97,11 +97,8 @@ object MilanCsvSource {
   /** Wide → long melt: (provincia, variable, value) — the generic
     * per-variable analytics shape (SURVEY.md §1.3). One `stack` Generator,
     * no shuffle; 110×134 output rows. */
-  def meltCensus(df: DataFrame): DataFrame = {
-    val pairs = censusMeasures.map(c => s"'$c', `$c`").mkString(", ")
-    df.select(
-      col("PROVINCIA").as("provincia"),
-      expr(s"stack(${censusMeasures.size}, $pairs) AS (variable, value)")
-    )
-  }
+  def meltCensus(df: DataFrame): DataFrame =
+    graft.operators.Cleaning
+      .melt(df, Seq("PROVINCIA"), censusMeasures)
+      .withColumnRenamed("PROVINCIA", "provincia")
 }
