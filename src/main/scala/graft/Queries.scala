@@ -941,7 +941,10 @@ object Queries {
 
   // ---------------------------------------------------------------- q37
   // Exact percentiles (sort-based; both engines interpolate linearly and
-  // agree bit-for-bit — verified on the harness data).
+  // agree bit-for-bit — verified on the harness data). EXACT TIER ONLY:
+  // the buffer holds each group's full value list, which works at oracle
+  // scale but cliffs on billion-row groups — q41 is the approx_percentile
+  // scale tier of this same query.
   private val q37: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -993,6 +996,23 @@ object Queries {
       |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
       |UNPIVOT ("value" FOR variable IN (l_quantity, l_extendedprice, l_discount))
       |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // q37's SCALE tier: approx_percentile (GK sketch — bounded memory per
+  // group, associative merge; see AggFunctions.percentileApprox). Sketch
+  // internals differ across engines, so this is a rows-only entry; the
+  // EXACT tier q37 carries the value-level oracle, and PercentileSpec
+  // bounds the sketch's rank error against it.
+  private val q41: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        AggFunctions.percentileApprox(col("l_quantity"), 0.5).as("median_qty"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25).as("p25_price"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75).as("p75_price"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- q40
   // Composed training-data pipeline: quality-filter → exact-dedup →
@@ -1082,7 +1102,8 @@ object Queries {
     "q37_percentiles" -> q37,
     "q38_streaming_hourly" -> q38,
     "q39_census_melt" -> q39,
-    "q40_pipeline_compose" -> q40
+    "q40_pipeline_compose" -> q40,
+    "q41_percentiles_approx" -> q41
   )
 
   val oracles: Map[String, String] = Map(

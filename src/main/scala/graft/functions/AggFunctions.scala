@@ -34,6 +34,18 @@ object AggFunctions {
   def avgExact(c: Column, scale: Int = 4): Column =
     sumExact(c, scale) / count(c)
 
+  /** SCALE-TIER percentile: `approx_percentile` (GK sketch). The exact
+    * `percentile` aggregate materializes every group's values in its
+    * aggregation buffer — at 100 TB with billions of rows per group that is
+    * an executor-memory cliff — while the sketch is O(1/accuracy) memory
+    * per group and merges associatively, so it is the only percentile that
+    * survives arbitrary group sizes. Error bound: rank error ≤
+    * groupSize/accuracy. Keep the exact form where oracle bit-parity is
+    * required (catalog q37); use this tier for production-scale rollups
+    * (catalog q41). */
+  def percentileApprox(c: Column, p: Double, accuracy: Int = 10000): Column =
+    approx_percentile(c, lit(p), lit(accuracy))
+
   /** Deterministic sample standard deviation via the sum-of-squares
     * identity, with both sums accumulated exactly. The closed-form double
     * arithmetic is evaluated in a fixed operation order, so results are

@@ -28,4 +28,36 @@ class GeoJsonSpec extends SparkSpec {
     assert(bounds(2) > bounds(0) && bounds(3) > bounds(1))
     assert(cells(0).getAs[String]("geometry").startsWith("POLYGON(("))
   }
+
+  test("provinces coerces a population property when present (reference src/etl.py:79-82)") {
+    val dir = Files.createTempDirectory("geojson_prov")
+    val f = dir.resolve("provinces.geojson")
+    Files.writeString(f,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"PROVINCIA":"MILANO","population":123},
+        | "geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]}},
+        |{"type":"Feature","properties":{"PROVINCIA":"AOSTA","population":null},
+        | "geometry":{"type":"MultiPolygon","coordinates":[[[[2,2],[3,2],[3,3],[2,2]]]]}}
+        |]}""".stripMargin)
+    val rows = GeoJsonSource.provinces(spark, f.toString).orderBy("provincia").collect()
+    assert(rows.map(_.getAs[String]("provincia")).toSeq == Seq("AOSTA", "MILANO"))
+    // coerce-or-0: present value cast to int, null → 0
+    assert(rows.map(_.getAs[Int]("population")).toSeq == Seq(0, 123))
+  }
+
+  test("provinces tolerates a schema with only PROVINCIA (no name/population)") {
+    val dir = Files.createTempDirectory("geojson_prov2")
+    val f = dir.resolve("provinces.geojson")
+    // the reference file's actual shape: PROVINCIA only — unconditional
+    // references to properties.name would throw AnalysisException here
+    Files.writeString(f,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"PROVINCIA":"TORINO"},
+        | "geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]}}
+        |]}""".stripMargin)
+    val rows = GeoJsonSource.provinces(spark, f.toString).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("provincia") == "TORINO")
+    assert(rows(0).getAs[Int]("population") == 0)
+  }
 }

@@ -63,4 +63,35 @@ class MilanPipelineSpec extends SparkSpec {
     val audits = pipe.auditConstraints().collect()
     assert(audits.forall(_.getAs[Long]("violations") == 0L))
   }
+
+  test("K5 backfillColumn fills only NULLs via crash-safe snapshot swap") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_backfill")
+    val tbl = dir.resolve("grid").toString
+    Seq(
+      (0L, null.asInstanceOf[String], "POLY0"),
+      (1L, "1,2,3,4", "POLY1")
+    ).toDF("cell_id", "bounds", "geometry").write.parquet(tbl)
+
+    MilanPipeline.backfillColumn(spark, tbl, "bounds", concat(lit("env:"), col("geometry")))
+    val out = spark.read.parquet(tbl).collect()
+      .map(r => r.getAs[Long]("cell_id") -> r.getAs[String]("bounds")).toMap
+    // reference src/etl.py:21-29 semantics: COALESCE — NULL filled from the
+    // expression, existing values untouched
+    assert(out == Map(0L -> "env:POLY0", 1L -> "1,2,3,4"))
+    // swap cleaned up both scratch dirs
+    assert(!Files.exists(dir.resolve("grid.backfill_old")))
+
+    // idempotent: a second backfill is a no-op on values
+    MilanPipeline.backfillColumn(spark, tbl, "bounds", lit("XXX"))
+    val out2 = spark.read.parquet(tbl).collect()
+      .map(r => r.getAs[Long]("cell_id") -> r.getAs[String]("bounds")).toMap
+    assert(out2 == out)
+
+    // crash-recovery: simulate a crash between the two swap renames
+    // (table dir moved aside, new snapshot not yet moved in)
+    Files.move(dir.resolve("grid"), dir.resolve("grid.backfill_old"))
+    assert(MilanPipeline.recoverBackfill(spark, tbl))
+    assert(spark.read.parquet(tbl).count() == 2)
+  }
 }

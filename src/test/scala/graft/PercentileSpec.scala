@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.AggFunctions
+
+/** The two percentile tiers (catalog q37 exact / q41 approx): the exact
+  * aggregate is the oracle-checked form; the GK-sketch tier must track it
+  * within its rank-error bound, because at 100 TB the exact form's
+  * hold-all-values buffer is not an option. */
+class PercentileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_percentile tier tracks exact percentiles within the rank-error bound") {
+    val n = 20000
+    // deterministic non-uniform values, two groups
+    val df = (1 to n).map(i => (if (i % 2 == 0) "a" else "b", (i * i % 9973).toDouble))
+      .toDF("g", "v")
+    val exact = df.groupBy($"g")
+      .agg(percentile($"v", lit(0.5)).as("p50"), percentile($"v", lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = df.groupBy($"g")
+      .agg(
+        AggFunctions.percentileApprox($"v", 0.5).as("p50"),
+        AggFunctions.percentileApprox($"v", 0.9).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // accuracy=10000 on 10k-row groups → rank error ≤ ~1 rank; values are
+    // spread over ~10k distinct ints, so a few value-units of slack is a
+    // generous bound that still catches a broken sketch
+    for (g <- Seq("a", "b")) {
+      assert(math.abs(approx(g)._1 - exact(g)._1) <= 50.0,
+        s"p50 group $g: approx=${approx(g)._1} exact=${exact(g)._1}")
+      assert(math.abs(approx(g)._2 - exact(g)._2) <= 50.0,
+        s"p90 group $g: approx=${approx(g)._2} exact=${exact(g)._2}")
+    }
+  }
+}

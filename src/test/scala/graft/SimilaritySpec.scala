@@ -67,4 +67,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("LSH-blocked nearDupPairs default ≡ exact all-pairs on a near-dup corpus") {
+    // 30 clusters of two near-identical vectors (cosine ≈ 0.9999) plus the
+    // cross-cluster background; at near-dup-grade similarity the default
+    // blocked path must recover exactly the all-pairs result.
+    val dim = 16
+    def vec(i: Int, eps: Double): Array[Float] =
+      Array.tabulate(dim)(d => (math.sin(i * 31 + d * 7) + eps * math.cos(d * 13 + i)).toFloat)
+    val rows = (0 until 30).flatMap(i => Seq((i * 2L, vec(i, 0.0)), (i * 2 + 1L, vec(i, 0.001))))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(allPairs: Boolean) =
+      Similarity
+        .nearDupPairs(df, "vec_id", "embedding", threshold = 0.99, exact = true, allPairs = allPairs)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = pairSet(allPairs = true)
+    val blockedPairs = pairSet(allPairs = false)
+    assert(exactPairs.size >= 30, s"fixture should plant ≥30 near-dup pairs, got ${exactPairs.size}")
+    assert(blockedPairs == exactPairs)
+  }
 }
