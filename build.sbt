@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle/spill scratch on tmpfs: this box's block device degrades
+  // pathologically under sustained small-file create/delete (observed: all
+  // executor threads pinned in FileOutputStream.open0 mid-bench, 20x+
+  // slowdowns); shuffles here are far smaller than RAM, so a RAM-backed
+  // local dir removes the failure mode entirely.
+  "-Dspark.local.dir=/dev/shm/spark-local",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

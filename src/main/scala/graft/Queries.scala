@@ -146,21 +146,31 @@ object Queries {
   // ---------------------------------------------------------------- q06
   // A5 describe(): count/mean/std/min/max per metric column, melted.
   // Std uses the deterministic sum-of-squares identity (AggFunctions).
+  // ONE scan: all 15 aggregates in a single pass, then the one-row result
+  // is unpivoted to a row per metric (a per-metric agg + unionAll would
+  // read lineitem once per metric).
   private val q06: Q = (s, dir) => {
     val l = Tables.lineitem(s, dir)
     val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
-    metrics
-      .map { m =>
-        l.agg(
+    val aggs = metrics.flatMap { m =>
+      Seq(
+        count(col(m)).as(s"${m}_n"),
+        AggFunctions.avgExact(col(m)).as(s"${m}_mean"),
+        AggFunctions.stddevExact(col(m)).as(s"${m}_std"),
+        min(col(m)).as(s"${m}_min"),
+        max(col(m)).as(s"${m}_max")
+      )
+    }
+    l.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(metrics.map(m =>
+        struct(
           lit(m).as("metric"),
-          count(col(m)).as("n"),
-          AggFunctions.avgExact(col(m)).as("mean"),
-          AggFunctions.stddevExact(col(m)).as("std"),
-          min(col(m)).as("min"),
-          max(col(m)).as("max")
-        )
-      }
-      .reduce(_ unionAll _)
+          col(s"${m}_n").as("n"),
+          col(s"${m}_mean").as("mean"),
+          col(s"${m}_std").as("std"),
+          col(s"${m}_min").as("min"),
+          col(s"${m}_max").as("max"))): _*)).as("kv"))
+      .select(col("kv.*"))
       .orderBy("metric")
   }
 
@@ -1003,13 +1013,17 @@ object Queries {
   // internals differ across engines, so this is a rows-only entry; the
   // EXACT tier q37 carries the value-level oracle, and PercentileSpec
   // bounds the sketch's rank error against it.
+  // accuracy=1000: rank error ≤ n/1000 (0.1% of each group) — the sketch's
+  // insert/merge cost scales with accuracy, and the default 10000 costs
+  // more CPU than the exact sort on bench-scale groups, inverting the
+  // point of the tier.
   private val q41: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        AggFunctions.percentileApprox(col("l_quantity"), 0.5).as("median_qty"),
-        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25).as("p25_price"),
-        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75).as("p75_price"),
+        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 1000).as("median_qty"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25, 1000).as("p25_price"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75, 1000).as("p75_price"),
         count(lit(1)).as("n")
       )
       .orderBy("l_returnflag")

@@ -126,12 +126,23 @@ object Similarity {
           .select(aCols ++ bCols: _*)
           .distinct() // a pair may collide in several signature tables
       }
-    val cos =
-      if (exact) VectorFunctions.dotExact(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
-      else graft.plans.GraftFunctions.cosineFast(col("va"), col("vb"))
-    pairs
-      .select(col("id_a"), col("id_b"), cos.as("cosine"))
-      .filter(col("cosine") > threshold)
+    if (exact) {
+      // Two-phase scoring: the fused double kernel prefilters at a safety
+      // margin (fast vs exact agree to ~1e-6 on unit-scale embeddings, the
+      // margin is 100x that), then ONLY survivors pay the ~20x-cost exact
+      // decimal re-score whose value the threshold decision and output use.
+      // Result is identical to exact-scoring every pair.
+      val margin = 1e-4
+      pairs
+        .filter(graft.plans.GraftFunctions.cosineFast(col("va"), col("vb")) > threshold - margin)
+        .select(col("id_a"), col("id_b"),
+          (VectorFunctions.dotExact(col("va"), col("vb")) / sqrt(col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") > threshold)
+    } else
+      pairs
+        .select(col("id_a"), col("id_b"),
+          graft.plans.GraftFunctions.cosineFast(col("va"), col("vb")).as("cosine"))
+        .filter(col("cosine") > threshold)
   }
 
   /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`

@@ -90,6 +90,19 @@ final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
     fresh.size
   }
 
+  /** S8 — existence probe for a warehouse fact table (the path-table
+    * analogue of the reference's `SELECT 1 FROM pg_database WHERE
+    * datname=...`, src/database.py:35-36). For catalog-registered tables
+    * use [[catalogTableExists]]. */
+  def factTableExists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tablePath(name))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S8 — existence probe via the session catalog (metastore-registered
+    * tables/views; supports `db.table` names). */
+  def catalogTableExists(name: String): Boolean = spark.catalog.tableExists(name)
+
   def trafficFact: DataFrame = spark.read.parquet(tablePath("fact_traffic_milan"))
 
   /** v_hourly_traffic (reference src/database.py:101-112). */

@@ -62,6 +62,14 @@ class MilanPipelineSpec extends SparkSpec {
     // audits all green after cleaning
     val audits = pipe.auditConstraints().collect()
     assert(audits.forall(_.getAs[Long]("violations") == 0L))
+
+    // S8 existence probes: loaded fact exists, unknown doesn't, and the
+    // catalog probe answers for registered views
+    assert(pipe.factTableExists("fact_traffic_milan"))
+    assert(!pipe.factTableExists("no_such_table"))
+    pipe.trafficFact.createOrReplaceTempView("traffic_probe_view")
+    assert(pipe.catalogTableExists("traffic_probe_view"))
+    assert(!pipe.catalogTableExists("no_such_view"))
   }
 
   test("K5 backfillColumn fills only NULLs via crash-safe snapshot swap") {
