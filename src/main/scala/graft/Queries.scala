@@ -1028,6 +1028,29 @@ object Queries {
       )
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q42
+  // BPE-ish token-class counting (TextFunctions.BpeIshPattern): the
+  // LLM-pipeline token accounting shape — per-row regexp extraction, codegen,
+  // no shuffle; identical regex runs in the DuckDB oracle.
+  private val q42: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCountBpeIsh(col("text")).cast("long").as("n_bpe"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).cast("long").as("n_word"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long").as("n_digit"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]+"), lit(0))).cast("long").as("n_punct")
+      )
+      .orderBy("doc_id")
+
+  private val q42Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
+      | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+      | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS BIGINT) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // Composed training-data pipeline: quality-filter → exact-dedup →
   // per-(lang, source) corpus stats. The shape every 100 TB curation job
@@ -1117,7 +1140,8 @@ object Queries {
     "q38_streaming_hourly" -> q38,
     "q39_census_melt" -> q39,
     "q40_pipeline_compose" -> q40,
-    "q41_percentiles_approx" -> q41
+    "q41_percentiles_approx" -> q41,
+    "q42_token_classes" -> q42
   )
 
   val oracles: Map[String, String] = Map(
@@ -1160,6 +1184,7 @@ object Queries {
     "q37_percentiles" -> q37Sql,
     "q38_streaming_hourly" -> q38Sql,
     "q39_census_melt" -> q39Sql,
-    "q40_pipeline_compose" -> q40Sql
+    "q40_pipeline_compose" -> q40Sql,
+    "q42_token_classes" -> q42Sql
   )
 }

@@ -19,6 +19,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** "BPE-ish" pre-tokenization: letter runs, SINGLE digits, punctuation
+    * runs — an RE2/Java-regex-compatible simplification of the GPT-2
+    * pre-tokenizer split (which needs lookahead; this keeps its token-class
+    * structure without it), so LLM-oriented token counts are computable on
+    * both engines at scan speed. */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+  def tokensBpeIsh(text: Column): Column = regexp_extract_all(text, lit(BpeIshPattern), lit(0))
+
+  def tokenCountBpeIsh(text: Column): Column = size(tokensBpeIsh(text))
+
   /** Character count excluding all whitespace. */
   def charCountNoSpace(text: Column): Column =
     length(regexp_replace(text, "\\s", ""))

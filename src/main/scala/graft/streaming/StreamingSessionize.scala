@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the Structured-Streaming upgrade of
+  * the batch gap-sessionizer (catalog q33): per-user session windows closed
+  * by an inactivity gap, maintained as CUSTOM state via
+  * `flatMapGroupsWithState` (SURVEY.md §2.12's "custom state" leg; the
+  * batch reference has no streaming equivalent — this is the operator a
+  * production event feed needs).
+  *
+  * Scale shape: state is one small record per ACTIVE user (not per event);
+  * the state store shuffles on user_id once, and event-time timeout closes
+  * idle sessions without a scan over the state. Watermark bounds both
+  * late-data acceptance and state retention.
+  */
+object StreamingSessionize {
+
+  /** Input event. */
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Emitted closed session. */
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Close sessions after `gapMs` of inactivity (default 30 min, matching
+    * the batch q33 sessionizer). Works on a STREAMING Dataset[Event] with a
+    * watermark already applied to `ts`; emits each session exactly once,
+    * when it closes. */
+  def sessions(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          def emit(s: SessionState): Session =
+            Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last-event + gap: the open session is closed
+            val out = state.getOption.map(emit).toList
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's events (in event-time order) into sessions;
+            // gaps INSIDE the batch close sessions immediately
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += emit(s)
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // close the still-open session once the watermark passes
+                // its gap deadline
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+        })
+  }
+}

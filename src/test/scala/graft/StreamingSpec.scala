@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.StreamingRollup
+import graft.streaming.{StreamingRollup, StreamingSessionize}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -37,6 +37,45 @@ class StreamingSpec extends SparkSpec {
         ("2024-01-01 11:00:00.0", 1L, 7.0),
         ("2024-01-01 10:00:00.0", 2L, 1.0)
       ))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize closes sessions on in-batch gaps and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[StreamingSessionize.Event]
+    val sessions = StreamingSessionize.sessions(events) // 30-min gap
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one session), then a
+      // 2-hour gap inside the SAME batch closes it and opens a second
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 12:10:00"), 5.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 9.0)
+      )
+      q.processAllAvailable()
+      // batch 2: watermark advances far past every open session's deadline
+      // → the remaining open sessions time out and emit
+      input.addData((3L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((3L, Timestamp.valueOf("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_test")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+        .toSet
+      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2L, 3.0)), s"in-batch gap close missing: $out")
+      assert(out.contains((1L, "2024-01-01 12:10:00.0", 1L, 5.0)), s"timeout close missing: $out")
+      assert(out.contains((2L, "2024-01-01 10:00:00.0", 1L, 9.0)), s"user-2 close missing: $out")
     } finally q.stop()
   }
 }

@@ -50,4 +50,18 @@ class TextSpec extends SparkSpec {
     ).toDF("t").select(TextFunctions.langId($"t")).as[String].collect().toSeq
     assert(preds == Seq("en", "de", "fr", "zh", "und"))
   }
+
+  test("BPE-ish tokenization splits letter runs, single digits, punct runs") {
+    val row = Seq("Hello, world 42!!  x7").toDF("t")
+      .select(
+        TextFunctions.tokensBpeIsh($"t").as("toks"),
+        TextFunctions.tokenCountBpeIsh($"t").as("n"))
+      .collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("toks").toSeq ==
+      Seq("Hello", ",", "world", "4", "2", "!!", "x", "7"))
+    assert(row.getAs[Int]("n") == 8)
+    // empty text → zero tokens
+    val empty = Seq("").toDF("t").select(TextFunctions.tokenCountBpeIsh($"t")).as[Int].collect()(0)
+    assert(empty == 0)
+  }
 }
