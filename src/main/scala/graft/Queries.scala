@@ -1028,6 +1028,56 @@ object Queries {
       )
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q43
+  // MinHash-LSH banding — the candidate-generation tier that survives
+  // 100 TB (shuffle ∝ docs × bands, never docs²). numHashes=16 /
+  // rowsPerBand=2: collision probability per band = jaccard², tuned so the
+  // harness's low-jaccard corpus still yields a non-trivial candidate set.
+  // The oracle replays signatures (DuckHash xxhash64 + splitmix64), the
+  // band-bucket fold (same wrap-around mix), and the bucket self-join.
+  private val q43: Q = (s, dir) =>
+    Dedup
+      .minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, numHashes = 16, rowsPerBand = 2)
+      .orderBy("doc_a", "doc_b")
+
+  private val q43Sql = {
+    import DuckHash._
+    // Spark's band fold operates on SIGNED mins with wrapping arithmetic —
+    // map each signed signature component back to u64 for the fold.
+    val minToU64 =
+      "CAST(CASE WHEN mn < 0 THEN CAST(mn AS HUGEINT) + 18446744073709551616 ELSE CAST(mn AS HUGEINT) END AS UBIGINT)"
+    val bucketFold =
+      s"""list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT),
+         |  list_slice(sigu, band*2+1, band*2+2)),
+         |  (acc, hh) -> ${mix64Inline(wadd(wmul("acc", "31"), "hh"))})""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |shg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN []
+       |    ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(list_slice(t, i+1, i+3), ' ')) END) AS shingles
+       |  FROM toks),
+       |hx0 AS (SELECT doc_id, unnest(shingles) AS tok FROM shg),
+       |${xxhash64Ctes("tok")},
+       |mx0 AS (SELECT doc_id,
+       |  ${wadd("h", wmul("CAST(seed AS UBIGINT)", Golden.toString))} AS sx,
+       |  seed
+       |  FROM (SELECT doc_id, h, unnest(range(0, 16)) AS seed FROM hx12)),
+       |${mix64Ctes("sx")},
+       |mins AS (SELECT doc_id, seed, min(${signed("mh")}) AS mn FROM mx4 GROUP BY doc_id, seed),
+       |alldocs AS (SELECT doc_id, unnest(range(0, 16)) AS seed FROM documents),
+       |sigs AS (SELECT a.doc_id, a.seed, coalesce(m.mn, 9223372036854775807) AS mn
+       |  FROM alldocs a LEFT JOIN mins m ON a.doc_id = m.doc_id AND a.seed = m.seed),
+       |sigl AS (SELECT doc_id, list($minToU64 ORDER BY seed) AS sigu FROM sigs GROUP BY doc_id),
+       |banded AS (SELECT doc_id, band, $bucketFold AS bucket
+       |  FROM (SELECT doc_id, sigu, unnest(range(0, 8)) AS band FROM sigl))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q42
   // BPE-ish token-class counting (TextFunctions.BpeIshPattern): the
   // LLM-pipeline token accounting shape — per-row regexp extraction, codegen,
@@ -1141,7 +1191,8 @@ object Queries {
     "q39_census_melt" -> q39,
     "q40_pipeline_compose" -> q40,
     "q41_percentiles_approx" -> q41,
-    "q42_token_classes" -> q42
+    "q42_token_classes" -> q42,
+    "q43_minhash_lsh" -> q43
   )
 
   val oracles: Map[String, String] = Map(
@@ -1185,6 +1236,7 @@ object Queries {
     "q38_streaming_hourly" -> q38Sql,
     "q39_census_melt" -> q39Sql,
     "q40_pipeline_compose" -> q40Sql,
-    "q42_token_classes" -> q42Sql
+    "q42_token_classes" -> q42Sql,
+    "q43_minhash_lsh" -> q43Sql
   )
 }
