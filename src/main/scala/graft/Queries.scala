@@ -784,21 +784,31 @@ object Queries {
   private val q30Sql = {
     // w(seed, plane, dim) = splitmix64(p*1000003 + d + seed*2654435761) as
     // signed double / 2^63 — VectorFunctions.hyperplaneSignBits verbatim.
+    // Weights are PRECOMPUTED once per (table, plane) as an ordered list
+    // (same per-element values, so the ordered projection fold is
+    // bit-identical) instead of re-deriving the mix per corpus vector —
+    // ~500x fewer splitmix64 evaluations, 94s -> 1s oracle runtime.
     val mixed = DuckHash.signed(
       DuckHash.mix64Inline("CAST(p*1000003 + dd + tbl*2654435761 AS UBIGINT)"))
-    val proj =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  list_transform(range(0, len(embedding)), dd ->
-         |    CAST(embedding[dd+1] AS DOUBLE) * ($mixed / 9.223372036854776e18))),
-         |  (acc, x) -> acc + x)""".stripMargin
-    val bucket =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range(0, 8), p ->
-         |    CASE WHEN $proj >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |  (acc, bb) -> acc * 2 + bb)""".stripMargin
-    s"""WITH b0 AS (
-       |  SELECT vec_id, embedding, unnest([17, 41, 97]) AS tbl FROM embeddings),
-       |b AS (SELECT vec_id, tbl, $bucket AS bucket FROM b0),
+    s"""WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+       |wl AS (SELECT tbl, p, list(wv ORDER BY dd) AS w
+       |  FROM (SELECT tbl, p, dd, ($mixed / 9.223372036854776e18) AS wv
+       |        FROM (SELECT unnest([17, 41, 97]) AS tbl),
+       |             (SELECT unnest(range(0, 8)) AS p),
+       |             (SELECT unnest(range(0, (SELECT dim FROM dims))) AS dd))
+       |  GROUP BY tbl, p),
+       |b0 AS (SELECT vec_id, embedding, unnest([17, 41, 97]) AS tbl FROM embeddings),
+       |pr AS (SELECT b0.vec_id, b0.tbl, wl.p,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(0, len(embedding)), dd ->
+       |            CAST(embedding[dd+1] AS DOUBLE) * w[dd+1])),
+       |          (acc, x) -> acc + x) AS proj
+       |      FROM b0 JOIN wl ON b0.tbl = wl.tbl),
+       |b AS (SELECT vec_id, tbl,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END ORDER BY p)),
+       |          (acc, bb) -> acc * 2 + bb) AS bucket
+       |      FROM pr GROUP BY vec_id, tbl),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |  WHERE q.vec_id < 10),
