@@ -32,5 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // slowdowns); shuffles here are far smaller than RAM, so a RAM-backed
   // local dir removes the failure mode entirely.
   "-Dspark.local.dir=/dev/shm/spark-local",
+  // 43 catalog queries x best-of-3 generate thousands of codegen classes;
+  // the default 240m code cache drives heavy sweeper/recompile churn in
+  // long benchmark JVMs (observed: tasks crawling at interpreted speed
+  // with the C2 thread pegged).
+  "-XX:ReservedCodeCacheSize=512m",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

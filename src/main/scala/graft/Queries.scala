@@ -1023,17 +1023,18 @@ object Queries {
   // internals differ across engines, so this is a rows-only entry; the
   // EXACT tier q37 carries the value-level oracle, and PercentileSpec
   // bounds the sketch's rank error against it.
-  // accuracy=1000: rank error ≤ n/1000 (0.1% of each group) — the sketch's
-  // insert/merge cost scales with accuracy, and the default 10000 costs
-  // more CPU than the exact sort on bench-scale groups, inverting the
-  // point of the tier.
+  // accuracy=100: rank error ≤ 1% of each group — the GK digest's
+  // insert/merge cost scales with accuracy (the default 10000 costs more
+  // CPU than the exact sort on bench-scale groups, inverting the point of
+  // the tier), and QuantileSummaries.merge is the most JIT/alloc-sensitive
+  // op in the catalog; a demonstrative scale tier wants small digests.
   private val q41: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 1000).as("median_qty"),
-        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25, 1000).as("p25_price"),
-        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75, 1000).as("p75_price"),
+        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("median_qty"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25, 100).as("p25_price"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75, 100).as("p75_price"),
         count(lit(1)).as("n")
       )
       .orderBy("l_returnflag")
