@@ -170,6 +170,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Survivor selection from near-dup candidate PAIRS: drop every document
+    * that appears as the GREATER id of any pair (the standard greedy rule —
+    * each dup cluster keeps its smallest id; deterministic, single
+    * broadcast-able distinct of losers, no iterative connected components).
+    * Compose with any pair generator: `dropNearDuplicates(df, id,
+    * minHashLshPairs(df, ...))` turns candidates into a cleaned corpus. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("doc_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Estimated Jaccard from MinHash signatures (fraction of agreeing
     * components) for verifying LSH candidates without re-shingling. */
   def minHashJaccardEstimate(sigA: Column, sigB: Column): Column =

@@ -145,6 +145,21 @@ object Similarity {
         .filter(col("cosine") > threshold)
   }
 
+  /** Per-group embedding centroids with EXACT (order-independent decimal)
+    * element means — the building block for IVF-style partitioned ANN and
+    * cluster-level corpus statistics. One posexplode + one shuffle on
+    * (group, dim) with map-side partial aggregation; the result is
+    * bit-identical across partitionings. */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    import graft.functions.AggFunctions
+    df.select(col(keyCol).as("key"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("key"), col("dim"))
+      .agg(AggFunctions.avgExact(col("x"), 6).as("m"))
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("key").as(keyCol), transform(col("dm"), e => e.getField("m")).as("centroid"))
+  }
+
   /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`
     * sign bits, score only within matching buckets, then per-query top-k.
     * Recall < 1; raise recall by probing multiple signature tables (seeds).

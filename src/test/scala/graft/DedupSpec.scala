@@ -68,4 +68,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("dropNearDuplicates keeps each cluster's smallest id") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "alpha"), (1L, "alpha dup"), (2L, "beta"), (3L, "alpha dup dup"), (4L, "gamma")
+    ).toDF("doc_id", "text")
+    // pair graph: {0,1,3} are one cluster (0-1, 1-3), {2}, {4} singletons
+    val pairs = Seq((0L, 1L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 4L))
+  }
 }

@@ -87,4 +87,16 @@ class SimilaritySpec extends SparkSpec {
     assert(exactPairs.size >= 30, s"fixture should plant ≥30 near-dup pairs, got ${exactPairs.size}")
     assert(blockedPairs == exactPairs)
   }
+
+  test("centroids computes exact element means per group") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)),
+      ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f))
+    ).toDF("k", "v")
+    val out = Similarity.centroids(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toMap
+    assert(out("a") == Seq(2.0, 4.0))
+    assert(out("b") == Seq(10.0, 0.0))
+  }
 }
