@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Audit, Cleaning, Dedup, Rollup, Similarity}
+import graft.operators.{AsOfJoin, Audit, Cleaning, Dedup, Rollup, Sampling, Similarity}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -1158,6 +1158,245 @@ object Queries {
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q44
+  // As-of join (AsOfJoin.asOfJoin): each click event picks up the user's
+  // most recent prior purchase. Spark lacks ASOF JOIN; the union+window
+  // merge form runs it in one shuffle with zero pair blowup. The right side
+  // is pre-reduced to one row per (user, ts) (max_by event_id) so tie
+  // resolution is deterministic in both engines; DuckDB's native ASOF LEFT
+  // JOIN is the oracle.
+  private val q44: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(
+        max(col("event_id")).as("p_event"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+    AsOfJoin
+      .asOfJoin(clicks, purchases, "user_id", "ts", "ts", Seq("p_event", "p_value"))
+      // no-match rows keep their null p_event/p_value (comparable as NaN),
+      // but the null TIMESTAMP is coalesced to epoch: the harness comparator
+      // can't equate NaT with NaT, so a null-ts column would never match.
+      .withColumn("asof_ts", coalesce(col("asof_ts"), lit("1970-01-01 00:00:00").cast("timestamp")))
+      .orderBy("event_id")
+  }
+
+  private val q44Sql =
+    """WITH r AS (SELECT user_id, ts, max(event_id) AS p_event,
+      |                  arg_max("value", event_id) AS p_value
+      |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |     l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+      |       r.p_event AS asof_p_event, r.p_value AS asof_p_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  // Deterministic stratified hash sampling (Sampling.stratifiedHashSample):
+  // downsample 'en' to 20%, everything else to 60%, keyed on
+  // splitmix64(doc_id salted) — map-only, reproducible across re-runs,
+  // partitionings, and engines. The oracle replays the identical mix
+  // (DuckHash) and thresholds.
+  private val q45: Q = (s, dir) =>
+    Sampling
+      .stratifiedHashSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        fractions = Map("en" -> 0.2), default = 0.6, salt = 7L)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private val q45Sql = {
+    import DuckHash._
+    // Spark side hashes doc_id + salt*GOLDEN with wrapping signed-long
+    // arithmetic; mirror in u64 then compare pmod of the SIGNED value.
+    val saltG = (BigInt(7) * Golden).mod(BigInt(1) << 64).toString
+    val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
+    s"""WITH mx0 AS (SELECT doc_id, lang, source,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")}
+       |SELECT doc_id, lang, source FROM mx4
+       |WHERE $bucket < CASE WHEN lang = 'en' THEN 200000 ELSE 600000 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q46
+  // Gopher-style repetition/duplication quality metrics
+  // (TextFunctions.dupTokenFraction / topTokenFraction /
+  // dupShingleFraction): per-row codegen folds, no shuffle. The top-token
+  // count is a sorted-run fold (O(t log t)); the oracle computes the same
+  // value with DuckDB's nested list count (fine at oracle scale). All
+  // ratios are int/int double divisions — bit-exact cross-engine.
+  private val q46: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    d.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+      TextFunctions.dupTokenFraction(col("toks")).as("dup_frac"),
+      TextFunctions.topTokenFraction(col("toks")).as("top_frac"),
+      TextFunctions.dupShingleFraction(col("toks"), 2).as("dup_bigram_frac")
+    ).orderBy("doc_id")
+  }
+
+  private val q46Sql =
+    """WITH toks AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, t,
+      |  CASE WHEN len(t) < 2 THEN []
+      |       ELSE list_transform(range(0, len(t) - 1),
+      |              i -> array_to_string(list_slice(t, i+1, i+2), ' ')) END AS s2
+      |  FROM toks)
+      |SELECT doc_id,
+      | CAST(len(t) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      | CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) END AS dup_frac,
+      | CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE CAST(list_max(list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+      |           /CAST(len(t) AS DOUBLE) END AS top_frac,
+      | CASE WHEN len(s2) = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE)/CAST(len(s2) AS DOUBLE) END AS dup_bigram_frac
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  // Semi-structured extraction: parse the events.props JSON payload at scan
+  // time (get_json_object — codegen'd, no UDF) and roll up the extracted
+  // field per event type. The everyday "JSON sidecar column" shape; at
+  // 100 TB the extraction rides the scan and the aggregate is the only
+  // shuffle. Integer sums/extrema stay in BIGINT in both engines.
+  private val q47: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double")).as("avg_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  private val q47Sql =
+    """WITH e AS (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type,
+      | count(k) AS n,
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | min(k) AS min_k,
+      | max(k) AS max_k,
+      | CAST(sum(k) AS DOUBLE)/CAST(count(k) AS DOUBLE) AS avg_k,
+      | CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  // IVF-Flat ANN (Similarity.knnIvf): deterministic k-means coarse
+  // quantizer (seeds = 8 smallest ids, one exact-decimal Lloyd iteration),
+  // probe the 2 nearest clusters per query, exact-cosine top-5. The
+  // map-side-assignment / broadcast-probe structure is the IVF scale path
+  // (corpus never shuffles for search); the oracle replays the entire
+  // train+assign+probe+score pipeline in SQL, so the quantizer itself —
+  // not just the final ranking — is value-checked.
+  private val q48: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity
+      .knnIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, kClusters = 8, nProbe = 2, iters = 1, exact = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val q48Sql = {
+    // Quantize an element like VectorFunctions (double → DECIMAL(18,6));
+    // decimal distance like l2SqExact: diff re-bounded to (18,6), squared,
+    // summed exactly. Ordering ties break on the smaller cluster label —
+    // same contract as the Spark `least`-over-structs argmin.
+    def qz(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(18,6))"
+    def dsq(a: String, b: String) =
+      s"sum(CAST(CAST(${qz(a)} - ${qz(b)} AS DECIMAL(18,6)) * CAST(${qz(a)} - ${qz(b)} AS DECIMAL(18,6)) AS DECIMAL(36,12)))"
+    s"""WITH c0 AS (SELECT vec_id AS cluster, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |p0 AS (SELECT e.vec_id, c.cluster, unnest(e.embedding) AS xe, unnest(c.cv) AS ce
+       |       FROM embeddings e CROSS JOIN c0 c),
+       |d0 AS (SELECT vec_id, cluster, ${dsq("xe", "ce")} AS dist FROM p0 GROUP BY vec_id, cluster),
+       |a0 AS (SELECT vec_id, cluster FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |        FROM d0) WHERE rn = 1),
+       |u AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(0, len(embedding))) AS dim
+       |      FROM embeddings),
+       |m1 AS (SELECT a0.cluster, u.dim,
+       |        CAST(sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS m
+       |       FROM u JOIN a0 USING (vec_id) GROUP BY a0.cluster, u.dim),
+       |c1 AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cluster),
+       |p1 AS (SELECT e.vec_id, c.cluster, unnest(e.embedding) AS xe, unnest(c.cv) AS ce
+       |       FROM embeddings e CROSS JOIN c1 c),
+       |d1 AS (SELECT vec_id, cluster, ${dsq("xe", "ce")} AS dist FROM p1 GROUP BY vec_id, cluster),
+       |a1 AS (SELECT vec_id, cluster FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |        FROM d1) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cluster FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |        FROM d1 WHERE vec_id < 5) WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, a1.vec_id AS neighbor_id
+       |         FROM probes p JOIN a1 ON a1.cluster = p.cluster AND a1.vec_id <> p.query_id),
+       |pr AS (SELECT c.query_id, c.neighbor_id, unnest(q.embedding) AS qe, unnest(n.embedding) AS ne
+       |       FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |                   JOIN embeddings n ON n.vec_id = c.neighbor_id),
+       |sc AS (SELECT query_id, neighbor_id,
+       |        CAST(sum(CAST(${qz("qe")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS dot,
+       |        CAST(sum(CAST(${qz("qe")} * ${qz("qe")} AS DECIMAL(36,12))) AS DOUBLE) AS nq,
+       |        CAST(sum(CAST(${qz("ne")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS nn
+       |       FROM pr GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, dot/sqrt(nq*nn) AS cosine,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot/sqrt(nq*nn) DESC, neighbor_id) AS BIGINT) AS rnk
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q49
+  // Temporal range aggregation (Rollup.forwardRangeAgg): per purchase
+  // event, activity of the same user in the following hour. The oracle runs
+  // the equivalent inequality self-join (pair materialization); the engine
+  // runs the sliding value-range window — same result, O(n log n) per key
+  // instead of O(pairs).
+  private val q49: Q = (s, dir) =>
+    Rollup
+      .forwardRangeAgg(Tables.events(s, dir), "user_id", "ts", "value", horizonSec = 3600L)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_next"), col("sum_next"))
+      .orderBy("event_id")
+
+  private val q49Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts,
+      | count(e.event_id) AS n_next,
+      | coalesce(CAST(sum(CAST(e."value" AS DECIMAL(38,4))) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS sum_next
+      |FROM p LEFT JOIN events e
+      |  ON e.user_id = p.user_id AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+      |GROUP BY p.event_id, p.user_id, p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // q34's SCALE tier: HyperLogLog++ approximate distinct counting —
+  // bounded-memory, associative-merge, the only distinct count that
+  // survives billion-cardinality groups. Sketch internals are
+  // engine-specific, so this is a rows-only entry (like q41); the exact
+  // tier q34 carries the value oracle and DistinctApproxSpec bounds the
+  // relative error against it.
+  private val q50: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1203,7 +1442,14 @@ object Queries {
     "q40_pipeline_compose" -> q40,
     "q41_percentiles_approx" -> q41,
     "q42_token_classes" -> q42,
-    "q43_minhash_lsh" -> q43
+    "q43_minhash_lsh" -> q43,
+    "q44_asof_join" -> q44,
+    "q45_stratified_sample" -> q45,
+    "q46_repetition_metrics" -> q46,
+    "q47_json_extract" -> q47,
+    "q48_ivf_ann" -> q48,
+    "q49_range_agg" -> q49,
+    "q50_distinct_approx" -> q50
   )
 
   val oracles: Map[String, String] = Map(
@@ -1248,6 +1494,12 @@ object Queries {
     "q39_census_melt" -> q39Sql,
     "q40_pipeline_compose" -> q40Sql,
     "q42_token_classes" -> q42Sql,
-    "q43_minhash_lsh" -> q43Sql
+    "q43_minhash_lsh" -> q43Sql,
+    "q44_asof_join" -> q44Sql,
+    "q45_stratified_sample" -> q45Sql,
+    "q46_repetition_metrics" -> q46Sql,
+    "q47_json_extract" -> q47Sql,
+    "q48_ivf_ann" -> q48Sql,
+    "q49_range_agg" -> q49Sql
   )
 }

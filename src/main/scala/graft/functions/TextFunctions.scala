@@ -116,6 +116,43 @@ object TextFunctions {
     lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)
   }
 
+  // --- Repetition metrics (Gopher-style duplication quality filters) ------
+  // Rae et al. 2021 ("Scaling Language Models", the Gopher corpus filters)
+  // drop documents dominated by repeated lines/n-grams. These are the
+  // token-level analogues, per-row codegen folds — no shuffle, no UDF.
+
+  /** Fraction of token occurrences that are repeats of an earlier token:
+    * 1 - distinct/total. 0 for empty docs. */
+  def dupTokenFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks).cast("double"))
+
+  /** Occurrence count of the single most frequent token: sort the array,
+    * then one fold tracking the longest equal-run — O(t log t) per row and
+    * codegen'd, vs the O(distinct × t) nested-loop count. */
+  def topTokenCount(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"), greatest(run, acc.getField("best")).as("best"))
+      }
+    ).getField("best")
+
+  /** Fraction of all token occurrences taken by the most frequent token. */
+  def topTokenFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(topTokenCount(toks).cast("double") / size(toks).cast("double"))
+
+  /** Fraction of k-gram occurrences that are repeats (the "duplicate
+    * n-gram fraction" filter); 0 when the doc has < k tokens. */
+  def dupShingleFraction(toks: Column, k: Int): Column = {
+    val sh = shinglesOfTokens(toks, k)
+    when(size(sh) === 0, lit(0.0)).otherwise(
+      (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))
+  }
+
   // --- Language identification (marker-token heuristic) -------------------
 
   /** Marker stopwords per language; the n-gram-free heuristic: count marker

@@ -46,6 +46,20 @@ object VectorFunctions {
 
   def norm2Exact(a: Column): Column = dotExact(a, a)
 
+  /** Bit-deterministic squared L2 distance: elements quantized to
+    * DECIMAL(18,6), differences re-bounded to the element type (embedding
+    * coordinates are O(1), so the cast is lossless), squared products
+    * summed exactly. The coarse-quantizer metric for IVF. */
+  def l2SqExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = (x.cast("double").cast(Elem) - y.cast("double").cast(Elem)).cast(Elem)
+        (d * d).cast(Acc)
+      }),
+      lit(0).cast(Acc),
+      (acc, x) => (acc + x).cast(Acc)
+    ).cast("double")
+
   /** Bit-deterministic cosine similarity. */
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / sqrt(norm2Exact(a) * norm2Exact(b))

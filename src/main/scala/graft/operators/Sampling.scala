@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Deterministic hash-based sampling — the reproducible alternative to
+  * `df.sample()` for training-data curation.
+  *
+  * `rand()`-based sampling is non-reproducible across retries, partitionings,
+  * and cluster sizes; at 100 TB a re-run of a failed stage would silently
+  * change the corpus. Keying the keep/drop decision on a splitmix64 hash of
+  * a stable row id makes the sample a pure function of the data: map-only
+  * (no shuffle, no state), resumable, and consistent across engines — the
+  * DuckDB oracle replays the identical hash.
+  */
+object Sampling {
+
+  /** Keep/drop granularity: 1e6 buckets → rates are exact to 1e-6. */
+  val Buckets = 1000000L
+
+  /** Uniform bucket in [0, Buckets) from the salted splitmix64 of `id`.
+    * Salting decorrelates independent samples drawn from the same ids
+    * (train/validation splits, repeated experiments). */
+  def hashBucket(id: Column, salt: Long): Column =
+    pmod(HashFunctions.seeded(id.cast("long"), lit(salt)), lit(Buckets))
+
+  /** Bernoulli sample at `fraction`, deterministic in (`idCol`, `salt`). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 0L): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < lit(math.round(fraction * Buckets)))
+
+  /** Stratified sample: per-stratum rates from `fractions` (strata absent
+    * from the map fall back to `default`). The standard corpus-rebalancing
+    * shape — e.g. downsample an over-represented language while keeping the
+    * tail at full rate. Still map-only: the stratum rate is a row-local
+    * CASE, not a join. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      default: Double,
+      salt: Long = 0L): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(math.round(default * Buckets))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < threshold)
+  }
+}

@@ -160,6 +160,108 @@ object Similarity {
       .select(col("key").as(keyCol), transform(col("dm"), e => e.getField("m")).as("centroid"))
   }
 
+  // --- IVF (inverted-file) ANN --------------------------------------------
+
+  /** Train an IVF coarse quantizer: deterministic seeding (the `k` vectors
+    * with smallest ids become the initial centroids, labeled by seed id)
+    * followed by `iters` Lloyd iterations — assignment by exact decimal
+    * squared-L2 ([[VectorFunctions.l2SqExact]], ties to the smaller cluster
+    * label), means by exact decimal accumulation ([[centroids]]). Fully
+    * deterministic: the same corpus yields the same quantizer on any
+    * partitioning, cluster size, or engine (the DuckDB oracle replays it).
+    *
+    * Scale shape: centroids are collected to the driver (k × dim doubles —
+    * the standard k-means broadcast), so ASSIGNMENT IS MAP-SIDE: every row
+    * computes its k distances in one projection, no shuffle. The only
+    * shuffle per iteration is the (cluster, dim) mean aggregation.
+    * Returns (cluster: Long, centroid: Seq[Double]) — k rows.
+    */
+  def ivfTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1): Array[(Long, Seq[Double])] = {
+    val seeds: Array[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = ivfAssign(corpus, vecCol, cents)
+      centroids(assigned, "cluster", vecCol)
+        .select(col("cluster").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+  }
+
+  /** Add a `cluster` column: the label of the nearest centroid (exact
+    * decimal squared-L2, ties to the smaller label). Map-only — centroids
+    * arrive as literals, the per-row argmin is a `least` over k structs. */
+  def ivfAssign(
+      corpus: DataFrame,
+      vecCol: String,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val dcs = cents.map { case (label, cv) =>
+      struct(
+        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
+        lit(label).as("c"))
+    }
+    corpus.withColumn("cluster", least(dcs.toSeq: _*).getField("c"))
+  }
+
+  /** IVF-Flat ANN search: train (or accept) a coarse quantizer, probe each
+    * query's `nProbe` nearest clusters, exact-cosine-score only the
+    * vectors in probed clusters, per-query top-k.
+    *
+    * Scale shape: corpus assignment is map-side (see [[ivfTrain]]); the
+    * exploded (query × probe) table is tiny and broadcast, so candidate
+    * selection is a map-only broadcast join on `cluster` — the corpus never
+    * shuffles, and the scored pair count drops by ~(k/nProbe)x vs
+    * brute-force. Recall < 1 (a true neighbor may live in an unprobed
+    * cluster); raise `nProbe` to trade cost for recall.
+    *
+    * @param exact decimal-exact scoring (bit-reproducible, oracle tier). */
+  def knnIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kClusters: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 1,
+      exact: Boolean = false): DataFrame = {
+    val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
+    val assigned = ivfAssign(corpus, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cluster"))
+    // Per-query probe list: sort the k (dist, label) structs, keep nProbe.
+    val dcArr = array(cents.map { case (label, cv) =>
+      struct(
+        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
+        lit(label).as("c"))
+    }.toSeq: _*)
+    val probes = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          slice(array_sort(dcArr), 1, nProbe).as("pr"))
+        .select(col("query_id"), col("qv"), explode(col("pr")).as("p"))
+        .select(col("query_id"), col("qv"), col("p.c").as("cluster")))
+    val cos =
+      if (exact) VectorFunctions.cosineExact(col("qv"), col("cv"))
+      else graft.plans.GraftFunctions.cosineFast(col("qv"), col("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned
+      .join(probes, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`
     * sign bits, score only within matching buckets, then per-query top-k.
     * Recall < 1; raise recall by probing multiple signature tables (seeds).

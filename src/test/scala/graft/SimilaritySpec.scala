@@ -88,6 +88,57 @@ class SimilaritySpec extends SparkSpec {
     assert(blockedPairs == exactPairs)
   }
 
+  test("ivfTrain converges to the planted cluster structure and assignment is total") {
+    // 4 well-separated clusters of 25 vectors each around axis-aligned means
+    val dim = 8
+    def vec(cl: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(d => (if (d == cl * 2) 10.0 else 0.0).toFloat + (math.sin(i * 31 + d * 7) * 0.1).toFloat)
+    // interleaved ids (vec_id % 4 == planted cluster): deterministic seeding
+    // takes the 4 smallest ids, giving one seed per planted cluster — the
+    // farthest-point-style seeding a real pipeline would arrange
+    val rows = for (cl <- 0 until 4; i <- 0 until 25) yield (i * 4L + cl, vec(cl, i))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(df, "vec_id", "embedding", k = 4, iters = 2)
+    assert(cents.length == 4)
+    val assigned = Similarity.ivfAssign(df, "embedding", cents)
+    // assignment is total and deterministic
+    assert(assigned.filter(col("cluster").isNull).count() == 0)
+    val a1 = assigned.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a2 = Similarity.ivfAssign(df, "embedding", cents)
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a1 == a2)
+    // all 25 members of a planted cluster land together
+    (0 until 4).foreach { cl =>
+      val labels = (0 until 25).map(i => a1(i * 4L + cl)).toSet
+      assert(labels.size == 1, s"planted cluster $cl split across ${labels.size} IVF cells")
+    }
+  }
+
+  test("knnIvf achieves high recall vs exact KNN with all clusters probed") {
+    val n = 100
+    val dim = 16
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val exact = Similarity.knnExact(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe = kClusters → IVF scans everything → recall must be exact
+    val full = Similarity.knnIvf(corpus, queries, "vec_id", "embedding", k = 5,
+        kClusters = 4, nProbe = 4, iters = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // partial probing keeps useful recall on this corpus
+    val partial = Similarity.knnIvf(corpus, queries, "vec_id", "embedding", k = 5,
+        kClusters = 4, nProbe = 2, iters = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(partial).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nProbe=2 recall too low: $recall")
+  }
+
   test("centroids computes exact element means per group") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)),
