@@ -1397,6 +1397,41 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------- q51
+  // Benchmark decontamination (Dedup.contaminationFlags): docs 0-9 act as
+  // the held-out eval set; every remaining corpus doc is scanned for 5-gram
+  // overlap with it. Eval shingles broadcast, corpus side map-only — the
+  // shuffle is only the per-doc hit count. Every corpus doc appears
+  // (n_overlap = 0 when clean), so the output doubles as a keep-list.
+  private val q51: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Dedup
+      .contaminationFlags(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 5, minShared = 1)
+      .orderBy("doc_id")
+  }
+
+  private val q51Sql =
+    """WITH tk AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |  CASE WHEN len(t) < 5 THEN []
+      |       ELSE list_transform(range(0, len(t) - 4),
+      |              i -> array_to_string(list_slice(t, i+1, i+5), ' ')) END) AS s
+      |  FROM tk),
+      |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 10),
+      |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 10),
+      |cnt AS (SELECT doc_id, count(*) AS n_overlap FROM cs
+      |        WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(c.n_overlap, 0) AS n_overlap,
+      |       coalesce(c.n_overlap, 0) >= 1 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+      |LEFT JOIN cnt c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1449,7 +1484,8 @@ object Queries {
     "q47_json_extract" -> q47,
     "q48_ivf_ann" -> q48,
     "q49_range_agg" -> q49,
-    "q50_distinct_approx" -> q50
+    "q50_distinct_approx" -> q50,
+    "q51_contamination" -> q51
   )
 
   val oracles: Map[String, String] = Map(
@@ -1500,6 +1536,7 @@ object Queries {
     "q46_repetition_metrics" -> q46Sql,
     "q47_json_extract" -> q47Sql,
     "q48_ivf_ann" -> q48Sql,
-    "q49_range_agg" -> q49Sql
+    "q49_range_agg" -> q49Sql,
+    "q51_contamination" -> q51Sql
   )
 }

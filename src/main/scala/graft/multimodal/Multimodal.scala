@@ -58,6 +58,17 @@ object Multimodal {
       if (n == 0) Seq.empty
       else (0 until math.min(maxFrames, n)).map(i => (i.toLong * n / math.min(maxFrames, n)).toInt)
     }
+
+    /** "Resample" a payload to a target pixel budget (deterministic fake:
+      * evenly-strided byte subsample to w*h/16 bytes — a real codec decodes,
+      * scales, re-encodes; the output-size-∝-target contract is what the
+      * pipeline depends on). */
+    def resample(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val n = payload.length
+      val outLen = math.min(n, math.max(1, targetW * targetH / 16))
+      if (n == 0) payload
+      else Array.tabulate(outLen)(i => payload((i.toLong * n / outLen).toInt))
+    }
   }
 
   val BatchSize = 256
@@ -79,6 +90,30 @@ object Multimodal {
           val hist = new Array[Long](16)
           r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest, w, h, frames.size, hist)
+        }
+      }
+    }
+  }
+
+  /** Resized media record produced by [[resize]]. */
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** Resize every payload to a target resolution — same batched
+    * partition-transform shape as [[extractFeatures]] (one codec context
+    * per batch, no shuffle); the stub resample stands in for the real
+    * decode→scale→encode kernel. */
+  def resize(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { iter =>
+      iter.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          ResizedMedia(r.media_id, r.kind, StubCodec.resample(r.payload, targetW, targetH),
+            targetW, targetH)
         }
       }
     }

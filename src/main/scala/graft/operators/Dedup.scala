@@ -219,6 +219,45 @@ object Dedup {
     * count is DERIVED from the radius — recall is complete for every legal
     * `maxHamming` (narrower chunks at larger radii trade join selectivity,
     * not correctness). */
+  /** Benchmark decontamination: for each corpus document, the number of its
+    * distinct word k-shingles that also appear in ANY eval-set document,
+    * plus a `contaminated` flag at `minShared` — the train/eval overlap scan
+    * every serious training-data pipeline runs before shipping a corpus.
+    *
+    * Scale shape: the eval set is small by construction, so its distinct
+    * shingles are BROADCAST; the corpus side is a map-only
+    * shingle-explode + broadcast semi-join (no corpus shuffle), and the
+    * per-doc overlap count is a partial-aggregated groupBy on the doc id —
+    * shuffle volume ∝ contaminated shingle hits, not corpus size. Every
+    * corpus doc appears in the output (n_overlap = 0 when clean).
+    */
+  def contaminationFlags(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minShared: Int = 1
+  ): DataFrame = {
+    def shingles(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col("doc"), array_distinct(TextFunctions.shinglesOfTokens(col("toks"), k)).as("sh"))
+    val evalShingles = broadcast(
+      shingles(evalSet).select(explode(col("sh")).as("shingle")).distinct())
+    val hits = shingles(corpus)
+      .select(col("doc"), explode(col("sh")).as("shingle"))
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(
+        col("doc").as(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minShared)
+  }
+
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming must be in [0, 63], got $maxHamming")
     val nChunks = maxHamming + 1

@@ -72,9 +72,14 @@ object Rollup {
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(1L, horizonSec * 1000000L)
     // sumExact's decimal accumulation, applied windowed (`.over` must wrap
-    // the raw aggregate, so the decimal cast chain is inlined here).
+    // the raw aggregate, so the decimal cast chain is inlined here). Both
+    // aggregates are emitted in ONE projection: chained withColumn would
+    // leave a Project between the two Window operators, defeating
+    // CollapseWindow and paying the partition+sort twice.
     val exactSum = sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
-    df.withColumn("n_next", count(lit(1)).over(w))
-      .withColumn("sum_next", coalesce(exactSum.over(w).cast("double"), lit(0.0)))
+    df.select(
+      col("*"),
+      count(lit(1)).over(w).as("n_next"),
+      coalesce(exactSum.over(w).cast("double"), lit(0.0)).as("sum_next"))
   }
 }

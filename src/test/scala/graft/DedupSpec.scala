@@ -80,4 +80,21 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 2L, 4L))
   }
+
+  test("contaminationFlags counts distinct shingles shared with the eval set") {
+    import org.apache.spark.sql.functions._
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "the quick brown fox jumps" and 2 more eval 5-grams → 3 hits
+      (1L, "prefix the quick brown fox jumps over the end"),
+      (2L, "completely different words entirely here now"), // clean
+      (3L, "short doc") // < 5 tokens → no shingles → clean
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .contaminationFlags(corpus, evalSet, "doc_id", "text", k = 5, minShared = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated")))
+    assert(out.toSeq == Seq((1L, 3L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
 }

@@ -78,4 +78,35 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((2L, "2024-01-01 10:00:00.0", 1L, 9.0)), s"user-2 close missing: $out")
     } finally q.stop()
   }
+
+  test("dedupStream drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val deduped = graft.streaming.StreamingDedup.dedupStream(docs, "ts", "text", horizon = "1 hour")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "alpha doc"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "  Alpha   DOC "), // same normalized content
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "beta doc")
+      )
+      q.processAllAvailable()
+      // second batch: an exact re-post within the horizon is dropped, new
+      // content passes
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:20:00"), "alpha doc"),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "gamma doc")
+      )
+      q.processAllAvailable()
+      val out = spark.table("dedup_test")
+        .collect().map(_.getAs[String]("text")).toSeq.sorted
+      assert(out.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).sorted ==
+        Seq("alpha doc", "beta doc", "gamma doc"))
+    } finally q.stop()
+  }
 }
