@@ -51,26 +51,42 @@ object Bench {
     val basePasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val best = scala.collection.mutable.Map[String, Double]().withDefaultValue(-1.0)
+    val passTimes = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+
+    // A pass is "calm" iff its sum sits within ~30% of the sum of minima
+    // computed from the OTHER passes (a self-comparison is trivially true,
+    // which is why pass 1 can never certify itself — it gets re-judged once
+    // pass 2 exists). A query that failed in pass i contributes its best
+    // known time from the other passes, so failures can't fake calmness; if
+    // a query has NO successful sample outside pass i, the check for pass i
+    // is skipped entirely.
+    def passIsCalm(i: Int): Boolean = {
+      if (passTimes.size < 2) return false
+      val others = passTimes.indices.filter(_ != i).map(passTimes)
+      val minOther = names.map { n =>
+        val vs = others.map(_(n)).filter(_ >= 0)
+        n -> (if (vs.isEmpty) -1.0 else vs.min)
+      }.toMap
+      if (minOther.values.exists(_ < 0)) return false
+      val cur = passTimes(i)
+      val effSum = names.map(n => if (cur(n) >= 0) cur(n) else minOther(n)).sum
+      effSum <= 1.3 * minOther.values.sum
+    }
+
     var pass = 0
     var calmSeen = false
     while (pass < basePasses || (pass < maxPasses && !calmSeen)) {
-      var passSum = 0.0
-      names.foreach { n =>
-        val t = run(n)
-        if (t >= 0) {
-          passSum += t
-          if (best(n) < 0 || t < best(n)) best(n) = t
-        }
-      }
-      val minTotal = names.map(best(_)).filter(_ >= 0).sum
-      // A calm pass's sum sits within ~30% of the sum-of-minima; a pass
-      // that crossed a degradation window is 2x+ above it.
-      calmSeen = calmSeen || (minTotal > 0 && passSum <= 1.3 * minTotal)
+      val cur = names.map(n => n -> run(n)).toMap
+      passTimes += cur
       pass += 1
-      System.err.println(f"[bench] pass $pass sum $passSum%.1fs minTotal $minTotal%.1fs calm=$calmSeen")
+      calmSeen = passTimes.indices.exists(passIsCalm)
+      val passSum = cur.values.filter(_ >= 0).sum
+      System.err.println(f"[bench] pass $pass sum $passSum%.1fs calm=$calmSeen")
     }
-    val results = names.map(n => n -> best(n))
+    val results = names.map { n =>
+      val vs = passTimes.map(_(n)).filter(_ >= 0)
+      n -> (if (vs.isEmpty) -1.0 else vs.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -1270,8 +1270,13 @@ object Queries {
   // 100 TB the extraction rides the scan and the aggregate is the only
   // shuffle. Integer sums/extrema stay in BIGINT in both engines.
   private val q47: Q = (s, dir) => {
+    // floor(double)→long on BOTH engines: Spark's non-ANSI string→long cast
+    // nulls non-integral values ("1.5") while DuckDB's CAST rounds them to 2,
+    // so the string→integer contract must not depend on the data being
+    // integral. floor is IEEE-exact in both engines.
     val ev = Tables.events(s, dir)
-      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_type"),
+        floor(get_json_object(col("props"), "$.k").cast("double")).cast("long").as("k"))
     ev.groupBy(col("event_type"))
       .agg(
         count(col("k")).as("n"),
@@ -1285,7 +1290,7 @@ object Queries {
 
   private val q47Sql =
     """WITH e AS (SELECT event_type,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |  CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k FROM events)
       |SELECT event_type,
       | count(k) AS n,
       | CAST(sum(k) AS BIGINT) AS sum_k,

@@ -65,7 +65,8 @@ object Multimodal {
       * pipeline depends on). */
     def resample(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
       val n = payload.length
-      val outLen = math.min(n, math.max(1, targetW * targetH / 16))
+      // Pixel budget in Long: Int targetW*targetH overflows near 46341².
+      val outLen = math.min(n.toLong, math.max(1L, targetW.toLong * targetH / 16)).toInt
       if (n == 0) payload
       else Array.tabulate(outLen)(i => payload((i.toLong * n / outLen).toInt))
     }

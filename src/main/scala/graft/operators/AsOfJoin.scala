@@ -38,6 +38,11 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payload: Seq[String]): DataFrame = {
+    val outNames = "asof_ts" +: payload.map(c => s"asof_$c")
+    val clash = left.columns.toSeq.intersect(outNames)
+    require(clash.isEmpty,
+      s"asOfJoin output columns ${clash.mkString(", ")} collide with left-side " +
+        "columns; rename the left columns (the appended asof_* names are fixed)")
     val lStruct = struct(left.columns.toSeq.map(col): _*)
     val rStruct = struct(
       col(rightTs).as("asof_ts") +: payload.map(c => col(c).as(s"asof_$c")): _*)
