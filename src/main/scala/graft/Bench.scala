@@ -46,12 +46,26 @@ object Bench {
     // query's samples are then spaced a whole pass apart, and a single
     // calm pass anywhere yields calm minima for every query. If no pass
     // was calm (best pass-sum still far above the sum of minima), keep
-    // adding passes up to the cap. A query is reported failed (-1) only
-    // when it fails in EVERY pass.
+    // adding passes up to the cap OR until the wall-clock budget runs out,
+    // whichever comes first. A query is reported failed (-1) only when it
+    // fails in EVERY pass.
     val basePasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6").toInt
+    // HARD wall-clock budget: the driver kills the whole process at its own
+    // timeout (observed ~90 min), and a killed bench reports NOTHING — so
+    // past the budget we stop starting new work (even mid-pass, once every
+    // query has at least one sample) and print the JSON line with whatever
+    // minima we have. A partial second pass is strictly better than rc=124.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+    val startNanos = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val passTimes = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    // Timings from a pass cut short by the budget: they join the final
+    // minima but not the calm-pass vote (a partial pass can't certify).
+    val partialSamples = scala.collection.mutable.ArrayBuffer[(String, Double)]()
 
     // A pass is "calm" iff its sum sits within ~30% of the sum of minima
     // computed from the OTHER passes (a self-comparison is trivially true,
@@ -75,17 +89,32 @@ object Bench {
 
     var pass = 0
     var calmSeen = false
-    while (pass < basePasses || (pass < maxPasses && !calmSeen)) {
-      val cur = names.map(n => n -> run(n)).toMap
-      passTimes += cur
+    var outOfTime = false
+    while (!outOfTime && (pass < basePasses || (pass < maxPasses && !calmSeen))) {
+      val cur = scala.collection.mutable.LinkedHashMap[String, Double]()
+      for (n <- names if !outOfTime) {
+        cur(n) = run(n)
+        // Pass 1 always completes (every query needs >= 1 sample); later
+        // passes yield mid-pass the moment the budget runs out.
+        if (pass >= 1 && elapsed > budgetSec) outOfTime = true
+      }
       pass += 1
-      calmSeen = passTimes.indices.exists(passIsCalm)
+      if (cur.size == names.size) {
+        passTimes += cur.toMap
+        calmSeen = passTimes.indices.exists(passIsCalm)
+      } else {
+        partialSamples ++= cur
+      }
       val passSum = cur.values.filter(_ >= 0).sum
-      System.err.println(f"[bench] pass $pass sum $passSum%.1fs calm=$calmSeen")
+      System.err.println(
+        f"[bench] pass $pass sum $passSum%.1fs calm=$calmSeen elapsed=$elapsed%.0fs" +
+          (if (cur.size != names.size) s" (partial ${cur.size}/${names.size})" else ""))
+      if (elapsed > budgetSec) outOfTime = true
     }
     val results = names.map { n =>
-      val vs = passTimes.map(_(n)).filter(_ >= 0)
-      n -> (if (vs.isEmpty) -1.0 else vs.min)
+      val vs = passTimes.map(_(n)) ++ partialSamples.collect { case (`n`, t) => t }
+      val ok = vs.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
