@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{AggFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Cleaning, Dedup, Rollup, Sampling, Similarity}
+import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, Dedup, Packing, Rollup, Sampling, Similarity, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -1437,6 +1437,199 @@ object Queries {
       |LEFT JOIN cnt c USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // DuckDB tokenizer CTE body mirroring TextFunctions.tokens exactly
+  // (empty trimmed text → empty list, else split on whitespace runs).
+  private val duckToksCte =
+    """tk AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN []
+      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  // PII scrub audit (PiiFunctions): count + redact emails / NANP phones /
+  // IPv4s. The corpus documents are synthetic word-salad with no natural
+  // PII, so both engines derive the SAME deterministic corpus inline
+  // (2/3 of docs get a doc_id-keyed contact footer, 1/3 stay clean) —
+  // the oracle then value-checks the regex counts AND the full redacted
+  // text (md5) over varied inputs including the zero-match path. Pure
+  // per-row regexp work: at 100 TB the scrub rides the scan, no shuffle.
+  private val q52: Q = (s, dir) => {
+    val footer = concat(
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7L)).cast("string"), lit(".org"),
+      lit(" call 415-555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit(".0."), pmod(col("doc_id"), lit(100L)).cast("string"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, col("text"))
+          .otherwise(concat(col("text"), footer)).as("text"))
+      .select(
+        col("doc_id"),
+        PiiFunctions.emailCount(col("text")).as("n_emails"),
+        PiiFunctions.phoneCount(col("text")).as("n_phones"),
+        PiiFunctions.ipv4Count(col("text")).as("n_ips"),
+        length(PiiFunctions.redact(col("text"))).cast("long").as("n_chars_redacted"),
+        md5(PiiFunctions.redact(col("text")).cast("binary")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q52Sql = {
+    // the runtime pattern strings are Java/RE2-shared (no quoting needed:
+    // no single quotes, no constructs DuckDB's RE2 lacks)
+    val email = PiiFunctions.EmailPattern
+    val phone = PiiFunctions.PhonePattern
+    val ip = PiiFunctions.Ipv4Pattern
+    s"""WITH corpus AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN text
+       |       ELSE text || ' contact u' || CAST(doc_id AS VARCHAR)
+       |            || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+       |            || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |            || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+       |  END AS text FROM documents),
+       |r AS (SELECT doc_id, text,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS red
+       |  FROM corpus)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       | CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       | CAST(length(red) AS BIGINT) AS n_chars_redacted,
+       | md5(red) AS redacted_fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q53
+  // Sequence-packing offsets (Packing.packOffsets): concatenate-and-chunk
+  // pretraining layout as a pure offset computation — splitmix64 shard,
+  // per-shard running token offset (ONE shuffle: the window sort on
+  // shard), context-window ids by integer division. The oracle replays
+  // the splitmix64 shard (DuckHash) and the window sum.
+  private val q53: Q = (s, dir) =>
+    Packing
+      .packOffsets(
+        Tables.documents(s, dir), "doc_id",
+        TextFunctions.tokenCount(col("text")),
+        capacity = 2048, nShards = 4)
+      .select("shard", "doc_id", "n_tokens", "start_tok",
+        "first_window", "last_window", "spans_boundary")
+      .orderBy("doc_id")
+
+  private val q53Sql = {
+    import DuckHash._
+    val shard = s"(((${signed("mh")}) % 4) + 4) % 4"
+    s"""WITH tk AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |mx0 AS (SELECT doc_id, n_tokens, CAST(doc_id AS UBIGINT) AS sx FROM tk),
+       |${mix64Ctes("sx")},
+       |sh AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST($shard AS BIGINT) AS shard FROM mx4),
+       |off AS (SELECT shard, doc_id, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM sh)
+       |SELECT shard, doc_id, n_tokens, start_tok,
+       | CAST(start_tok // 2048 AS BIGINT) AS first_window,
+       | CAST((start_tok + greatest(n_tokens - 1, 0)) // 2048 AS BIGINT) AS last_window,
+       | (start_tok // 2048) != ((start_tok + greatest(n_tokens - 1, 0)) // 2048) AS spans_boundary
+       |FROM off ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q54
+  // Document chunking (Chunking.chunkWindows): 32-token windows, stride
+  // 24 — per-row generate-and-explode, no shuffle; chunk content is
+  // value-checked via md5 of the space-joined window.
+  private val q54: Q = (s, dir) =>
+    Chunking
+      .chunkWindows(Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val q54Sql =
+    s"""WITH $duckToksCte,
+       |c AS (SELECT doc_id, t, len(t) AS n,
+       |  CASE WHEN len(t) <= 0 THEN 0 WHEN len(t) <= 32 THEN 1
+       |       ELSE (len(t) - 32 + 23) // 24 + 1 END AS nc
+       |  FROM tk),
+       |e AS (SELECT doc_id, t, n, unnest(range(0, nc)) AS ci FROM c),
+       |ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |       CAST(ci * 24 AS BIGINT) AS start_tok,
+       |       list_slice(t, ci*24 + 1, least(ci*24 + 32, n)) AS chunk FROM e)
+       |SELECT doc_id, chunk_idx, start_tok,
+       | CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       | md5(array_to_string(chunk, ' ')) AS chunk_fp
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // Corpus-relative salient terms (TfIdf.topTerms): tf/df weighting, top-3
+  // per document. Two shuffles (doc-term counts, term df) + one vocab-size
+  // join — see TfIdf's scaladoc for the 100 TB shape. tf/df is an exact
+  // int/int double division, so scores hash-match cross-engine.
+  private val q55: Q = (s, dir) =>
+    TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk")
+
+  private val q55Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |       CAST(tf.tf AS DOUBLE)/CAST(df.df AS DOUBLE) AS score,
+       |       row_number() OVER (PARTITION BY tf.doc_id
+       |         ORDER BY CAST(tf.tf AS DOUBLE)/CAST(df.df AS DOUBLE) DESC, tf.term) AS rnk
+       |       FROM tf JOIN df USING (term))
+       |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  // Shard-balance manifest (Packing.withShard + rollup): the report a
+  // training-data export emits per output shard — doc count, token mass,
+  // id range, and each shard's share of total tokens. One shuffle on the
+  // 8-value shard key; the global total is a second tiny agg over 8 rows.
+  private val q56: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+    Packing.withShard(d, "doc_id", 8)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .withColumn(
+        "token_share",
+        col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(Window.partitionBy()).cast("double"))
+      .orderBy("shard")
+  }
+
+  private val q56Sql = {
+    import DuckHash._
+    val shard = s"(((${signed("mh")}) % 8) + 8) % 8"
+    s"""WITH tk AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |mx0 AS (SELECT doc_id, n_tokens, CAST(doc_id AS UBIGINT) AS sx FROM tk),
+       |${mix64Ctes("sx")},
+       |sh AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST($shard AS BIGINT) AS shard FROM mx4),
+       |ag AS (SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |       FROM sh GROUP BY shard)
+       |SELECT shard, n_docs, total_tokens, min_doc, max_doc,
+       | CAST(total_tokens AS DOUBLE)/CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM ag ORDER BY shard""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1490,7 +1683,12 @@ object Queries {
     "q48_ivf_ann" -> q48,
     "q49_range_agg" -> q49,
     "q50_distinct_approx" -> q50,
-    "q51_contamination" -> q51
+    "q51_contamination" -> q51,
+    "q52_pii_redact" -> q52,
+    "q53_pack_offsets" -> q53,
+    "q54_chunk_windows" -> q54,
+    "q55_tfidf_terms" -> q55,
+    "q56_shard_manifest" -> q56
   )
 
   val oracles: Map[String, String] = Map(
@@ -1542,6 +1740,11 @@ object Queries {
     "q47_json_extract" -> q47Sql,
     "q48_ivf_ann" -> q48Sql,
     "q49_range_agg" -> q49Sql,
-    "q51_contamination" -> q51Sql
+    "q51_contamination" -> q51Sql,
+    "q52_pii_redact" -> q52Sql,
+    "q53_pack_offsets" -> q53Sql,
+    "q54_chunk_windows" -> q54Sql,
+    "q55_tfidf_terms" -> q55Sql,
+    "q56_shard_manifest" -> q56Sql
   )
 }

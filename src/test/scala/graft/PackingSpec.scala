@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Packing}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packOffsets: offsets are a per-shard prefix sum in id order") {
+    val docs = Seq((1L, 10L), (2L, 5L), (3L, 7L), (4L, 2000L), (5L, 100L))
+      .toDF("doc_id", "n")
+    val out = Packing
+      .packOffsets(docs, "doc_id", col("n"), capacity = 1024, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "start_tok", "first_window", "last_window", "spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // single shard: layout is pure id order
+    assert(out.map(_._2) == Seq(0L, 10L, 15L, 22L, 2022L))
+    // doc 4: tokens [22, 2022) spans windows 0 and 1
+    assert(out(3) == ((4L, 22L, 0L, 1L, true)))
+    // doc 5: tokens [2022, 2122) crosses the 2048 boundary → windows 1..2
+    assert(out(4) == ((5L, 2022L, 1L, 2L, true)))
+  }
+
+  test("packOffsets: zero-token docs occupy no space and never span") {
+    val docs = Seq((1L, 0L), (2L, 3L)).toDF("doc_id", "n")
+    val out = Packing
+      .packOffsets(docs, "doc_id", col("n"), capacity = 4, nShards = 1)
+      .orderBy("doc_id")
+      .select("start_tok", "spans_boundary")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((0L, false), (0L, false)))
+  }
+
+  test("withShard: deterministic, in range, and independent of partitioning") {
+    val ids = (0L until 256L).toDF("doc_id")
+    val a = Packing.withShard(ids, "doc_id", 8).select("doc_id", "shard")
+    val b = Packing.withShard(ids.repartition(7), "doc_id", 8).select("doc_id", "shard")
+    assert(a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(a.agg(min("shard"), max("shard")).as[(Long, Long)].head() == ((0L, 7L)))
+  }
+
+  test("chunkWindows: window/stride tiling with a short tail") {
+    // 40 tokens, window 16, stride 8 → 1 + ceil((40-16)/8) = 4 chunks
+    // at starts 0,8,16,24; the last one ends exactly at token 40
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val out = Chunking
+      .chunkWindows(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 16, 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 16L), (1L, 8L, 16L), (2L, 16L, 16L), (3L, 24L, 16L)))
+  }
+
+  test("chunkWindows: doc shorter than one window is a single short chunk") {
+    val out = Chunking
+      .chunkWindows(Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 16, 8)
+      .select("chunk_idx", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 3L)))
+  }
+
+  test("chunkWindows: empty doc yields no chunks") {
+    val out = Chunking
+      .chunkWindows(Seq((1L, "   ")).toDF("doc_id", "text"), "doc_id", "text", 16, 8)
+      .count()
+    assert(out == 0L)
+  }
+
+  test("chunkWindows: fingerprints identify identical windows across docs") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val fps = Chunking.chunkWindows(docs, "doc_id", "text", 8, 8)
+      .select("chunk_fp").as[String].collect().toSeq
+    assert(fps.distinct.size == 1)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TfIdf
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple apple banana common"),
+    (2L, "banana cherry common"),
+    (3L, "cherry cherry cherry common")
+  ).toDF("doc_id", "text")
+
+  test("termCounts: per-document term frequencies") {
+    val tc = TfIdf.termCounts(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tc((1L, "apple", 2L)))
+    assert(tc((3L, "cherry", 3L)))
+    assert(tc((1L, "common", 1L)))
+  }
+
+  test("topTerms: rare high-tf terms outrank ubiquitous ones") {
+    val top1 = TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .select("doc_id", "term", "tf", "df")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: apple tf=2 df=1 (score 2.0) beats banana (0.5) and common (1/3)
+    assert(top1(1L) == ((1L, "apple", 2L, 1L)))
+    // doc 3: cherry tf=3 df=2 (1.5) beats common tf=1 df=3
+    assert(top1(3L) == ((3L, "cherry", 3L, 2L)))
+  }
+
+  test("topTerms: score ties break by term text (deterministic)") {
+    val d = Seq((1L, "zeta alpha")).toDF("doc_id", "text")
+    val terms = TfIdf.topTerms(d, "doc_id", "text", 2)
+      .orderBy("rnk").select("term").as[String].collect().toSeq
+    assert(terms == Seq("alpha", "zeta")) // tf=1, df=1 each → tie → lexicographic
+  }
+}
