@@ -118,7 +118,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Console.out.flush()
+    // Duplicate on stderr: the harness's log-tail capture keeps the last N
+    // bytes of both streams, so the result survives even if stdout is
+    // buffered/truncated by the sbt wrapper on an abnormal exit.
+    System.err.println(json)
+    System.err.flush()
     spark.stop()
   }
 }

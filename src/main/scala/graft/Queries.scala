@@ -1630,6 +1630,21 @@ object Queries {
        |FROM ag ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q57
+  // Skew-safe salted rollup (Rollup.saltedSumCount): the whole events fact
+  // grouped by its 5-value power-law key — the canonical hot-key shape.
+  // Two-stage (key, salt) → key aggregation; the oracle is the PLAIN
+  // unsalted GROUP BY, proving the salt never changes results (counts and
+  // decimal sums are associative), only the shuffle layout.
+  private val q57: Q = (s, dir) =>
+    Rollup
+      .saltedSumCount(Tables.events(s, dir), Seq("event_type"), "value", nSalts = 32)
+      .orderBy("event_type")
+
+  private val q57Sql =
+    s"""SELECT event_type, count(*) AS n_rows, ${dSum("\"value\"")} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1688,7 +1703,8 @@ object Queries {
     "q53_pack_offsets" -> q53,
     "q54_chunk_windows" -> q54,
     "q55_tfidf_terms" -> q55,
-    "q56_shard_manifest" -> q56
+    "q56_shard_manifest" -> q56,
+    "q57_salted_rollup" -> q57
   )
 
   val oracles: Map[String, String] = Map(
@@ -1745,6 +1761,7 @@ object Queries {
     "q53_pack_offsets" -> q53Sql,
     "q54_chunk_windows" -> q54Sql,
     "q55_tfidf_terms" -> q55Sql,
-    "q56_shard_manifest" -> q56Sql
+    "q56_shard_manifest" -> q56Sql,
+    "q57_salted_rollup" -> q57Sql
   )
 }

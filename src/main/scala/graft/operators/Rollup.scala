@@ -82,4 +82,36 @@ object Rollup {
       count(lit(1)).over(w).as("n_next"),
       coalesce(exactSum.over(w).cast("double"), lit(0.0)).as("sum_next"))
   }
+
+  /** Two-stage SALTED aggregation for skewed grouping keys: stage 1
+    * aggregates on (keys..., salt) — splitting each hot key's rows across
+    * `nSalts` reducers — stage 2 merges the per-salt partials on the keys
+    * alone. The 100 TB failure mode this kills: a low-cardinality or
+    * power-law key (here: 5 event types over the whole fact) funnels one
+    * reducer a whole key's rows; with the salt, no reducer sees more than
+    * ~1/nSalts of any key.
+    *
+    * The result is EXACTLY the plain `groupBy(keys).agg(count, sumExact)`
+    * — counts and decimal sums are associative, so the two-stage merge is
+    * value-identical regardless of how the salt scattered rows (the q57
+    * oracle is the UNSALTED SQL for this reason). The salt is derived from
+    * a row id, not the data values, so a hot key whose rows all carry the
+    * SAME value still spreads evenly.
+    */
+  def saltedSumCount(
+      df: DataFrame, keys: Seq[String], valueCol: String, nSalts: Int): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 4)
+    val partial = df
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(dec)).as("__s"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        sum(col("__s")).cast("double").as("total_value"))
+  }
 }

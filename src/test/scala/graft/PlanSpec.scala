@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Rollup
+
+/** Physical-plan shape assertions: the properties the 100 TB design rests
+  * on (scan-level filter pushdown, column pruning, broadcast dimension
+  * joins, top-k without global sort, whole-stage codegen, salted two-stage
+  * aggregation) are pinned here so a refactor that silently loses one
+  * fails a test instead of a cluster run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q08 range filter reaches the parquet scan (PushedFilters)") {
+    val p = plan(SparkEntry.queries("q08_range_filter")(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan") || p.contains("GreaterThanOrEqual"), p.take(2000))
+  }
+
+  test("q01 projection prunes the lineitem scan to the used columns") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    // ReadSchema must not include the wide comment/address-ish columns
+    assert(p.contains("ReadSchema"), p.take(2000))
+    assert(!p.contains("l_comment"), "scan reads l_comment but q01 never uses it")
+  }
+
+  test("q13 region-revenue joins broadcast every dimension") {
+    val p = plan(SparkEntry.queries("q13_region_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the fact side must NOT be broadcast: no broadcast exchange feeding
+    // a build side with lineitem's scan directly over the fact table
+    assert(p.contains("lineitem"), p.take(3000))
+  }
+
+  test("q03 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(SparkEntry.queries("q03_top_users")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q21 text stats run inside whole-stage codegen") {
+    // AQE hides codegen spans until the plan is finalized — execute first,
+    // then assert on the final adaptive plan.
+    // (write.format("noop") would build a NEW QueryExecution; collect()
+    // executes THIS one, so its adaptive plan is the one finalized)
+    val df = SparkEntry.queries("q21_token_stats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    // `*(n)` is the compact-tree marker for a WholeStageCodegen span
+    assert(p.contains("*("), p.take(3000))
+  }
+
+  test("q57 salted rollup is two aggregations with one exchange between") {
+    val p = plan(SparkEntry.queries("q57_salted_rollup")(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    // partial+final for each of the two logical stages = 4 HashAggregate
+    // nodes; the point is that BOTH stages exist (salt split then merge)
+    assert(aggs >= 4, s"expected the two-stage salted shape, got:\n${p.take(3000)}")
+  }
+
+  test("salted rollup equals the plain rollup (value-identical)") {
+    val ev = Tables.events(spark, sf)
+    val salted = Rollup.saltedSumCount(ev, Seq("event_type"), "value", nSalts = 8)
+      .orderBy("event_type").collect().toSeq
+    val plain = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double").as("total_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("q28 exact KNN broadcasts the query side (map-only corpus scan)") {
+    val p = plan(SparkEntry.queries("q28_knn_exact")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+}
