@@ -84,32 +84,32 @@ object Dedup {
 
   /** MinHash signature column: for each of numHashes seeded hash-family
     * members, the minimum over the document's distinct shingle hashes.
-    * Entirely per-row (aggregate over the shingle array) — no shuffle.
+    * Entirely per-row — no shuffle.
     *
-    * Single fold over the shingles with an array-of-mins accumulator: the
-    * text is tokenized/shingled/hashed ONCE per row. (The naive
+    * The text is tokenized/shingled/hashed ONCE per row (the naive
     * per-seed-aggregate form re-evaluates the whole shingle pipeline once
-    * per hash — 32x the string work; measured 200s vs ~7s on 5k docs.) */
+    * per hash — 32x the string work; measured 200s vs ~7s on 5k docs), and
+    * the seeded-min fold itself runs in the native codegen'd
+    * [[graft.plans.MinHashSig]] kernel — one primitive long[numHashes],
+    * no per-shingle array allocation (the previous
+    * `aggregate(..., zip_with(least(...)))` composition allocated a fresh
+    * accumulator array per shingle; values are identical). */
   def minHashSignature(textCol: Column, k: Int = 3, numHashes: Int = 64): Column = {
     val shingleHashes = transform(
       TextFunctions.distinctShingles(textCol, k),
       s => HashFunctions.tokenHash(s)
     )
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    aggregate(
-      shingleHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, seeds, (m, s) => least(m, HashFunctions.seeded(h, s)))
-    )
+    graft.plans.GraftFunctions.minHashSig(shingleHashes, numHashes)
   }
 
   /** MinHash signatures as a DataFrame: explode shingle hashes and take the
     * 32-64 per-seed mins as a grouped aggregation. One shuffle, but of
     * map-side-combined partial mins — the shuffled volume equals the
     * signature table itself (docs × numHashes longs), and the primitive
-    * long min-aggregate codegens ~3x faster than the per-row array fold of
-    * [[minHashSignature]] (which remains the zero-shuffle option when the
-    * signature must stay a derived column). */
+    * long min-aggregate still codegens ~1.4x faster than the per-row fold
+    * of [[minHashSignature]] even after the latter's native-kernel rewrite
+    * (the column form remains the zero-shuffle option when the signature
+    * must stay a derived column). */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,

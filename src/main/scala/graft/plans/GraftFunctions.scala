@@ -20,6 +20,11 @@ object GraftFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** MinHash signature kernel over an `array<bigint>` of shingle hashes
+    * (see [[MinHashSig]]). */
+  def minHashSig(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
+
   private val cosineBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "graft_cosine expects exactly 2 arguments")
     CosineSimilarity(children(0), children(1))
@@ -28,19 +33,42 @@ object GraftFunctions {
   private val cosineInfo =
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
 
-  /** Register `graft_cosine` into an already-running session. */
-  def register(spark: SparkSession): Unit =
+  private val minhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_minhash expects (hashes, numHashes)")
+    val n = children(1) match {
+      case e if e.foldable => e.eval(null).asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(
+        "graft_minhash numHashes must be a literal")
+    }
+    MinHashSig(children(0), n)
+  }
+
+  private val minhashInfo =
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
+
+  /** Register the engine's functions into an already-running session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
+  }
 }
 
 /** `spark.sql.extensions` entry point injecting the engine's functions at
   * session build time (the deployment path for a real cluster). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         { children: Seq[Expression] => CosineSimilarity(children.head, children(1)) })
     )
+    ext.injectFunction(
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+        { children: Seq[Expression] =>
+          MinHashSig(children.head, children(1).eval(null).asInstanceOf[Number].intValue()) })
+    )
+  }
 }

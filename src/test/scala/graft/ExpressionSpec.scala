@@ -37,6 +37,61 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(got(2)._2 - 1.0) < 1e-12)
   }
 
+  test("MinHashSig matches the aggregate/zip_with composition") {
+    import graft.functions.{HashFunctions, TextFunctions}
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"),
+      (2L, "a a a"), // fewer tokens than shingle size → empty shingle set
+      (3L, "")
+    ).toDF("id", "text")
+    val hashes = transform(
+      TextFunctions.distinctShingles($"text", 3),
+      s => HashFunctions.tokenHash(s))
+    val seeds = sequence(lit(0), lit(15))
+    val composed = aggregate(
+      hashes,
+      array_repeat(lit(Long.MaxValue), 16),
+      (acc, h) => zip_with(acc, seeds, (m, s) => least(m, HashFunctions.seeded(h, s))))
+    val rows = docs.select(
+      GraftFunctions.minHashSig(hashes, 16).as("fast"),
+      composed.as("hof")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("MinHashSig interpreted eval agrees with the DataFrame (codegen) path") {
+    val hs = Array(42L, -7L, 123456789L)
+    val e = graft.plans.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        hs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      numHashes = 8)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    val viaDf = Seq(Tuple1(hs)).toDF("h")
+      .select(GraftFunctions.minHashSig($"h", 8))
+      .head().getSeq[Long](0)
+    assert(interp == viaDf)
+  }
+
+  test("graft_minhash is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_minhash(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), 4) AS s")
+      .head().getSeq[Long](0)
+    assert(got.length == 4)
+    assert(got.forall(_ != Long.MaxValue))
+  }
+
+  test("MinHashSig participates in codegen (no CodegenFallback)") {
+    val plan = Seq(Tuple1(Array(1L, 2L))).toDF("h")
+      .select(GraftFunctions.minHashSig($"h", 4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"))
+  }
+
   test("interpreted eval agrees with codegen result") {
     // force interpreted path through the expression's nullSafeEval
     val e = graft.plans.CosineSimilarity(
