@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, Dedup, Packing, Rollup, Sampling, Similarity, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Packing, Rollup, Sampling, Similarity, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -1052,7 +1052,10 @@ object Queries {
         k = 3, numHashes = 16, rowsPerBand = 2)
       .orderBy("doc_a", "doc_b")
 
-  private val q43Sql = {
+  // The full q43 LSH pipeline as a reusable CTE chain ending in
+  // `cand(doc_a, doc_b)` — shared by q43 (pairs) and q58 (connected
+  // components over those pairs).
+  private val lshPairCtes: String = {
     import DuckHash._
     // Spark's band fold operates on SIGNED mins with wrapping arithmetic —
     // map each signed signature component back to u64 for the fold.
@@ -1062,7 +1065,7 @@ object Queries {
       s"""list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT),
          |  list_slice(sigu, band*2+1, band*2+2)),
          |  (acc, hh) -> ${mix64Inline(wadd(wmul("acc", "31"), "hh"))})""".stripMargin
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
        |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
        |  FROM documents),
@@ -1082,12 +1085,15 @@ object Queries {
        |  FROM alldocs a LEFT JOIN mins m ON a.doc_id = m.doc_id AND a.seed = m.seed),
        |sigl AS (SELECT doc_id, list($minToU64 ORDER BY seed) AS sigu FROM sigs GROUP BY doc_id),
        |banded AS (SELECT doc_id, band, $bucketFold AS bucket
-       |  FROM (SELECT doc_id, sigu, unnest(range(0, 8)) AS band FROM sigl))
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM (SELECT doc_id, sigu, unnest(range(0, 8)) AS band FROM sigl)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val q43Sql =
+    s"""WITH $lshPairCtes
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q42
   // BPE-ish token-class counting (TextFunctions.BpeIshPattern): the
@@ -1645,6 +1651,104 @@ object Queries {
     s"""SELECT event_type, count(*) AS n_rows, ${dSum("\"value\"")} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  // Dedup clustering (ConnectedComponents.components over q43's LSH
+  // candidate pairs): transitive closure turns pairs into clusters, so
+  // survivor selection keeps ONE doc per group even when (a,c) never
+  // collided in any band. Large-star/small-star — O(log n) rounds of two
+  // key-partitioned shuffles, no driver collection, lineage truncated per
+  // round. The oracle replays the pair generation then takes the
+  // transitive closure with a recursive CTE (fine at oracle scale; the
+  // Spark side is the one that has to survive 100 TB).
+  private val q58: Q = (s, dir) => {
+    val pairs = Dedup.minHashLshPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      k = 3, numHashes = 16, rowsPerBand = 2)
+    val labels = ConnectedComponents.components(pairs, "doc_a", "doc_b")
+    labels
+      .join(
+        ConnectedComponents.clusterSizes(labels).select("cluster", "n_members"),
+        "cluster")
+      .select(col("node"), col("cluster"), col("n_members"))
+      .orderBy("node")
+  }
+
+  private val q58Sql =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS node, least(min(d), s) AS cluster FROM reach GROUP BY s),
+       |sz AS (SELECT cluster, count(*) AS n_members FROM lbl GROUP BY cluster)
+       |SELECT node, cluster, n_members FROM lbl JOIN sz USING (cluster)
+       |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Corpus vocabulary (TfIdf.vocabulary): top-100 terms with df ≥ 2 —
+  // the token-id table a dataset export ships. Map-side combine collapses
+  // within-doc repetition before the first shuffle; the global top-k is a
+  // TakeOrdered (per-partition heaps), never a full sort.
+  private val q59: Q = (s, dir) =>
+    TfIdf
+      .vocabulary(Tables.documents(s, dir), "doc_id", "text", minDf = 2L, topK = 100)
+      .orderBy("vocab_id")
+
+  private val q59Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+       |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_freq, count(*) AS doc_freq
+       |      FROM tf GROUP BY term HAVING count(*) >= 2),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY term_freq DESC, term) AS BIGINT) AS vocab_id,
+       |             term, term_freq, doc_freq FROM v)
+       |SELECT vocab_id, term, term_freq, doc_freq FROM r
+       |WHERE vocab_id <= 100 ORDER BY vocab_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  // Int8 embedding quantization audit (VectorFunctions.int8Quantize):
+  // per-vector absmax scale, ⌊·⌋-based quantization (round's half-way rule
+  // is engine-specific; floor is IEEE-exact everywhere), saturation count
+  // and worst reconstruction error. Pure codegen transforms — rides the
+  // scan, no shuffle; the 4×-smaller quantized copy is what ships.
+  private val q60: Q = (s, dir) => {
+    val dv = Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("absmax", VectorFunctions.absMax(col("v")))
+      .withColumn("qs", VectorFunctions.int8Quantize(col("v"), col("absmax")))
+    dv.select(
+      col("vec_id"),
+      size(col("v")).cast("long").as("n_dims"),
+      col("absmax"),
+      aggregate(col("qs"), lit(0L), (acc, q) => acc + q).as("sum_q"),
+      size(filter(col("qs"), q => abs(q) === 127)).cast("long").as("n_sat"),
+      VectorFunctions.int8MaxError(col("v"), col("qs"), col("absmax")).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  private val q60Sql =
+    """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |      coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS absmax FROM dv),
+      |q AS (SELECT vec_id, v, absmax,
+      |  CASE WHEN absmax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |       ELSE list_transform(v, x ->
+      |         CAST(greatest(-127, least(127, floor(x/absmax*127))) AS BIGINT)) END AS qs
+      |  FROM m)
+      |SELECT vec_id,
+      | CAST(len(v) AS BIGINT) AS n_dims,
+      | absmax,
+      | CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS sum_q,
+      | CAST(len(list_filter(qs, qq -> abs(qq) = 127)) AS BIGINT) AS n_sat,
+      | CASE WHEN absmax = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE coalesce(list_max(list_transform(v, x ->
+      |        abs(x - CAST(greatest(-127, least(127, floor(x/absmax*127))) AS BIGINT)*absmax/127))), 0.0)
+      | END AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1704,7 +1808,10 @@ object Queries {
     "q54_chunk_windows" -> q54,
     "q55_tfidf_terms" -> q55,
     "q56_shard_manifest" -> q56,
-    "q57_salted_rollup" -> q57
+    "q57_salted_rollup" -> q57,
+    "q58_dup_clusters" -> q58,
+    "q59_vocab_topk" -> q59,
+    "q60_int8_quantize" -> q60
   )
 
   val oracles: Map[String, String] = Map(
@@ -1762,6 +1869,9 @@ object Queries {
     "q54_chunk_windows" -> q54Sql,
     "q55_tfidf_terms" -> q55Sql,
     "q56_shard_manifest" -> q56Sql,
-    "q57_salted_rollup" -> q57Sql
+    "q57_salted_rollup" -> q57Sql,
+    "q58_dup_clusters" -> q58Sql,
+    "q59_vocab_topk" -> q59Sql,
+    "q60_int8_quantize" -> q60Sql
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over candidate-pair edges — the step
+  * that turns near-dup PAIRS (MinHash-LSH, SimHash, embedding buckets)
+  * into duplicate CLUSTERS, so survivor selection can keep exactly one
+  * document per transitive group (a←→b, b←→c ⇒ {a,b,c} is ONE cluster
+  * even though (a,c) never collided in any band).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log² n) rounds (O(log n) in practice), each round two key-partitioned
+  * shuffles of the CURRENT edge set. Nothing is ever collected to the
+  * driver and no step materializes a neighborhood list (per-key min +
+  * join-back instead of collect_set), so one 10⁹-node component costs the
+  * same per-round shuffle volume as a billion small ones — the skew
+  * ceiling is the hottest single key's edge count, which AQE splits.
+  *
+  * Iteration hygiene for Spark: each round ends in `localCheckpoint`
+  * (truncates the lineage — without it the plan doubles every round and
+  * the driver dies of analysis time long before the executors break a
+  * sweat) and convergence is decided by an order-independent fingerprint
+  * (sum of per-edge hashes + count) so the check is one cheap action, not
+  * a full `subtract`.
+  */
+object ConnectedComponents {
+
+  /** Label every node of the pair graph with the smallest node id
+    * reachable from it.
+    *
+    * @param pairs edges, two id columns (any orientation, dups fine)
+    * @param aCol  left id column name
+    * @param bCol  right id column name
+    * @return (node, cluster) — one row per distinct node, cluster = min
+    *         id of its component; roots label themselves.
+    */
+  def components(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 32): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+
+    // Canonical undirected representation: every edge stored once as
+    // hi → lo. Both star steps preserve this orientation (they only ever
+    // point nodes at something ≤ a neighborhood minimum).
+    var edges = pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: per center u over the FULL neighborhood (symmetrize
+    // first), m = min(N(u) ∪ {u}); re-point every larger neighbor at m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star on hi → lo edges: m = min smaller-neighbor; connect the
+    // other smaller neighbors and the center itself to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val center = m.select(col("u"), col("m").as("v"))
+      relinked.union(center)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      iter += 1
+    }
+
+    // At convergence the edge set is a union of stars (child → root).
+    // Roots have no outgoing edge — they label themselves.
+    val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node"))).distinct()
+    nodes
+      .join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster"))
+  }
+
+  /** Per-cluster summary: size and id span. The downstream keep-list is
+    * `filter(node === cluster)` on [[components]]' output — no extra pass. */
+  def clusterSizes(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_node"))
+}

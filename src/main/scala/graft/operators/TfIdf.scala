@@ -30,6 +30,37 @@ object TfIdf {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Corpus vocabulary: the `topK` most frequent terms that appear in at
+    * least `minDf` distinct documents, ranked by total occurrence count
+    * (ties broken by term text). `vocab_id` is the 1-based rank — the
+    * stable token id a downstream tokenizer ships with the dataset.
+    *
+    * Scale shape: one (doc, term) partial aggregation (map-side combine
+    * absorbs within-doc repetition BEFORE the shuffle — the raw token
+    * stream never crosses the wire), one vocab-sized term aggregation,
+    * then a global top-k which Spark executes as TakeOrdered (per-partition
+    * heaps + driver merge of k rows, never a full sort). The rank window
+    * runs on the k surviving rows only. */
+  def vocabulary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long,
+      topK: Int): DataFrame = {
+    val byTerm = termCounts(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("term_freq"), count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("term_freq").desc, col("term").asc)
+      .limit(topK)
+    byTerm
+      .withColumn(
+        "vocab_id",
+        row_number().over(
+          Window.orderBy(col("term_freq").desc, col("term").asc)).cast("long"))
+      .select(col("vocab_id"), col("term"), col("term_freq"), col("doc_freq"))
+  }
+
   /** Top-k terms per document by tf/df weight (ties broken by term text,
     * so the result is fully deterministic). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

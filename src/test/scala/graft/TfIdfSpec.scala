@@ -30,6 +30,22 @@ class TfIdfSpec extends SparkSpec {
     assert(top1(3L) == ((3L, "cherry", 3L, 2L)))
   }
 
+  test("vocabulary: min_df prunes, rank orders by corpus frequency") {
+    val v = TfIdf.vocabulary(docs, "doc_id", "text", minDf = 2L, topK = 10)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // apple (df=1) pruned; common tf=3 df=3, cherry tf=4 df=2, banana tf=2 df=2
+    assert(v == Seq(
+      (1L, "cherry", 4L, 2L),
+      (2L, "common", 3L, 3L),
+      (3L, "banana", 2L, 2L)))
+  }
+
+  test("vocabulary: topK truncates after ranking") {
+    val v = TfIdf.vocabulary(docs, "doc_id", "text", minDf = 2L, topK = 1)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(v == Seq((1L, "cherry", 4L, 2L)))
+  }
+
   test("topTerms: score ties break by term text (deterministic)") {
     val d = Seq((1L, "zeta alpha")).toDF("doc_id", "text")
     val terms = TfIdf.topTerms(d, "doc_id", "text", 2)
