@@ -1749,6 +1749,104 @@ object Queries {
       | END AS max_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  // End-to-end semantic dedup (the full 100 TB pipeline in one query):
+  // MinHash-LSH candidates → connected components → keep each cluster's
+  // min-id representative → per-(lang, source) doc counts and token mass
+  // of the CLEANED corpus. Survivor selection is cluster-correct — a
+  // chain a↔b, b↔c keeps only one of {a,b,c}, where the greedy pairwise
+  // rule can't see the transitive link. The anti-join loser list is
+  // cluster-count-sized (broadcastable at any realistic dup rate).
+  private val q61: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      k = 3, numHashes = 16, rowsPerBand = 2)
+    val losers = ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("doc_id"))
+    d.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  private val q61Sql =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS node, least(min(d), s) AS cluster FROM reach GROUP BY s),
+       |keep AS (SELECT doc_id, lang, source,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents
+       |  WHERE doc_id NOT IN (SELECT node FROM lbl WHERE cluster < node))
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM keep GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  // Per-entity running statistics: 3-event moving average, cumulative sum,
+  // and delta-vs-previous over each user's event stream — the feature-
+  // engineering window shape. ONE shuffle on user_id and ONE sort serves
+  // all four windows (identical partitioning/ordering collapses into a
+  // single Window operator). Sums accumulate in DECIMAL(38,4) so the
+  // doubles are order-independent and hash-match the oracle.
+  private val q62: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val mov = byUser.rowsBetween(-2, Window.currentRow)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = col("value").cast(DecimalType(38, 4))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        (sum(dec).over(mov).cast("double") /
+          count(lit(1)).over(mov).cast("double")).as("mov_avg3"),
+        sum(dec).over(cum).cast("double").as("cum_value"),
+        (col("value") - lag(col("value"), 1).over(byUser)).as("delta_prev"))
+      .orderBy("event_id")
+  }
+
+  private val q62Sql =
+    """SELECT event_id, user_id, ts, "value",
+      | CAST(sum(CAST("value" AS DECIMAL(38,4))) OVER w3 AS DOUBLE)
+      |   / CAST(count(*) OVER w3 AS DOUBLE) AS mov_avg3,
+      | CAST(sum(CAST("value" AS DECIMAL(38,4))) OVER wc AS DOUBLE) AS cum_value,
+      | "value" - lag("value", 1) OVER wo AS delta_prev
+      |FROM events
+      |WINDOW
+      | wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+      | w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      | wc AS (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  // Fixed-width histogram of the events value distribution: bin =
+  // ⌊value/50⌋ — the profiling shape behind every "describe this column"
+  // dashboard. Map-side combine reduces each partition to its bin set
+  // before the one tiny shuffle; floor keeps bin edges engine-exact.
+  private val q63: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(floor(col("value") / 50.0).as("bin"), col("value"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        AggFunctions.sumExact(col("value")).as("sum_value"))
+      .orderBy("bin")
+
+  private val q63Sql =
+    s"""SELECT CAST(floor("value"/50) AS BIGINT) AS bin, count(*) AS n,
+       | min("value") AS min_value, max("value") AS max_value,
+       | ${dSum("\"value\"")} AS sum_value
+       |FROM events GROUP BY bin ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1811,7 +1909,10 @@ object Queries {
     "q57_salted_rollup" -> q57,
     "q58_dup_clusters" -> q58,
     "q59_vocab_topk" -> q59,
-    "q60_int8_quantize" -> q60
+    "q60_int8_quantize" -> q60,
+    "q61_dedup_cleaned" -> q61,
+    "q62_moving_stats" -> q62,
+    "q63_histogram" -> q63
   )
 
   val oracles: Map[String, String] = Map(
@@ -1872,6 +1973,9 @@ object Queries {
     "q57_salted_rollup" -> q57Sql,
     "q58_dup_clusters" -> q58Sql,
     "q59_vocab_topk" -> q59Sql,
-    "q60_int8_quantize" -> q60Sql
+    "q60_int8_quantize" -> q60Sql,
+    "q61_dedup_cleaned" -> q61Sql,
+    "q62_moving_stats" -> q62Sql,
+    "q63_histogram" -> q63Sql
   )
 }

@@ -47,11 +47,16 @@ object ConnectedComponents {
     // Canonical undirected representation: every edge stored once as
     // hi → lo. Both star steps preserve this orientation (they only ever
     // point nodes at something ≤ a neighborhood minimum).
-    var edges = pairs
+    // The checkpoint also pins the (possibly expensive) pair-generation
+    // plan: EVERYTHING downstream — iterations, convergence probes, the
+    // final node list — reads the materialized edges, so the upstream
+    // pipeline (e.g. a full MinHash-LSH pass) executes exactly once.
+    val initEdges = pairs
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var edges = initEdges
 
     // large-star: per center u over the FULL neighborhood (symmetrize
     // first), m = min(N(u) ∪ {u}); re-point every larger neighbor at m.
@@ -98,8 +103,12 @@ object ConnectedComponents {
     }
 
     // At convergence the edge set is a union of stars (child → root).
-    // Roots have no outgoing edge — they label themselves.
-    val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node"))).distinct()
+    // Roots have no outgoing edge — they label themselves. Nodes come from
+    // the CHECKPOINTED initial edges, not the raw pairs plan (self-pairs
+    // (x,x) carry no merge information, so dropping them with the u≠v
+    // filter loses nothing).
+    val nodes = initEdges.select(col("u").as("node"))
+      .union(initEdges.select(col("v").as("node"))).distinct()
     nodes
       .join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster"))

@@ -78,6 +78,28 @@ class PlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q62 all four windows share ONE sort and ONE exchange") {
+    val p = plan(SparkEntry.queries("q62_moving_stats")(spark, sf))
+    // identical partitioning/ordering must collapse into a single Window
+    // operator fed by a single hash exchange + sort; a second Exchange
+    // means a window spec drifted (e.g. a different orderBy tie-break)
+    val windows = "Window".r.findAllIn(p).size
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n${p.take(3000)}")
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("q63 histogram partial-aggregates before its only required shuffle") {
+    val p = plan(SparkEntry.queries("q63_histogram")(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    // count only ENSURE_REQUIREMENTS hash exchanges: the Tables loader's
+    // explicit spread (REPARTITION_BY_NUM) is policy, not a plan smell
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size -
+      "rangepartitioning".r.findAllIn(p).size // final orderBy, not a group shuffle
+    assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(3000)}")
+    assert(exchanges == 1, s"expected exactly one group-by shuffle, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("q28 exact KNN broadcasts the query side (map-only corpus scan)") {
     val p = plan(SparkEntry.queries("q28_knn_exact")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{StreamingRollup, StreamingSessionize}
@@ -107,6 +108,49 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getAs[String]("text")).toSeq.sorted
       assert(out.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).sorted ==
         Seq("alpha doc", "beta doc", "gamma doc"))
+    } finally q.stop()
+  }
+
+  test("enrich joins a stream against a broadcast static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = graft.streaming.StreamingJoin.enrich(stream, dim, "user_id", Seq("tier"))
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 5.0), (2L, 7.0), (9L, 1.0)) // 9 has no dim row
+      q.processAllAvailable()
+      val out = spark.table("enrich_test")
+        .collect().map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier")))).toSet
+      assert(out == Set((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin matches within the band and not outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamingJoin.intervalJoin(
+      clicks.toDF().toDF("user_id", "cts"),
+      buys.toDF().toDF("user_id", "bts"),
+      "user_id", "cts", "bts", band = "1 hour", watermark = "2 hours")
+    val q = joined.select(col("l.user_id"), col("cts"), col("bts"))
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      buys.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:30:00")), // inside the band
+        (1L, Timestamp.valueOf("2024-01-01 12:30:00")), // outside (> 1h after)
+        (1L, Timestamp.valueOf("2024-01-01 09:30:00")), // before the click
+        (2L, Timestamp.valueOf("2024-01-01 10:30:00"))) // wrong key
+      q.processAllAvailable()
+      val out = spark.table("ij_test")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("bts").toString)).toSet
+      assert(out == Set((1L, "2024-01-01 10:30:00.0")))
     } finally q.stop()
   }
 }
