@@ -1847,6 +1847,91 @@ object Queries {
        | ${dSum("\"value\"")} AS sum_value
        |FROM events GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  // Duplicated-span statistics (Dedup.duplicatedSpanStats): the
+  // substring/span tier of the dedup stack — 15-token rolling-window
+  // fingerprints grouped corpus-wide; any window seen in ≥ 2 distinct
+  // documents marks duplicated span material. Linear everywhere (no pair
+  // join): explode → one fingerprint-keyed agg → semi-join back → per-doc
+  // rollup. The md5 fingerprint keeps the shuffle key fixed-width, and
+  // both engines fingerprint the identical space-joined window text.
+  private val q64W = 15
+
+  private val q64: Q = (s, dir) =>
+    Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text", w = q64W)
+      .orderBy("doc_id")
+
+  private val q64Sql =
+    s"""WITH $duckToksCte,
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN len(t) < $q64W THEN []
+       |       ELSE list_transform(range(0, len(t) - ${q64W - 1}),
+       |              i -> md5(array_to_string(list_slice(t, i+1, i+$q64W), ' '))) END AS spans
+       |  FROM tk),
+       |e AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+       |dup AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+       |pd AS (SELECT doc_id, count(*) AS n_dup FROM e JOIN dup USING (span) GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       | CAST(greatest(len(t) - ${q64W - 1}, 0) AS BIGINT) AS n_spans,
+       | CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       | CASE WHEN len(t) < $q64W THEN CAST(0.0 AS DOUBLE)
+       |      ELSE CAST(coalesce(pd.n_dup, 0) AS DOUBLE)
+       |           / CAST(len(t) - ${q64W - 1} AS DOUBLE) END AS dup_span_frac
+       |FROM tk LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  // Unigram corpus-rarity score (TfIdf.tokenRarity): mean corpus
+  // probability of each document's tokens — the transcendental-free
+  // unigram-LM quality signal (exact integer arithmetic + ONE int/int
+  // double division, so it hash-matches cross-engine where ln-based
+  // perplexity could not). Vocab agg → vocab join-back → per-doc rollup.
+  private val q65: Q = (s, dir) =>
+    TfIdf.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q65Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |freq AS (SELECT term, count(*) AS cnt FROM ex GROUP BY term),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+       |pd AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(cnt) AS BIGINT) AS sum_freq
+       |       FROM ex JOIN freq USING (term) GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       | CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       | CAST(coalesce(pd.sum_freq, 0) AS BIGINT) AS sum_freq,
+       | CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |      ELSE CAST(pd.sum_freq AS DOUBLE)
+       |           / CAST(pd.n_tokens * tot.total AS DOUBLE) END AS mean_prob
+       |FROM tk LEFT JOIN pd USING (doc_id) CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  // Source-mix rebalance (Sampling.rebalanceToSmallest): downsample every
+  // language to the smallest language's size with data-derived rates —
+  // survive iff bucket·count < Buckets·min_count (pure integer compare,
+  // zero rate rounding). The count table and 1-row min broadcast into a
+  // map-only filter; the corpus itself never shuffles. The oracle replays
+  // the salted splitmix64 and the same integer inequality.
+  private val q66Salt = 13L
+
+  private val q66: Q = (s, dir) =>
+    Sampling.rebalanceToSmallest(Tables.documents(s, dir), "doc_id", "lang", salt = q66Salt)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private val q66Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q66Salt) * Golden).mod(BigInt(1) << 64).toString
+    val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
+    s"""WITH mx0 AS (SELECT doc_id, lang, source,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")},
+       |c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |t AS (SELECT min(cnt) AS target FROM c)
+       |SELECT doc_id, lang, source FROM mx4 JOIN c USING (lang) CROSS JOIN t
+       |WHERE $bucket * c.cnt < 1000000 * t.target
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1912,7 +1997,10 @@ object Queries {
     "q60_int8_quantize" -> q60,
     "q61_dedup_cleaned" -> q61,
     "q62_moving_stats" -> q62,
-    "q63_histogram" -> q63
+    "q63_histogram" -> q63,
+    "q64_span_dedup" -> q64,
+    "q65_token_rarity" -> q65,
+    "q66_mix_rebalance" -> q66
   )
 
   val oracles: Map[String, String] = Map(
@@ -1976,6 +2064,9 @@ object Queries {
     "q60_int8_quantize" -> q60Sql,
     "q61_dedup_cleaned" -> q61Sql,
     "q62_moving_stats" -> q62Sql,
-    "q63_histogram" -> q63Sql
+    "q63_histogram" -> q63Sql,
+    "q64_span_dedup" -> q64Sql,
+    "q65_token_rarity" -> q65Sql,
+    "q66_mix_rebalance" -> q66Sql
   )
 }

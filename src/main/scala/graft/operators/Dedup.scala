@@ -284,4 +284,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Duplicated-span statistics: for every document, how many of its
+    * `w`-token rolling windows (stride 1) also appear in ANOTHER document.
+    * This is the span/substring tier of the dedup stack — the scalable
+    * stand-in for suffix-array exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): instead
+    * of a global suffix array, fixed-width window fingerprints are grouped
+    * and any fingerprint seen in ≥ 2 distinct documents marks all its
+    * occurrences as duplicated span material.
+    *
+    * Output: (idCol, n_spans, n_dup_spans, dup_span_frac) — one row per
+    * input document (documents shorter than `w` tokens report 0 spans).
+    *
+    * Scale shape: span generation is a per-row codegen'd
+    * transform+explode (linear — n_tokens rows per doc, no pair blowup);
+    * the fingerprint is a 128-bit md5 so the shuffle key is fixed-width
+    * regardless of `w`. One shuffle groups fingerprints (map-side combine
+    * absorbs within-partition repeats), the cross-doc-duplicated subset —
+    * tiny relative to the corpus — semi-joins back (AQE broadcasts it when
+    * it fits), and the final per-doc rollup shuffles on the doc key. Never
+    * quadratic; at 100 TB every stage is linear in total token count. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val spans = toks.select(
+      col(idCol),
+      explode(
+        when(size(col("__toks")) < w, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__toks")) - w),
+            i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(w)))))))
+        .as("span"))
+    val dupSpans = spans
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("span"))
+    val perDoc = spans
+      .join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_dup"))
+    toks
+      .select(col(idCol), greatest(size(col("__toks")) - (w - 1), lit(0)).cast("long").as("n_spans"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_spans"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(coalesce(col("__n_dup"), lit(0L)).cast("double") / col("n_spans").cast("double"))
+          .as("dup_span_frac"))
+  }
 }

@@ -48,4 +48,32 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), salt) < threshold)
   }
+
+  /** Rebalance to the smallest group: downsample every `groupCol` group to
+    * (approximately) the size of the smallest one, deterministically.
+    * Unlike [[stratifiedHashSample]], the per-group rates are DERIVED FROM
+    * THE DATA (count aggregation) rather than supplied — the "flatten the
+    * source/language mix" pass a curation pipeline runs after measuring
+    * the corpus.
+    *
+    * A row survives iff  bucket(id) · count(group) < Buckets · min_count —
+    * pure integer arithmetic (no rate rounding), so engines agree exactly.
+    * (The product stays in BIGINT up to ~9e12-row groups.)
+    *
+    * Scale shape: the per-group count table has one row per group — it and
+    * the 1-row global min are broadcast back into a map-only filter. The
+    * data itself never shuffles, so group skew (the very thing being
+    * corrected) cannot skew the job. */
+  def rebalanceToSmallest(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: Long = 0L): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val target = counts.agg(min(col("__cnt")).as("__target"))
+    df.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(target))
+      .filter(hashBucket(col(idCol), salt) * col("__cnt") < lit(Buckets) * col("__target"))
+      .drop("__cnt", "__target")
+  }
 }

@@ -61,6 +61,48 @@ object TfIdf {
       .select(col("vocab_id"), col("term"), col("term_freq"), col("doc_freq"))
   }
 
+  /** Unigram corpus-rarity quality score: for each document, the mean
+    * corpus probability of its tokens — the transcendental-free stand-in
+    * for unigram-LM perplexity filtering (low `mean_prob` = rare/unusual
+    * vocabulary, high = boilerplate built from ubiquitous tokens).
+    *
+    * mean_prob = (Σ_positions corpus_count(token)) / (n_tokens · total),
+    * i.e. the arithmetic mean of p(token) over token positions. Everything
+    * up to the final division is exact integer arithmetic, and the single
+    * int/int double division is IEEE-identical cross-engine — so the score
+    * hash-matches an independent SQL engine bit-for-bit (ln-based
+    * surprisal would not: libm `ln` is not cross-platform reproducible).
+    *
+    * Scale shape: one vocab-keyed aggregation with map-side combine (the
+    * raw token stream collapses to (term, count) before the wire), the
+    * vocab-sized count table joins back to the exploded stream (AQE
+    * broadcasts it when it fits), and the per-doc rollup shuffles on the
+    * doc key — all linear. The corpus-total lives in a 1-row frame
+    * broadcast into the final projection, never collected to the driver.
+    * (n_tokens · total overflows BIGINT once docs × corpus exceed ~9e18
+    * token-pairs; past that, compute the division in DECIMAL(38,0).) */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val freq = ex.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+    val total = freq.agg(sum(col("__cnt")).as("__total"))
+    val perDoc = ex
+      .join(freq, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__cnt")).as("sum_freq"))
+    docs
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("sum_freq").cast("double") /
+            (col("n_tokens") * col("__total")).cast("double"))
+          .as("mean_prob"))
+  }
+
   /** Top-k terms per document by tf/df weight (ties broken by term text,
     * so the result is fully deterministic). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

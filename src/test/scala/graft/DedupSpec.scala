@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpec {
     assert(est((0L, 4L)) < 0.2)
   }
 
+  test("duplicatedSpanStats counts cross-doc windows only") {
+    val d = Seq(
+      (0L, "a b c d e f"), //      3 spans at w=4; "a b c d" shared with doc 1
+      (1L, "x a b c d y"), //      3 spans; shares "a b c d"
+      (2L, "p q r"), //            shorter than w → 0 spans
+      (3L, "m n o p m n o p") //   "m n o p" repeats WITHIN the doc only
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(d, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((0L, 3L, 1L, 1.0 / 3.0)))
+    assert(out(1) == ((1L, 3L, 1L, 1.0 / 3.0)))
+    assert(out(2) == ((2L, 0L, 0L, 0.0)))
+    // intra-doc repetition is NOT duplicated span material (needs ≥2 docs)
+    assert(out(3) == ((3L, 5L, 0L, 0.0)))
+  }
+
   test("minhash LSH banding surfaces duplicate and near-duplicate candidates") {
     // rowsPerBand=2 → 32 bands: collision prob ≈ 1-(1-j²)³² ≈ 0.996 at
     // j=0.4, so the near-dup pair is found with near-certainty while the

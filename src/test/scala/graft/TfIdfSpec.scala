@@ -19,6 +19,23 @@ class TfIdfSpec extends SparkSpec {
     assert(tc((1L, "common", 1L)))
   }
 
+  test("tokenRarity: exact mean corpus probability, empty docs report 0") {
+    val d = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry cherry common"),
+      (4L, "   ") // no tokens
+    ).toDF("doc_id", "text")
+    // corpus counts: apple 2, banana 2, cherry 4, common 3 → total 11
+    val out = TfIdf.tokenRarity(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 4L, 9L, 9.0 / 44.0)))  // 2+2+2+3 over 4·11
+    assert(out(1) == ((2L, 3L, 9L, 9.0 / 33.0)))  // 2+4+3 over 3·11
+    assert(out(2) == ((3L, 4L, 15L, 15.0 / 44.0))) // 4·3+3 over 4·11
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+  }
+
   test("topTerms: rare high-tf terms outrank ubiquitous ones") {
     val top1 = TfIdf.topTerms(docs, "doc_id", "text", 1)
       .select("doc_id", "term", "tf", "df")
