@@ -1932,6 +1932,142 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q67
+  // Statistical outlier filter: per-event-type mean/std (exact-decimal
+  // moments — the same machinery q06's describe proves bit-exact), then
+  // flag events beyond 2σ. The canonical two-pass normalize: the stats
+  // table is one row per type and broadcasts back into a map-only scan of
+  // the fact; z's double arithmetic runs in fixed operation order (and
+  // IEEE sqrt/div are correctly rounded), so both engines agree bitwise.
+  private val q67: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      AggFunctions.avgExact(col("value")).as("__mean"),
+      AggFunctions.stddevExact(col("value")).as("__std"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("__mean")) / col("__std"))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  private val q67Sql = {
+    val v = "\"value\""
+    s"""WITH st AS (SELECT event_type, ${dAvg(v)} AS mean,
+       | sqrt((${dSum(s"$v*$v", 8)} - ${dSum(v)}*${dSum(v)}/CAST(count($v) AS DOUBLE))
+       |      /(CAST(count($v) AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
+       | FROM events GROUP BY event_type)
+       |SELECT e.event_id, e.event_type, e.$v, (e.$v - st.mean)/st.std AS z
+       |FROM events e JOIN st USING (event_type)
+       |WHERE abs((e.$v - st.mean)/st.std) > 2.0
+       |ORDER BY e.event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q68
+  // Token frequency spectrum (counts-of-counts): the Zipf profile a corpus
+  // datasheet reports — for each occurrence count, how many distinct terms
+  // occur exactly that often and the token mass they carry. Two cascaded
+  // aggregations, the second over the (tiny) distinct-count domain; all
+  // integer arithmetic.
+  private val q68: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("occurrences"))
+      .groupBy(col("occurrences")).agg(count(lit(1)).as("n_terms"))
+      .withColumn("token_mass", col("occurrences") * col("n_terms"))
+      .orderBy("occurrences")
+
+  private val q68Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |freq AS (SELECT term, count(*) AS occurrences FROM ex GROUP BY term)
+       |SELECT occurrences, count(*) AS n_terms, occurrences * count(*) AS token_mass
+       |FROM freq GROUP BY occurrences ORDER BY occurrences""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  // Per-source corpus datasheet ("datasheets for datasets" rollup): doc
+  // and token mass, mean document length, corpus-level stopword mass, and
+  // short-doc fraction per source. All metrics are integer sums with a
+  // single final int/int double division each — bit-parity without decimal
+  // gymnastics. One shuffle on the low-cardinality source key; the text
+  // metrics ride the scan as codegen'd expressions.
+  private val q69: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(
+      col("source"), col("n_chars"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("__nt"),
+      TextFunctions.stopwordCount(col("text")).cast("long").as("__ns"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("__nt")).cast("double") / count(lit(1)).cast("double")).as("mean_tokens"),
+        (sum(col("__ns")).cast("double") / sum(col("__nt")).cast("double")).as("stopword_mass_ratio"),
+        (sum(when(col("__nt") < 20, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("short_doc_frac"))
+      .orderBy("source")
+  }
+
+  private val q69Sql = {
+    val nTokens =
+      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+    val stop =
+      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
+    s"""WITH m AS (SELECT source, n_chars,
+       |  CAST($nTokens AS BIGINT) AS nt, CAST($stop AS BIGINT) AS ns FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(nt) AS BIGINT) AS total_tokens,
+       | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       | CAST(sum(nt) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_tokens,
+       | CAST(sum(ns) AS DOUBLE)/CAST(sum(nt) AS DOUBLE) AS stopword_mass_ratio,
+       | CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS short_doc_frac
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q70
+  // Train/val/test split manifest: deterministic 80/10/10 assignment from
+  // the salted splitmix64 bucket (reproducible across engines, re-runs,
+  // and partitionings — rand()-based splits are none of those), rolled up
+  // to the manifest a dataset release ships. Map-only assignment + one
+  // 3-key aggregation; shares are int/int double divisions.
+  private val q70Salt = 29L
+
+  private val q70: Q = (s, dir) => {
+    val b = Sampling.hashBucket(col("doc_id"), q70Salt)
+    val d = Tables.documents(s, dir).select(
+      when(b < 800000L, "train").when(b < 900000L, "val").otherwise("test").as("split"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+    d.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+      .withColumn(
+        "doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()).cast("double"))
+      .orderBy("split")
+  }
+
+  private val q70Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q70Salt) * Golden).mod(BigInt(1) << 64).toString
+    val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
+    val nTokens =
+      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    s"""WITH mx0 AS (SELECT doc_id, text,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")},
+       |a AS (SELECT CASE WHEN $bucket < 800000 THEN 'train'
+       |                  WHEN $bucket < 900000 THEN 'val'
+       |                  ELSE 'test' END AS split,
+       |             CAST($nTokens AS BIGINT) AS nt FROM mx4),
+       |g AS (SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+       |      FROM a GROUP BY split)
+       |SELECT split, n_docs, total_tokens,
+       | CAST(n_docs AS DOUBLE)/CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share
+       |FROM g ORDER BY split""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2000,7 +2136,11 @@ object Queries {
     "q63_histogram" -> q63,
     "q64_span_dedup" -> q64,
     "q65_token_rarity" -> q65,
-    "q66_mix_rebalance" -> q66
+    "q66_mix_rebalance" -> q66,
+    "q67_zscore_outliers" -> q67,
+    "q68_freq_spectrum" -> q68,
+    "q69_source_datasheet" -> q69,
+    "q70_split_manifest" -> q70
   )
 
   val oracles: Map[String, String] = Map(
@@ -2067,6 +2207,10 @@ object Queries {
     "q63_histogram" -> q63Sql,
     "q64_span_dedup" -> q64Sql,
     "q65_token_rarity" -> q65Sql,
-    "q66_mix_rebalance" -> q66Sql
+    "q66_mix_rebalance" -> q66Sql,
+    "q67_zscore_outliers" -> q67Sql,
+    "q68_freq_spectrum" -> q68Sql,
+    "q69_source_datasheet" -> q69Sql,
+    "q70_split_manifest" -> q70Sql
   )
 }

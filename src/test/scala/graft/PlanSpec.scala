@@ -105,4 +105,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(3000))
   }
+
+  test("q64 span dedup stays linear: no pair join anywhere in the plan") {
+    val p = plan(SparkEntry.queries("q64_span_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q67 outlier filter broadcasts the per-type stats back to the fact") {
+    val p = plan(SparkEntry.queries("q67_zscore_outliers")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q66 rebalance keeps the corpus map-only (broadcast counts, no data shuffle)") {
+    val p = plan(SparkEntry.queries("q66_mix_rebalance")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
