@@ -37,11 +37,14 @@ object Chunking {
       .select(
         col(idCol),
         col("__toks"),
-        // empty array (not sequence(0,-1) — Spark would count DOWN) for 0-chunk docs
+        // empty array (not sequence(0,-1) — Spark would count DOWN) for
+        // 0-chunk docs; stepped sequence, NOT transform(seq, i => i*stride):
+        // exploding a higher-order-function array is CodegenFallback and
+        // knocks the generate out of whole-stage codegen
         posexplode(when(col("__nc") === 0, array().cast("array<bigint>"))
-          .otherwise(transform(
-            sequence(lit(0L), col("__nc") - 1),
-            i => i * stride))).as(Seq("__pos", "start_tok")))
+          .otherwise(sequence(
+            lit(0L), (col("__nc") - 1) * stride, lit(stride.toLong))))
+          .as(Seq("__pos", "start_tok")))
       .select(
         col(idCol),
         col("__pos").cast("long").as("chunk_idx"),

@@ -117,12 +117,24 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 64
   ): DataFrame = {
+    // Position-explode, hash per row: exploding a transform(...) array
+    // (higher-order function → CodegenFallback) would drop the generate
+    // stage out of whole-stage codegen. The per-doc shingle DISTINCT was
+    // dropped with the rewrite — min over a multiset equals min over its
+    // set, so duplicate shingles cannot change any signature minimum, and
+    // the map-side partial min absorbs them before the shuffle. Documents
+    // shorter than k tokens keep their explode_outer null row (→ all-
+    // MaxValue signature), guarded so the null position never hashes.
     val exploded = df
       .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), col("toks"),
+        explode_outer(
+          when(size(col("toks")) < k, lit(null).cast("array<int>"))
+            .otherwise(sequence(lit(0), size(col("toks")) - k))).as("__i"))
       .select(col("doc"),
-        array_distinct(TextFunctions.shinglesOfTokens(col("toks"), k)).as("sh"))
-      .select(col("doc"),
-        explode_outer(transform(col("sh"), s => HashFunctions.tokenHash(s))).as("h"))
+        when(col("__i").isNull, lit(null).cast("long"))
+          .otherwise(HashFunctions.tokenHash(
+            concat_ws(" ", slice(col("toks"), col("__i") + 1, lit(k))))).as("h"))
     val aggs = (0 until numHashes).map { i =>
       coalesce(min(HashFunctions.seeded(col("h"), lit(i))), lit(Long.MaxValue)).as(s"sig_$i")
     }
@@ -239,16 +251,31 @@ object Dedup {
       k: Int = 5,
       minShared: Int = 1
   ): DataFrame = {
-    def shingles(df: DataFrame): DataFrame =
+    // Shingles are 64-BIT HASHES of the k-token windows (xxhash64 over the
+    // sliced token array — the window strings are never materialized), and
+    // the explode runs over the cheap POSITION sequence with the hash
+    // computed per row AFTER the generate. Two measured pathologies drive
+    // this shape: (1) building window strings dominates the query (3.8s of
+    // 4.4s at sf0.1), and (2) exploding a higher-order-function array
+    // (transform is CodegenFallback) drops the whole generate stage out of
+    // codegen (~0.4s → ~4s for the identical row count). Per-doc shingle
+    // dedup moves into the aggregate (countDistinct, which partial-
+    // aggregates map-side and only sees post-semi-join survivors). Equal
+    // to string-set semantics up to a 2^-64 hash collision (deterministic
+    // for a given corpus; the oracle computes the string form and the
+    // correctness gate confirms equality).
+    def shingleRows(df: DataFrame): DataFrame =
       df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
-        .select(col("doc"), array_distinct(TextFunctions.shinglesOfTokens(col("toks"), k)).as("sh"))
-    val evalShingles = broadcast(
-      shingles(evalSet).select(explode(col("sh")).as("shingle")).distinct())
-    val hits = shingles(corpus)
-      .select(col("doc"), explode(col("sh")).as("shingle"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - k)).as("__i"))
+        .select(col("doc"),
+          xxhash64(slice(col("toks"), col("__i") + 1, lit(k))).as("shingle"))
+    val evalShingles = broadcast(shingleRows(evalSet).select(col("shingle")).distinct())
+    val hits = shingleRows(corpus)
       .join(evalShingles, Seq("shingle"), "left_semi")
       .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
     corpus
       .select(col(idCol).as("doc"))
       .join(hits, Seq("doc"), "left")
@@ -307,15 +334,17 @@ object Dedup {
     * quadratic; at 100 TB every stage is linear in total token count. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
     require(w >= 2, s"span width must be >= 2, got $w")
+    // Explode the POSITION sequence and fingerprint after the generate:
+    // exploding a transform(...) array (higher-order function →
+    // CodegenFallback) would knock the generate stage out of whole-stage
+    // codegen — measured ~10x on the identical row count.
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val spans = toks.select(
-      col(idCol),
-      explode(
-        when(size(col("__toks")) < w, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("__toks")) - w),
-            i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(w)))))))
-        .as("span"))
+    val spans = toks
+      .filter(size(col("__toks")) >= w)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - w)).as("__i"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(w)))).as("span"))
     val dupSpans = spans
       .groupBy(col("span"))
       .agg(countDistinct(col(idCol)).as("__nd"))
