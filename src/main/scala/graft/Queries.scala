@@ -2068,6 +2068,90 @@ object Queries {
        |FROM g ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  // Per-label embedding centroid outliers — the "find mislabeled /
+  // off-distribution vectors" curation pass. Array-column aggregation via
+  // dimension explode: (label, dim)-keyed sums give the centroid numerator
+  // without ever dividing — each vector is scored by ‖n·x − S‖², which is
+  // n²·‖x − S/n‖², monotone in the true centroid distance within a label
+  // (n is fixed per label). Everything stays in exact decimals (elements
+  // quantized to DECIMAL(18,6), the difference recast to DECIMAL(12,6) —
+  // exact while |n·x − S| < 10⁶ — before squaring), so the double score is
+  // bit-identical cross-engine with zero decimal-division rounding to
+  // reconcile. Shuffles: one on (label, dim), one join back (the centroid
+  // table is labels × dims — tiny, AQE broadcasts it), one per-vector
+  // rollup, and a per-label top-3 window over label-partitioned data.
+  private val q71: Q = (s, dir) => {
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("v").cast("double").cast(DecimalType(18, 6)).as("vq"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("vq")).as("__s"), count(lit(1)).cast(DecimalType(10, 0)).as("__n"))
+    val d2 = dims.join(cent, Seq("label", "dim"))
+      .withColumn("__diff", (col("vq") * col("__n") - col("__s")).cast(DecimalType(12, 6)))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("__diff") * col("__diff")).cast("double").as("dist2_scaled"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist2_scaled").desc, col("vec_id"))
+    d2.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("label"), col("dist2_scaled"), col("rnk"))
+      .orderBy("label", "rnk")
+  }
+
+  private val q71Sql =
+    """WITH p AS (SELECT vec_id, label,
+      |  unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v FROM embeddings),
+      |q AS (SELECT vec_id, label, dim, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS vq FROM p),
+      |c AS (SELECT label, dim, sum(vq) AS s, CAST(count(*) AS DECIMAL(10,0)) AS n
+      |      FROM q GROUP BY label, dim),
+      |d0 AS (SELECT q.vec_id, q.label, CAST(q.vq * c.n - c.s AS DECIMAL(12,6)) AS diff
+      |       FROM q JOIN c USING (label, dim)),
+      |d AS (SELECT vec_id, label, CAST(sum(diff*diff) AS DOUBLE) AS dist2_scaled
+      |      FROM d0 GROUP BY vec_id, label),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY label
+      |        ORDER BY dist2_scaled DESC, vec_id) AS rnk FROM d)
+      |SELECT vec_id, label, dist2_scaled, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  // Corpus-composition contingency table (lang × source) with
+  // observed/expected ratios — the drift check a curation pipeline runs on
+  // every refresh. Cell counts plus both marginals; expected and the
+  // obs/exp ratio are each ONE division of exact integer products, so the
+  // doubles match bit-for-bit. The marginals are group-count-sized and
+  // broadcast back; the cell table shuffles once on the (lang, source) key.
+  private val q72: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("__nl"))
+    val bySource = d.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
+    val total = d.agg(count(lit(1)).as("__nt"))
+    cells
+      .join(broadcast(byLang), Seq("lang"))
+      .join(broadcast(bySource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("source"), col("n"),
+        ((col("__nl") * col("__ns")).cast("double") / col("__nt").cast("double"))
+          .as("expected"),
+        ((col("n") * col("__nt")).cast("double") / (col("__nl") * col("__ns")).cast("double"))
+          .as("obs_exp_ratio"))
+      .orderBy("lang", "source")
+  }
+
+  private val q72Sql =
+    """WITH cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+      |bl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+      |bs AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+      |t AS (SELECT count(*) AS nt FROM documents)
+      |SELECT cells.lang, cells.source, cells.n,
+      | CAST(bl.nl * bs.ns AS DOUBLE)/CAST(t.nt AS DOUBLE) AS expected,
+      | CAST(cells.n * t.nt AS DOUBLE)/CAST(bl.nl * bs.ns AS DOUBLE) AS obs_exp_ratio
+      |FROM cells JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2140,7 +2224,9 @@ object Queries {
     "q67_zscore_outliers" -> q67,
     "q68_freq_spectrum" -> q68,
     "q69_source_datasheet" -> q69,
-    "q70_split_manifest" -> q70
+    "q70_split_manifest" -> q70,
+    "q71_centroid_outliers" -> q71,
+    "q72_contingency" -> q72
   )
 
   val oracles: Map[String, String] = Map(
@@ -2211,6 +2297,8 @@ object Queries {
     "q67_zscore_outliers" -> q67Sql,
     "q68_freq_spectrum" -> q68Sql,
     "q69_source_datasheet" -> q69Sql,
-    "q70_split_manifest" -> q70Sql
+    "q70_split_manifest" -> q70Sql,
+    "q71_centroid_outliers" -> q71Sql,
+    "q72_contingency" -> q72Sql
   )
 }
