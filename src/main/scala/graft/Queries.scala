@@ -543,26 +543,32 @@ object Queries {
       )
       .orderBy("doc_id")
 
-  private val q22Sql = {
-    val nTokens =
-      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+  // DuckDB mirrors of TextFunctions' quality expressions (shared by q22 and
+  // the composed-curation q73 so the two oracles can never drift apart).
+  private val duckNTokens =
+    "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+  private val duckPunctRatio = {
     val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    s"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($punct AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
+  }
+  private val duckStopRatio = {
     val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
     val stop =
       s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
          |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
-    val punctRatio =
-      s"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($punct AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
-    val stopRatio =
-      s"CASE WHEN $nTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($stop AS DOUBLE)/CAST($nTokens AS DOUBLE) END"
-    s"""SELECT doc_id,
-       | $punctRatio AS punct_ratio,
-       | $stopRatio AS stopword_ratio,
-       | least(CAST($nTokens AS DOUBLE)/CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
-       |  + least(($stopRatio)*CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
-       |  + least(($punctRatio)*CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.2 AS DOUBLE) AS quality_score
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"CASE WHEN $duckNTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($stop AS DOUBLE)/CAST($duckNTokens AS DOUBLE) END"
   }
+  private val duckQualityScore =
+    s"""least(CAST($duckNTokens AS DOUBLE)/CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
+       |  + least(($duckStopRatio)*CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
+       |  + least(($duckPunctRatio)*CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.2 AS DOUBLE)""".stripMargin
+
+  private val q22Sql =
+    s"""SELECT doc_id,
+       | $duckPunctRatio AS punct_ratio,
+       | $duckStopRatio AS stopword_ratio,
+       | $duckQualityScore AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q23
   // Language identification (marker-token heuristic + CJK codepoint rule).
@@ -2152,6 +2158,64 @@ object Queries {
       |FROM cells JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  // End-to-end multimodal curation — the flagship composition: exact-dedup
+  // survivors, quality-gated text (q22's codegen score ≥ 0.5), joined to
+  // their embeddings and kept only when inside the per-label centroid ball
+  // (normalized q71 distance ≤ 1.03 — the ~90th percentile of this
+  // corpus). Every stage is an operator the catalog verifies in isolation;
+  // this query proves they compose lazily into ONE plan: the dedup
+  // semi-join, quality filter, and embedding join all ride the same scan
+  // pass, nothing materializes between stages. dist2 here is normalized
+  // (÷n², one extra exact-integer division) so the threshold is
+  // scale-invariant — the q71 form is rank-only within a label.
+  private val q73: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val keep = Dedup.dropExactDuplicates(d, "doc_id", "text")
+    val scored = keep
+      .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality_score") >= 0.5)
+    val dims = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("v").cast("double").cast(DecimalType(18, 6)).as("vq"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("vq")).as("__s"), count(lit(1)).cast(DecimalType(10, 0)).as("__n"))
+    val d2 = dims.join(cent, Seq("label", "dim"))
+      .withColumn("__diff", (col("vq") * col("__n") - col("__s")).cast(DecimalType(12, 6)))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        (sum(col("__diff") * col("__diff")).cast("double") /
+          (max(col("__n")) * max(col("__n"))).cast("double")).as("dist2"))
+    scored
+      .join(d2, scored("doc_id") === d2("vec_id"))
+      .filter(col("dist2") <= 1.03)
+      .select(col("doc_id"), col("lang"), col("label"), col("quality_score"), col("dist2"))
+      .orderBy("doc_id")
+  }
+
+  private val q73Sql =
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |sc AS (SELECT d.doc_id, d.lang, $duckQualityScore AS quality_score
+       |       FROM documents d JOIN keep USING (doc_id)
+       |       WHERE $duckQualityScore >= 0.5),
+       |p AS (SELECT vec_id, label,
+       |  unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v FROM embeddings),
+       |q AS (SELECT vec_id, label, dim, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS vq FROM p),
+       |c AS (SELECT label, dim, sum(vq) AS s, CAST(count(*) AS DECIMAL(10,0)) AS n
+       |      FROM q GROUP BY label, dim),
+       |d0 AS (SELECT q.vec_id, q.label, c.n, CAST(q.vq * c.n - c.s AS DECIMAL(12,6)) AS diff
+       |       FROM q JOIN c USING (label, dim)),
+       |d2 AS (SELECT vec_id, label,
+       |       CAST(sum(diff*diff) AS DOUBLE)/CAST(max(n)*max(n) AS DOUBLE) AS dist2
+       |       FROM d0 GROUP BY vec_id, label)
+       |SELECT sc.doc_id, sc.lang, d2.label, sc.quality_score, d2.dist2
+       |FROM sc JOIN d2 ON sc.doc_id = d2.vec_id
+       |WHERE d2.dist2 <= 1.03
+       |ORDER BY sc.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2226,7 +2290,8 @@ object Queries {
     "q69_source_datasheet" -> q69,
     "q70_split_manifest" -> q70,
     "q71_centroid_outliers" -> q71,
-    "q72_contingency" -> q72
+    "q72_contingency" -> q72,
+    "q73_curation_e2e" -> q73
   )
 
   val oracles: Map[String, String] = Map(
@@ -2299,6 +2364,7 @@ object Queries {
     "q69_source_datasheet" -> q69Sql,
     "q70_split_manifest" -> q70Sql,
     "q71_centroid_outliers" -> q71Sql,
-    "q72_contingency" -> q72Sql
+    "q72_contingency" -> q72Sql,
+    "q73_curation_e2e" -> q73Sql
   )
 }

@@ -120,6 +120,39 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: the row-per-frame shape a video pipeline feeds to
+    * a downstream image encoder. */
+  final case class SampledFrame(
+      media_id: Long,
+      frame_idx: Int,
+      byte_offset: Long,
+      frame_bytes: Array[Byte])
+
+  /** Frame sampling as a ROW-EXPANDING batched partition transform (the
+    * flatMap sibling of [[extractFeatures]]'s 1:1 map): every video record
+    * yields up to `maxFrames` evenly-spaced frames, each a `frameBytes`
+    * slice at the stub codec's offset (a real decoder seeks keyframes and
+    * emits encoded frames through the same signature). Non-video records
+    * yield nothing. Partition-parallel, no shuffle; downstream per-frame
+    * work (encode, embed, dedup) starts from exactly this schema. */
+  def sampleFrames(
+      ds: Dataset[MediaRecord],
+      maxFrames: Int = 8,
+      frameBytes: Int = 64): Dataset[SampledFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { iter =>
+      iter.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.filter(_.kind == "video").flatMap { r =>
+          StubCodec.sampleFrameOffsets(r.payload, maxFrames).zipWithIndex.map {
+            case (off, i) =>
+              val end = math.min(off + frameBytes, r.payload.length)
+              SampledFrame(r.media_id, i, off.toLong, r.payload.slice(off, end))
+          }
+        }
+      }
+    }
+  }
+
   /** Wrap any table with a binary payload column into MediaRecords (schema
     * adapter used by tests and the q31 catalog query). */
   def fromBinaryColumn(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[MediaRecord] = {

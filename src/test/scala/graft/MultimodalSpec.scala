@@ -26,4 +26,23 @@ class MultimodalSpec extends SparkSpec {
     // empty payload handled
     assert(feats(2).n_bytes == 0 && feats(2).n_frames_sampled == 0)
   }
+
+  test("frame sampling expands videos to per-frame rows, skips other kinds") {
+    val df = Seq(
+      (0L, "0123456789abcdef0123456789abcdef"), // 32 bytes → 4 full frames at 8 bytes
+      (1L, "")
+    ).toDF("doc_id", "text")
+    val video = Multimodal.fromBinaryColumn(df, "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(video, maxFrames = 4, frameBytes = 8)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(_.media_id).toSet == Set(0L)) // empty payload → no frames
+    assert(frames.length == 4)
+    assert(frames.map(_.byte_offset).toSeq == Seq(0L, 8L, 16L, 24L))
+    assert(frames.forall(_.frame_bytes.length == 8))
+    assert(new String(frames(1).frame_bytes, "UTF-8") == "89abcdef")
+
+    // non-video kinds produce no frames at all
+    val image = Multimodal.fromBinaryColumn(df, "doc_id", "text", "image")
+    assert(Multimodal.sampleFrames(image, 4, 8).count() == 0)
+  }
 }
