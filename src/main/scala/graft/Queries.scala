@@ -551,13 +551,13 @@ object Queries {
     val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
     s"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($punct AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
   }
-  private val duckStopRatio = {
+  private val duckStopCount = {
     val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
-    val stop =
-      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
-         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
-    s"CASE WHEN $duckNTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($stop AS DOUBLE)/CAST($duckNTokens AS DOUBLE) END"
+    s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+       |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
   }
+  private val duckStopRatio =
+    s"CASE WHEN $duckNTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($duckStopCount AS DOUBLE)/CAST($duckNTokens AS DOUBLE) END"
   private val duckQualityScore =
     s"""least(CAST($duckNTokens AS DOUBLE)/CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
        |  + least(($duckStopRatio)*CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
@@ -1143,21 +1143,7 @@ object Queries {
   }
 
   private val q40Sql = {
-    val nTokens =
-      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
-    val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
-    val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
-    val stop =
-      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
-         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
-    val punctRatio =
-      s"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($punct AS DOUBLE)/CAST(length(text) AS DOUBLE) END"
-    val stopRatio =
-      s"CASE WHEN $nTokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($stop AS DOUBLE)/CAST($nTokens AS DOUBLE) END"
-    val quality =
-      s"""least(CAST($nTokens AS DOUBLE)/CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
-         |  + least(($stopRatio)*CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.4 AS DOUBLE)
-         |  + least(($punctRatio)*CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE))*CAST(0.2 AS DOUBLE)""".stripMargin
+    val quality = duckQualityScore
     s"""WITH scored AS (
        |  SELECT doc_id, lang, source,
        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
@@ -2014,15 +2000,9 @@ object Queries {
       .orderBy("source")
   }
 
-  private val q69Sql = {
-    val nTokens =
-      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
-    val stopList = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
-    val stop =
-      s"""len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
-         |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, t -> t IN ($stopList)))""".stripMargin
+  private val q69Sql =
     s"""WITH m AS (SELECT source, n_chars,
-       |  CAST($nTokens AS BIGINT) AS nt, CAST($stop AS BIGINT) AS ns FROM documents)
+       |  CAST($duckNTokens AS BIGINT) AS nt, CAST($duckStopCount AS BIGINT) AS ns FROM documents)
        |SELECT source, count(*) AS n_docs,
        | CAST(sum(nt) AS BIGINT) AS total_tokens,
        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -2030,7 +2010,6 @@ object Queries {
        | CAST(sum(ns) AS DOUBLE)/CAST(sum(nt) AS DOUBLE) AS stopword_mass_ratio,
        | CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS short_doc_frac
        |FROM m GROUP BY source ORDER BY source""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q70
   // Train/val/test split manifest: deterministic 80/10/10 assignment from
@@ -2058,8 +2037,7 @@ object Queries {
     import DuckHash._
     val saltG = (BigInt(q70Salt) * Golden).mod(BigInt(1) << 64).toString
     val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
-    val nTokens =
-      "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    val nTokens = duckNTokens
     s"""WITH mx0 AS (SELECT doc_id, text,
        |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
        |${mix64Ctes("sx")},
@@ -2087,17 +2065,43 @@ object Queries {
   // reconcile. Shuffles: one on (label, dim), one join back (the centroid
   // table is labels × dims — tiny, AQE broadcasts it), one per-vector
   // rollup, and a per-label top-3 window over label-partitioned data.
-  private val q71: Q = (s, dir) => {
+  // Shared centroid-distance pipeline (q71 rank form + q73's normalized
+  // gate — Scala and SQL factored ONCE so the four mirrors cannot drift):
+  // (vec_id, label, __sum_d2 decimal, __n decimal) where __sum_d2 =
+  // Σ_dim (n·x − S)². The diff recast is DECIMAL(18,6) — exact while
+  // |n·x − S| < 10¹², i.e. group sizes to ~10¹¹ unit-norm vectors — and a
+  // value out of range would error, never silently null (Spark would
+  // null a narrower cast and quietly under-score the very outliers being
+  // hunted; the oracle errors, so the gate would catch it anyway).
+  private def centroidSquares(s: SparkSession, dir: String): DataFrame = {
     val dims = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("label"), col("dim"),
         col("v").cast("double").cast(DecimalType(18, 6)).as("vq"))
     val cent = dims.groupBy(col("label"), col("dim"))
       .agg(sum(col("vq")).as("__s"), count(lit(1)).cast(DecimalType(10, 0)).as("__n"))
-    val d2 = dims.join(cent, Seq("label", "dim"))
-      .withColumn("__diff", (col("vq") * col("__n") - col("__s")).cast(DecimalType(12, 6)))
+    dims.join(cent, Seq("label", "dim"))
+      .withColumn("__diff", (col("vq") * col("__n") - col("__s")).cast(DecimalType(18, 6)))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("__diff") * col("__diff")).cast("double").as("dist2_scaled"))
+      .agg(sum(col("__diff") * col("__diff")).as("__sum_d2"), max(col("__n")).as("__n"))
+  }
+
+  /** DuckDB twin of [[centroidSquares]]: CTE chain ending in
+    * `sq(vec_id, label, sum_d2, n)`. */
+  private val duckCentroidCtes =
+    """p AS (SELECT vec_id, label,
+      |  unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v FROM embeddings),
+      |q AS (SELECT vec_id, label, dim, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS vq FROM p),
+      |c AS (SELECT label, dim, sum(vq) AS s, CAST(count(*) AS DECIMAL(10,0)) AS n
+      |      FROM q GROUP BY label, dim),
+      |d0 AS (SELECT q.vec_id, q.label, c.n, CAST(q.vq * c.n - c.s AS DECIMAL(18,6)) AS diff
+      |       FROM q JOIN c USING (label, dim)),
+      |sq AS (SELECT vec_id, label, sum(diff*diff) AS sum_d2, max(n) AS n
+      |       FROM d0 GROUP BY vec_id, label)""".stripMargin
+
+  private val q71: Q = (s, dir) => {
+    val d2 = centroidSquares(s, dir)
+      .select(col("vec_id"), col("label"), col("__sum_d2").cast("double").as("dist2_scaled"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist2_scaled").desc, col("vec_id"))
     d2.withColumn("rnk", row_number().over(w).cast("long"))
@@ -2107,19 +2111,12 @@ object Queries {
   }
 
   private val q71Sql =
-    """WITH p AS (SELECT vec_id, label,
-      |  unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v FROM embeddings),
-      |q AS (SELECT vec_id, label, dim, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS vq FROM p),
-      |c AS (SELECT label, dim, sum(vq) AS s, CAST(count(*) AS DECIMAL(10,0)) AS n
-      |      FROM q GROUP BY label, dim),
-      |d0 AS (SELECT q.vec_id, q.label, CAST(q.vq * c.n - c.s AS DECIMAL(12,6)) AS diff
-      |       FROM q JOIN c USING (label, dim)),
-      |d AS (SELECT vec_id, label, CAST(sum(diff*diff) AS DOUBLE) AS dist2_scaled
-      |      FROM d0 GROUP BY vec_id, label),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY label
-      |        ORDER BY dist2_scaled DESC, vec_id) AS rnk FROM d)
-      |SELECT vec_id, label, dist2_scaled, CAST(rnk AS BIGINT) AS rnk
-      |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
+    s"""WITH $duckCentroidCtes,
+       |d AS (SELECT vec_id, label, CAST(sum_d2 AS DOUBLE) AS dist2_scaled FROM sq),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY label
+       |        ORDER BY dist2_scaled DESC, vec_id) AS rnk FROM d)
+       |SELECT vec_id, label, dist2_scaled, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
 
   // ---------------------------------------------------------------- q72
   // Corpus-composition contingency table (lang × source) with
@@ -2175,18 +2172,10 @@ object Queries {
     val scored = keep
       .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
       .filter(col("quality_score") >= 0.5)
-    val dims = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("vec_id"), col("label"), col("dim"),
-        col("v").cast("double").cast(DecimalType(18, 6)).as("vq"))
-    val cent = dims.groupBy(col("label"), col("dim"))
-      .agg(sum(col("vq")).as("__s"), count(lit(1)).cast(DecimalType(10, 0)).as("__n"))
-    val d2 = dims.join(cent, Seq("label", "dim"))
-      .withColumn("__diff", (col("vq") * col("__n") - col("__s")).cast(DecimalType(12, 6)))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(
-        (sum(col("__diff") * col("__diff")).cast("double") /
-          (max(col("__n")) * max(col("__n"))).cast("double")).as("dist2"))
+    val d2 = centroidSquares(s, dir)
+      .select(col("vec_id"), col("label"),
+        (col("__sum_d2").cast("double") /
+          (col("__n") * col("__n")).cast("double")).as("dist2"))
     scored
       .join(d2, scored("doc_id") === d2("vec_id"))
       .filter(col("dist2") <= 1.03)
@@ -2201,16 +2190,9 @@ object Queries {
        |sc AS (SELECT d.doc_id, d.lang, $duckQualityScore AS quality_score
        |       FROM documents d JOIN keep USING (doc_id)
        |       WHERE $duckQualityScore >= 0.5),
-       |p AS (SELECT vec_id, label,
-       |  unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v FROM embeddings),
-       |q AS (SELECT vec_id, label, dim, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS vq FROM p),
-       |c AS (SELECT label, dim, sum(vq) AS s, CAST(count(*) AS DECIMAL(10,0)) AS n
-       |      FROM q GROUP BY label, dim),
-       |d0 AS (SELECT q.vec_id, q.label, c.n, CAST(q.vq * c.n - c.s AS DECIMAL(12,6)) AS diff
-       |       FROM q JOIN c USING (label, dim)),
+       |$duckCentroidCtes,
        |d2 AS (SELECT vec_id, label,
-       |       CAST(sum(diff*diff) AS DOUBLE)/CAST(max(n)*max(n) AS DOUBLE) AS dist2
-       |       FROM d0 GROUP BY vec_id, label)
+       |       CAST(sum_d2 AS DOUBLE)/CAST(n*n AS DOUBLE) AS dist2 FROM sq)
        |SELECT sc.doc_id, sc.lang, d2.label, sc.quality_score, d2.dist2
        |FROM sc JOIN d2 ON sc.doc_id = d2.vec_id
        |WHERE d2.dist2 <= 1.03

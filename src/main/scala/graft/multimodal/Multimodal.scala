@@ -140,14 +140,16 @@ object Multimodal {
       maxFrames: Int = 8,
       frameBytes: Int = 64): Dataset[SampledFrame] = {
     import ds.sparkSession.implicits._
+    // No grouped(BatchSize) here: unlike extractFeatures there is no
+    // per-batch codec context to amortize, and batching would only pin up
+    // to 256 full video payloads in memory at once. Record-at-a-time keeps
+    // the buffering O(1 payload).
     ds.mapPartitions { iter =>
-      iter.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.filter(_.kind == "video").flatMap { r =>
-          StubCodec.sampleFrameOffsets(r.payload, maxFrames).zipWithIndex.map {
-            case (off, i) =>
-              val end = math.min(off + frameBytes, r.payload.length)
-              SampledFrame(r.media_id, i, off.toLong, r.payload.slice(off, end))
-          }
+      iter.filter(_.kind == "video").flatMap { r =>
+        StubCodec.sampleFrameOffsets(r.payload, maxFrames).zipWithIndex.map {
+          case (off, i) =>
+            val end = math.min(off + frameBytes, r.payload.length)
+            SampledFrame(r.media_id, i, off.toLong, r.payload.slice(off, end))
         }
       }
     }

@@ -41,6 +41,17 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIter: Int = 32): DataFrame = {
+    // Integral ids only — a silent cast("long") would turn string/UUID ids
+    // into null, drop every edge at the u≠v filter, and report ZERO
+    // duplicate clusters. Fail loudly instead; callers with string ids
+    // should pre-hash them (xxhash64) to a stable long key.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(aCol, bCol).foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"components() needs integral id columns; '$c' is ${t.sql} — " +
+          "hash non-numeric ids to a long key first (e.g. xxhash64)")
+    }
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
 
@@ -101,6 +112,14 @@ object ConnectedComponents {
       edges = next
       iter += 1
     }
+    // Non-converged labels are intermediate parents, not component minima —
+    // survivor selection on them silently under-deduplicates. Fail loudly:
+    // component diameter grows ~2^rounds, so a legitimate maxIter bump is
+    // tiny, while hitting the default 32 means something is wrong.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds; " +
+          "raise maxIter (rounds needed ≈ log2 of the largest component's diameter)")
 
     // At convergence the edge set is a union of stars (child → root).
     // Roots have no outgoing edge — they label themselves. Nodes come from

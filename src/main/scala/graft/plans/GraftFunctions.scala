@@ -25,15 +25,15 @@ object GraftFunctions {
   def minHashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
 
-  private val cosineBuilder: Seq[Expression] => Expression = { children =>
+  private[plans] val cosineBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "graft_cosine expects exactly 2 arguments")
     CosineSimilarity(children(0), children(1))
   }
 
-  private val cosineInfo =
+  private[plans] val cosineInfo =
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
 
-  private val minhashBuilder: Seq[Expression] => Expression = { children =>
+  private[plans] val minhashBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "graft_minhash expects (hashes, numHashes)")
     val n = children(1) match {
       case e if e.foldable => e.eval(null).asInstanceOf[Number].intValue()
@@ -43,7 +43,7 @@ object GraftFunctions {
     MinHashSig(children(0), n)
   }
 
-  private val minhashInfo =
+  private[plans] val minhashInfo =
     new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
 
   /** Register the engine's functions into an already-running session. */
@@ -56,19 +56,16 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point injecting the engine's functions at
-  * session build time (the deployment path for a real cluster). */
+  * session build time (the deployment path for a real cluster). Reuses the
+  * registry-path builders so BOTH paths validate arity and the
+  * numHashes-must-be-a-literal contract identically. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
-      (FunctionIdentifier("graft_cosine"),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-        { children: Seq[Expression] => CosineSimilarity(children.head, children(1)) })
-    )
+      (FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo,
+        GraftFunctions.cosineBuilder))
     ext.injectFunction(
-      (FunctionIdentifier("graft_minhash"),
-        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-        { children: Seq[Expression] =>
-          MinHashSig(children.head, children(1).eval(null).asInstanceOf[Number].intValue()) })
-    )
+      (FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo,
+        GraftFunctions.minhashBuilder))
   }
 }
