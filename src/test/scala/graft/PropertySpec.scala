@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** Property-style invariants, asserted in BULK: scalacheck generates a few
+  * hundred adversarial rows once (fixed seed — reproducible), and every
+  * invariant is checked over all rows in a single Spark job (per-case jobs
+  * would be prohibitively slow). JVM-side hash properties run over dense
+  * samples instead of generated cases for the same reason.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- pure-JVM hash properties -----------------------------------------
+
+  // splitmix64 finalizer, JVM form (same constants as HashFunctions.mix64 /
+  // MinHashSig — wrapping long arithmetic)
+  private def mix64(x: Long): Long = {
+    val z0 = x + -7046029254386353131L
+    val z1 = (z0 ^ (z0 >>> 30)) * -4658895280553007687L
+    val z2 = (z1 ^ (z1 >>> 27)) * -7723592293110705685L
+    z2 ^ (z2 >>> 31)
+  }
+
+  test("mix64 is deterministic and collision-free over a 100k sample") {
+    val xs = (0L until 100000L).map(x => mix64(x * 2654435761L + 17))
+    assert(xs.distinct.length == xs.length)
+    assert(xs == (0L until 100000L).map(x => mix64(x * 2654435761L + 17)))
+  }
+
+  test("column mix64 agrees with the JVM form (codegen vs reference)") {
+    val ids = (-500L until 500L).map(i => i * 7919L).toDF("x")
+    val bad = ids
+      .select(col("x"), graft.functions.HashFunctions.mix64(col("x")).as("h"))
+      .as[(Long, Long)].collect()
+      .filter { case (x, h) => h != mix64(x) }
+    assert(bad.isEmpty, s"column/JVM mix64 disagree on ${bad.take(3).toSeq}")
+  }
+
+  // ---- bulk dataframe properties ----------------------------------------
+
+  private val adversarialText: Gen[String] = {
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const("the"), Gen.const("..."),
+      Gen.const("一龫"), Gen.const(""), Gen.const("  "),
+      Gen.const("a\tb"), Gen.const("!?;:"))
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" ")))
+  }
+
+  private lazy val textDf = {
+    val rows = Gen.listOfN(300, adversarialText)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L)).get
+    rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("text metric invariants hold on adversarial inputs (one bulk job)") {
+    val m = textDf.select(
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      size(TextFunctions.tokens(col("text"))).as("nt2"),
+      TextFunctions.punctRatio(col("text")).as("pr"),
+      TextFunctions.stopwordRatio(col("text")).as("sr"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.dupTokenFraction(TextFunctions.tokens(col("text"))).as("df_"),
+      TextFunctions.topTokenFraction(TextFunctions.tokens(col("text"))).as("tf_"))
+    val bad = m.filter(
+      col("nt") =!= col("nt2") ||
+        col("pr") < 0 || col("pr") > 1 || col("sr") < 0 || col("sr") > 1 ||
+        col("q") < 0 || col("q") > 1.0000001 ||
+        col("df_") < 0 || col("df_") > 1 || col("tf_") < 0 || col("tf_") > 1 ||
+        col("pr").isNull || col("sr").isNull || col("q").isNull)
+    assert(bad.count() == 0)
+  }
+
+  test("hash samples nest: fraction f1 <= f2 implies sample(f1) subset-of sample(f2)") {
+    val ids = (0L until 5000L).toDF("id")
+    val s20 = Sampling.hashSample(ids, "id", 0.2, salt = 5L)
+    val s50 = Sampling.hashSample(ids, "id", 0.5, salt = 5L)
+    val s80 = Sampling.hashSample(ids, "id", 0.8, salt = 5L)
+    assert(s20.exceptAll(s50).count() == 0)
+    assert(s50.exceptAll(s80).count() == 0)
+    // and the rate lands near its target (hash uniformity smoke check)
+    val n20 = s20.count().toDouble / 5000
+    assert(n20 > 0.15 && n20 < 0.25, s"rate $n20 far from 0.2")
+  }
+
+  test("minhash jaccard estimates stay in [0,1]; equal shingle sets give exactly 1.0") {
+    val d = textDf.filter(TextFunctions.tokenCount(col("text")) >= 3)
+    val sig = d.select(col("doc_id"),
+      graft.operators.Dedup.minHashSignature(col("text"), 3, 32).as("sig"),
+      sort_array(TextFunctions.distinctShingles(col("text"), 3)).as("sh"))
+    val est = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.operators.Dedup.minHashJaccardEstimate(col("a.sig"), col("b.sig")).as("est"),
+        (col("a.sh") === col("b.sh")).as("same"))
+    assert(est.filter(col("est") < 0 || col("est") > 1).count() == 0)
+    assert(est.filter(col("same") && col("est") =!= 1.0).count() == 0)
+  }
+}
