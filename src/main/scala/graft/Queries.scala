@@ -29,6 +29,20 @@ object Queries {
   private def dAvg(e: String, scale: Int = 4) =
     s"${dSum(e, scale)}/count($e)"
 
+  /** DuckDB mirror of [[AggFunctions.stddevExact]]: integer-units squared
+    * sum (exact), truncated to whole units via HUGEINT floor-div (identical
+    * to Spark's remainder-subtract), then the fixed-order closed form. */
+  private def dStd(e: String, scale: Int = 4) = {
+    val unit = math.pow(10, scale).toLong
+    val r = unit * unit
+    // squares through HUGEINT: DuckDB executes DECIMAL(18)×DECIMAL(18) in
+    // int64 and overflows past ~9.2e18, while HUGEINT×HUGEINT sums exactly
+    val u = s"CAST(CAST(CAST($e AS DECIMAL(18,$scale)) * $unit AS DECIMAL(18,0)) AS HUGEINT)"
+    val ss = s"CAST(sum($u * $u) // $r AS DOUBLE)"
+    s"sqrt(($ss - ${dSum(e, scale)}*${dSum(e, scale)}/CAST(count($e) AS DOUBLE))" +
+      s"/(CAST(count($e) AS DOUBLE) - CAST(1.0 AS DOUBLE)))"
+  }
+
   /** Exact-decimal money product: 2-decimal source columns are cast to
     * decimal BEFORE multiplying, so the product is exact in both engines.
     * (Casting a ~1e5-magnitude double product to DECIMAL(38,10) is NOT
@@ -177,8 +191,7 @@ object Queries {
   private val q06Sql = {
     def one(m: String) =
       s"""SELECT '$m' AS metric, count($m) AS n, ${dAvg(m)} AS mean,
-         | sqrt((${dSum(s"$m*$m", 8)} - ${dSum(m)}*${dSum(m)}/CAST(count($m) AS DOUBLE))
-         |      /(CAST(count($m) AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std,
+         | ${dStd(m)} AS std,
          | min($m) AS min, max($m) AS max FROM lineitem""".stripMargin
     Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
   }
@@ -1946,8 +1959,7 @@ object Queries {
   private val q67Sql = {
     val v = "\"value\""
     s"""WITH st AS (SELECT event_type, ${dAvg(v)} AS mean,
-       | sqrt((${dSum(s"$v*$v", 8)} - ${dSum(v)}*${dSum(v)}/CAST(count($v) AS DOUBLE))
-       |      /(CAST(count($v) AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS std
+       | ${dStd(v)} AS std
        | FROM events GROUP BY event_type)
        |SELECT e.event_id, e.event_type, e.$v, (e.$v - st.mean)/st.std AS z
        |FROM events e JOIN st USING (event_type)
@@ -2080,28 +2092,45 @@ object Queries {
         col("v").cast("double").cast(DecimalType(18, 6)).as("vq"))
     val cent = dims.groupBy(col("label"), col("dim"))
       .agg(sum(col("vq")).as("__s"), count(lit(1)).cast(DecimalType(10, 0)).as("__n"))
+    // INTEGER-UNITS accumulation. Two engine-specific traps force it:
+    // (1) kept at scale 12, the exact sum reaches ~17 significant digits by
+    // sf0.1 and the engines' DECIMAL→DOUBLE conversions round the >53-bit
+    // value differently (observed 1-ulp mismatches); (2) re-quantizing the
+    // decimal mid-pipeline is no better — Spark's decimal downcast rounds
+    // HALF_UP while DuckDB's TRUNCATES (observed 1e-6-per-term drift). So:
+    // __diff has exactly 6 decimal places (every operand does), hence
+    // __diff·10⁶ is exactly integral — sum the integer squares (units of
+    // 10⁻¹²) with zero rounding anywhere, and let the query layer divide
+    // down with `div` (integral, truncating in BOTH engines) to a
+    // magnitude double represents exactly. Exact to ~7000 unit-norm
+    // vectors per label; past that, raise the unit div in the query layer.
     dims.join(cent, Seq("label", "dim"))
       .withColumn("__diff", (col("vq") * col("__n") - col("__s")).cast(DecimalType(18, 6)))
+      .withColumn("__du", (col("__diff") * lit(1000000)).cast(DecimalType(18, 0)))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("__diff") * col("__diff")).as("__sum_d2"), max(col("__n")).as("__n"))
+      .agg(sum(col("__du") * col("__du")).as("__sum_du2"), max(col("__n")).as("__n"))
   }
 
   /** DuckDB twin of [[centroidSquares]]: CTE chain ending in
-    * `sq(vec_id, label, sum_d2, n)`. */
+    * `sq(vec_id, label, sum_du2, n)` — sum_du2 in exact 10⁻¹² units. */
   private val duckCentroidCtes =
     """p AS (SELECT vec_id, label,
       |  unnest(range(1, len(embedding)+1)) AS dim, unnest(embedding) AS v FROM embeddings),
       |q AS (SELECT vec_id, label, dim, CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)) AS vq FROM p),
       |c AS (SELECT label, dim, sum(vq) AS s, CAST(count(*) AS DECIMAL(10,0)) AS n
       |      FROM q GROUP BY label, dim),
-      |d0 AS (SELECT q.vec_id, q.label, c.n, CAST(q.vq * c.n - c.s AS DECIMAL(18,6)) AS diff
+      |d0 AS (SELECT q.vec_id, q.label, c.n,
+      |       CAST(CAST(q.vq * c.n - c.s AS DECIMAL(18,6)) * 1000000 AS DECIMAL(18,0)) AS du
       |       FROM q JOIN c USING (label, dim)),
-      |sq AS (SELECT vec_id, label, sum(diff*diff) AS sum_d2, max(n) AS n
+      |sq AS (SELECT vec_id, label, sum(du*du) AS sum_du2, max(n) AS n
       |       FROM d0 GROUP BY vec_id, label)""".stripMargin
 
   private val q71: Q = (s, dir) => {
+    // units of 10⁻⁶ after the integral div — small enough that the BIGINT →
+    // DOUBLE conversion is exact in both engines; ONE final IEEE division.
     val d2 = centroidSquares(s, dir)
-      .select(col("vec_id"), col("label"), col("__sum_d2").cast("double").as("dist2_scaled"))
+      .select(col("vec_id"), col("label"),
+        (expr("__sum_du2 div 1000000").cast("double") / 1e6).as("dist2_scaled"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist2_scaled").desc, col("vec_id"))
     d2.withColumn("rnk", row_number().over(w).cast("long"))
@@ -2112,7 +2141,9 @@ object Queries {
 
   private val q71Sql =
     s"""WITH $duckCentroidCtes,
-       |d AS (SELECT vec_id, label, CAST(sum_d2 AS DOUBLE) AS dist2_scaled FROM sq),
+       |d AS (SELECT vec_id, label,
+       |      CAST(CAST(sum_du2 AS HUGEINT) // 1000000 AS DOUBLE)/1000000.0 AS dist2_scaled
+       |      FROM sq),
        |r AS (SELECT *, row_number() OVER (PARTITION BY label
        |        ORDER BY dist2_scaled DESC, vec_id) AS rnk FROM d)
        |SELECT vec_id, label, dist2_scaled, CAST(rnk AS BIGINT) AS rnk
@@ -2174,8 +2205,8 @@ object Queries {
       .filter(col("quality_score") >= 0.5)
     val d2 = centroidSquares(s, dir)
       .select(col("vec_id"), col("label"),
-        (col("__sum_d2").cast("double") /
-          (col("__n") * col("__n")).cast("double")).as("dist2"))
+        (expr("__sum_du2 div 1000000").cast("double") /
+          (col("__n") * col("__n") * lit(1000000L)).cast("double")).as("dist2"))
     scored
       .join(d2, scored("doc_id") === d2("vec_id"))
       .filter(col("dist2") <= 1.03)
@@ -2192,7 +2223,8 @@ object Queries {
        |       WHERE $duckQualityScore >= 0.5),
        |$duckCentroidCtes,
        |d2 AS (SELECT vec_id, label,
-       |       CAST(sum_d2 AS DOUBLE)/CAST(n*n AS DOUBLE) AS dist2 FROM sq)
+       |       CAST(CAST(sum_du2 AS HUGEINT) // 1000000 AS DOUBLE)
+       |         /CAST(n*n*1000000 AS DOUBLE) AS dist2 FROM sq)
        |SELECT sc.doc_id, sc.lang, d2.label, sc.quality_score, d2.dist2
        |FROM sc JOIN d2 ON sc.doc_id = d2.vec_id
        |WHERE d2.dist2 <= 1.03

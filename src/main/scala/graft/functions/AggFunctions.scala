@@ -50,11 +50,27 @@ object AggFunctions {
     * identity, with both sums accumulated exactly. The closed-form double
     * arithmetic is evaluated in a fixed operation order, so results are
     * bit-stable (unlike `stddev_samp`, which merges partial moments in
-    * shuffle order). */
+    * shuffle order).
+    *
+    * The squared sum runs in INTEGER UNITS: quantized values ×10^scale are
+    * exactly integral (no rounding — Spark's decimal downcast rounds
+    * HALF_UP while DuckDB's truncates, so any mid-pipeline re-quantization
+    * diverges cross-engine), their squares sum exactly in DECIMAL(38,0),
+    * and the sum is truncated back to WHOLE squared units before the
+    * double conversion. Kept at fractional scale the exact sum exceeds
+    * double's 53-bit exact range by sf0.1 and the engines' DECIMAL→DOUBLE
+    * conversions round it differently (observed 1-ulp std drift); the
+    * truncated integer part stays exactly representable to Σc² < 2^53. */
   def stddevExact(c: Column, scale: Int = 4): Column = {
     val n = count(c).cast("double")
     val s = sumExact(c, scale)
-    val ss = sumExact(c * c, 2 * scale min 10)
+    val unit = math.pow(10, scale).toLong
+    val r = unit * unit
+    val u = (c.cast(DecimalType(18, scale)) * unit).cast(DecimalType(18, 0))
+    val ssu = sum(u * u) // exact, units of 10^(-2·scale)
+    // subtract the remainder first so the division is exactly integral —
+    // a direct decimal divide rounds at the result scale in Spark
+    val ss = ((ssu - pmod(ssu, lit(r))) / lit(r)).cast("double")
     sqrt((ss - s * s / n) / (n - lit(1.0)))
   }
 }
