@@ -1074,7 +1074,10 @@ object Queries {
   // The full q43 LSH pipeline as a reusable CTE chain ending in
   // `cand(doc_a, doc_b)` — shared by q43 (pairs) and q58 (connected
   // components over those pairs).
-  private val lshPairCtes: String = {
+  // lshBandedCtes ends at `banded(doc_id, band, bucket)`; lshCandCte
+  // appends the self-join candidate CTE used by q43/q58/q61, and q74
+  // appends its own cross-parity join instead.
+  private val lshBandedCtes: String = {
     import DuckHash._
     // Spark's band fold operates on SIGNED mins with wrapping arithmetic —
     // map each signed signature component back to u64 for the fold.
@@ -1104,14 +1107,17 @@ object Queries {
        |  FROM alldocs a LEFT JOIN mins m ON a.doc_id = m.doc_id AND a.seed = m.seed),
        |sigl AS (SELECT doc_id, list($minToU64 ORDER BY seed) AS sigu FROM sigs GROUP BY doc_id),
        |banded AS (SELECT doc_id, band, $bucketFold AS bucket
-       |  FROM (SELECT doc_id, sigu, unnest(range(0, 8)) AS band FROM sigl)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM (SELECT doc_id, sigu, unnest(range(0, 8)) AS band FROM sigl))""".stripMargin
   }
 
+  private val lshCandCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
   private val q43Sql =
-    s"""WITH $lshPairCtes
+    s"""WITH $lshBandedCtes,
+       |$lshCandCte
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q42
@@ -1679,7 +1685,8 @@ object Queries {
   }
 
   private val q58Sql =
-    s"""WITH RECURSIVE $lshPairCtes,
+    s"""WITH RECURSIVE $lshBandedCtes,
+       |$lshCandCte,
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
        |          UNION SELECT doc_b, doc_a FROM cand),
        |reach AS (SELECT s, d FROM edges
@@ -1778,7 +1785,8 @@ object Queries {
   }
 
   private val q61Sql =
-    s"""WITH RECURSIVE $lshPairCtes,
+    s"""WITH RECURSIVE $lshBandedCtes,
+       |$lshCandCte,
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
        |          UNION SELECT doc_b, doc_a FROM cand),
        |reach AS (SELECT s, d FROM edges
@@ -2230,6 +2238,31 @@ object Queries {
        |WHERE d2.dist2 <= 1.03
        |ORDER BY sc.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  // Incremental cross-corpus dedup (Dedup.minHashLshPairsAgainst): the
+  // batch-N-versus-already-ingested-corpus shape a production ingest runs
+  // on every refresh. Odd doc_ids play the incoming batch, even ids the
+  // reference corpus; a pair = an incoming doc colliding with a reference
+  // doc in any LSH band. The oracle reuses q43's full banded-signature
+  // replay and only swaps the final join for the cross-parity form.
+  private val q74: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Dedup
+      .minHashLshPairsAgainst(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
+      .orderBy("new_doc", "ref_doc")
+  }
+
+  private val q74Sql =
+    s"""WITH $lshBandedCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS ref_doc
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+       |SELECT new_doc, ref_doc FROM cand ORDER BY new_doc, ref_doc""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2305,7 +2338,8 @@ object Queries {
     "q70_split_manifest" -> q70,
     "q71_centroid_outliers" -> q71,
     "q72_contingency" -> q72,
-    "q73_curation_e2e" -> q73
+    "q73_curation_e2e" -> q73,
+    "q74_incremental_dedup" -> q74
   )
 
   val oracles: Map[String, String] = Map(
@@ -2379,6 +2413,7 @@ object Queries {
     "q70_split_manifest" -> q70Sql,
     "q71_centroid_outliers" -> q71Sql,
     "q72_contingency" -> q72Sql,
-    "q73_curation_e2e" -> q73Sql
+    "q73_curation_e2e" -> q73Sql,
+    "q74_incremental_dedup" -> q74Sql
   )
 }

@@ -148,7 +148,12 @@ object Dedup {
     * band; docs colliding on any (band, hash) are candidate pairs. Shuffle
     * key is the band bucket — cardinality ~ docs × bands / collision-rate,
     * never docs². */
-  def minHashLshPairs(
+  /** (doc, band, bucket) LSH banding of MinHash signatures — the shared
+    * candidate-generation table behind self-dedup ([[minHashLshPairs]]) and
+    * incremental cross-corpus dedup ([[minHashLshPairsAgainst]]). In a
+    * production ingest the REFERENCE side of this table is persisted once
+    * and only the incoming batch recomputes. */
+  def bandedBuckets(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -158,7 +163,7 @@ object Dedup {
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sig = minHashSignatures(df, idCol, textCol, k, numHashes)
-    val banded = sig.select(
+    sig.select(
       col("doc"),
       posexplode(
         transform(
@@ -172,6 +177,17 @@ object Dedup {
         )
       ).as(Seq("band", "bucket"))
     )
+  }
+
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val banded = bandedBuckets(df, idCol, textCol, k, numHashes, rowsPerBand)
     banded.as("a")
       .join(
         banded.as("b"),
@@ -179,6 +195,33 @@ object Dedup {
           col("a.doc") < col("b.doc")
       )
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Incremental cross-corpus dedup candidates: every incoming document
+    * that collides with an ALREADY-INGESTED reference document in any LSH
+    * band — the batch-N-versus-corpus shape a production ingest runs on
+    * every refresh (self-pairs within the incoming batch are
+    * [[minHashLshPairs]]' job; this join only crosses the boundary, so the
+    * candidate volume is incoming × collision-rate, independent of
+    * reference size). At scale the reference's banded table is a persisted
+    * artifact keyed on (band, bucket); the incoming side shuffles to it.
+    * Returns (new_doc, ref_doc) distinct pairs. */
+  def minHashLshPairsAgainst(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val a = bandedBuckets(incoming, idCol, textCol, k, numHashes, rowsPerBand)
+    val b = bandedBuckets(reference, idCol, textCol, k, numHashes, rowsPerBand)
+    a.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("new_doc"), col("b.doc").as("ref_doc"))
       .distinct()
   }
 

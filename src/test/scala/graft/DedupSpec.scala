@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     assert(est((0L, 4L)) < 0.2)
   }
 
+  test("cross-corpus LSH dedup flags incoming near-dups of the reference only") {
+    val reference = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and parquet files")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup of ref 0
+      (13L, "unrelated new material regarding streaming watermarks and state"),
+      (15L, "unrelated new material regarding streaming watermarks and state") // dup WITHIN incoming
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minHashLshPairsAgainst(incoming, reference, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((11L, 0L)))
+    // intra-incoming duplicates are NOT this operator's job
+    assert(!pairs.exists(p => p._1 == 13L || p._1 == 15L))
+  }
+
   test("duplicatedSpanStats counts cross-doc windows only") {
     val d = Seq(
       (0L, "a b c d e f"), //      3 spans at w=4; "a b c d" shared with doc 1
