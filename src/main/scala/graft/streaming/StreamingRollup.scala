@@ -43,4 +43,32 @@ object StreamingRollup {
         col("window.start").as("hour") +: (keys.map(col) :+ col("n_events") :+ col("total_value")): _*
       )
   }
+
+  /** Gap-based sessions via Spark's BUILT-IN `session_window` — the
+    * watermark-managed sibling of
+    * [[StreamingSessionize]]'s flatMapGroupsWithState form. Use this one
+    * when per-session logic is a plain aggregation (state handled entirely
+    * by the engine: a session closes once the watermark passes its end);
+    * use the custom-state form when the session needs bespoke
+    * accumulators or emission timing. Works identically on batch frames
+    * (no watermark state — pure event-time grouping).
+    */
+  def sessionWindow(
+      df: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      gap: String,
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val groupCols = session_window(col(tsCol), gap) +: keys.map(col)
+    df.withWatermark(tsCol, watermark)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        keys.map(col) :+
+          col("session_window.start").as("session_start") :+
+          col("session_window.end").as("session_end") :+
+          col("n_events"): _*
+      )
+  }
 }

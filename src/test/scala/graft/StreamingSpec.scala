@@ -41,6 +41,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window groups by event-time gap on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val sessions = StreamingRollup.sessionWindow(df, "ts", Seq("user_id"), gap = "30 minutes")
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("session_window_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L), // same session (gap 10m)
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L), // new session (gap 80m)
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L)
+      )
+      q.processAllAvailable()
+      val out = spark.table("session_window_test")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events")))
+        .toSet
+      assert(out == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L),
+        (1L, "2024-01-01 11:30:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", 1L)
+      ))
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes sessions on in-batch gaps and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
