@@ -236,6 +236,24 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incoming rows surviving incremental dedup: drop every incoming doc
+    * that LSH-collides with the already-ingested reference corpus
+    * ([[minHashLshPairsAgainst]]), keep the rest. The anti-join key list is
+    * collision-sized (tiny), so it broadcasts. */
+  def dropAgainstReference(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val flagged = minHashLshPairsAgainst(incoming, reference, idCol, textCol, k, numHashes, rowsPerBand)
+      .select(col("new_doc").as(idCol)).distinct()
+    incoming.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Estimated Jaccard from MinHash signatures (fraction of agreeing
     * components) for verifying LSH candidates without re-shingling. */
   def minHashJaccardEstimate(sigA: Column, sigB: Column): Column =

@@ -62,6 +62,12 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((11L, 0L)))
     // intra-incoming duplicates are NOT this operator's job
     assert(!pairs.exists(p => p._1 == 13L || p._1 == 15L))
+
+    // the keep-side convenience: flagged incoming doc dropped, rest kept
+    val kept = Dedup
+      .dropAgainstReference(incoming, reference, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(13L, 15L))
   }
 
   test("duplicatedSpanStats counts cross-doc windows only") {
