@@ -29,17 +29,24 @@ object Queries {
   private def dAvg(e: String, scale: Int = 4) =
     s"${dSum(e, scale)}/count($e)"
 
-  /** DuckDB mirror of [[AggFunctions.stddevExact]]: integer-units squared
-    * sum (exact), truncated to whole units via HUGEINT floor-div (identical
-    * to Spark's remainder-subtract), then the fixed-order closed form. */
+  /** DuckDB mirror of [[AggFunctions.stddevExact]] — keep in LOCKSTEP with
+    * it: integer-units squared sum (exact, via HUGEINT — DuckDB executes
+    * DECIMAL(18)×DECIMAL(18) in int64 and overflows past ~9.2e18), then
+    * the same magnitude-tiered truncation (HUGEINT floor-div ≡ Spark's
+    * remainder-subtract on non-negatives; small sums convert exactly) and
+    * the same clamped fixed-order closed form. */
   private def dStd(e: String, scale: Int = 4) = {
     val unit = math.pow(10, scale).toLong
-    val r = unit * unit
-    // squares through HUGEINT: DuckDB executes DECIMAL(18)×DECIMAL(18) in
-    // int64 and overflows past ~9.2e18, while HUGEINT×HUGEINT sums exactly
     val u = s"CAST(CAST(CAST($e AS DECIMAL(18,$scale)) * $unit AS DECIMAL(18,0)) AS HUGEINT)"
-    val ss = s"CAST(sum($u * $u) // $r AS DOUBLE)"
-    s"sqrt(($ss - ${dSum(e, scale)}*${dSum(e, scale)}/CAST(count($e) AS DOUBLE))" +
+    val ssu = s"sum($u * $u)"
+    val exactK = s"1e${-2 * scale}"
+    val tiers = (3 to 21 by 3).map { d =>
+      val thresh = (BigDecimal(9) * BigDecimal(10).pow(15 + d)).toBigInt
+      s"WHEN $ssu < $thresh THEN CAST($ssu // ${BigDecimal(10).pow(d).toBigInt} AS DOUBLE) * 1e${d - 2 * scale}"
+    }.mkString(" ")
+    val last = s"ELSE CAST($ssu // ${BigDecimal(10).pow(24).toBigInt} AS DOUBLE) * 1e${24 - 2 * scale}"
+    val ss = s"(CASE WHEN $ssu < 9000000000000000 THEN CAST($ssu AS DOUBLE) * $exactK $tiers $last END)"
+    s"sqrt(greatest($ss - ${dSum(e, scale)}*${dSum(e, scale)}/CAST(count($e) AS DOUBLE), CAST(0.0 AS DOUBLE))" +
       s"/(CAST(count($e) AS DOUBLE) - CAST(1.0 AS DOUBLE)))"
   }
 
@@ -1102,7 +1109,8 @@ object Queries {
        |  FROM (SELECT doc_id, h, unnest(range(0, 16)) AS seed FROM hx12)),
        |${mix64Ctes("sx")},
        |mins AS (SELECT doc_id, seed, min(${signed("mh")}) AS mn FROM mx4 GROUP BY doc_id, seed),
-       |alldocs AS (SELECT doc_id, unnest(range(0, 16)) AS seed FROM documents),
+       |alldocs AS (SELECT doc_id, unnest(range(0, 16)) AS seed
+       |  FROM shg WHERE len(shingles) > 0),
        |sigs AS (SELECT a.doc_id, a.seed, coalesce(m.mn, 9223372036854775807) AS mn
        |  FROM alldocs a LEFT JOIN mins m ON a.doc_id = m.doc_id AND a.seed = m.seed),
        |sigl AS (SELECT doc_id, list($minToU64 ORDER BY seed) AS sigu FROM sigs GROUP BY doc_id),

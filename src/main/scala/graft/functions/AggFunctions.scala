@@ -62,15 +62,36 @@ object AggFunctions {
     * conversions round it differently (observed 1-ulp std drift); the
     * truncated integer part stays exactly representable to Σc² < 2^53. */
   def stddevExact(c: Column, scale: Int = 4): Column = {
+    // scale ≤ 6: keeps values to ~10^(18-2·scale) inside the DECIMAL(18)
+    // quantization (larger would silently null out of the squared sum) and
+    // 10^(2·scale) inside Long.
+    require(scale >= 1 && scale <= 6, s"stddevExact scale must be in [1,6], got $scale")
     val n = count(c).cast("double")
     val s = sumExact(c, scale)
     val unit = math.pow(10, scale).toLong
-    val r = unit * unit
     val u = (c.cast(DecimalType(18, scale)) * unit).cast(DecimalType(18, 0))
-    val ssu = sum(u * u) // exact, units of 10^(-2·scale)
-    // subtract the remainder first so the division is exactly integral —
-    // a direct decimal divide rounds at the result scale in Spark
-    val ss = ((ssu - pmod(ssu, lit(r))) / lit(r)).cast("double")
-    sqrt((ss - s * s / n) / (n - lit(1.0)))
+    val ssu = sum(u * u) // exact integer, units of 10^(-2·scale)
+    // MAGNITUDE-TIERED conversion (mirrored in Queries.dStd — keep in
+    // lockstep): truncate ssu by the smallest power of 10 that brings the
+    // quotient under 2^53, so small-magnitude columns (l_discount-like,
+    // ssu < 9e15) convert EXACTLY — flooring them to whole units would
+    // inject up to O(1/ssu) relative error and NaN on constants — while
+    // large ones keep ≥ 13 significant digits. The remainder-subtract
+    // makes each division exactly integral (a direct decimal divide
+    // rounds); the 10^(d-2·scale) factors are IEEE doubles both engines
+    // parse identically.
+    val exact = ssu.cast("double") * lit(math.pow(10.0, -2 * scale))
+    // tier d: ssu < 9·10^(15+d) → divide by 10^d, quotient < 9e15 < 2^53;
+    // the else-branch (d = 24, no threshold — 9·10^39 exceeds both
+    // engines' decimal literal range) covers every DECIMAL(38,0) value.
+    def tier(d: Int) = {
+      val div = BigDecimal(10).pow(d)
+      ((ssu - pmod(ssu, lit(div))) / lit(div)).cast("double") * lit(math.pow(10.0, d - 2 * scale))
+    }
+    val ss = (3 to 21 by 3).foldLeft(
+      when(ssu < lit(BigDecimal(9) * BigDecimal(10).pow(15)), exact)) { (acc, d) =>
+      acc.when(ssu < lit(BigDecimal(9) * BigDecimal(10).pow(15 + d)), tier(d))
+    }.otherwise(tier(24))
+    sqrt(greatest(ss - s * s / n, lit(0.0)) / (n - lit(1.0)))
   }
 }

@@ -162,7 +162,15 @@ object Dedup {
       rowsPerBand: Int = 4
   ): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = minHashSignatures(df, idCol, textCol, k, numHashes)
+    // Documents shorter than k tokens have NO shingles and would all carry
+    // the identical all-MaxValue signature — which collides in every band,
+    // pairing every short doc with every other short doc (and, for the
+    // cross-corpus form, silently dropping short incoming docs whenever
+    // the reference contains any short doc). No shingles = no similarity
+    // signal: exclude them from candidate generation entirely.
+    val sig = minHashSignatures(
+      df.filter(size(TextFunctions.tokens(col(textCol))) >= k),
+      idCol, textCol, k, numHashes)
     sig.select(
       col("doc"),
       posexplode(

@@ -60,6 +60,10 @@ object StreamingRollup {
       gap: String,
       watermark: String = "2 hours"
   ): DataFrame = {
+    // Spark rejects GLOBAL session-window aggregation on streams at
+    // runtime; require the key up front so the failure is immediate.
+    require(keys.nonEmpty,
+      "session_window streaming aggregation needs at least one grouping key")
     val groupCols = session_window(col(tsCol), gap) +: keys.map(col)
     df.withWatermark(tsCol, watermark)
       .groupBy(groupCols: _*)

@@ -98,12 +98,7 @@ class AsOfRangeSpec extends SparkSpec {
 
   test("stratified sampling decisions agree with the scalar hash formula") {
     // replicates Sampling.hashBucket row-by-row on the driver
-    def mix64(z: Long): Long = {
-      var x = z + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
+    import graft.HashRef.mix64
     val ids = (0L until 500L)
     val expected = ids.filter { i =>
       val b = math.floorMod(mix64(i + 7L * 0x9E3779B97F4A7C15L), 1000000L)

@@ -17,19 +17,11 @@ class PropertySpec extends SparkSpec {
 
   // ---- pure-JVM hash properties -----------------------------------------
 
-  // splitmix64 finalizer, JVM form (same constants as HashFunctions.mix64 /
-  // MinHashSig — wrapping long arithmetic)
-  private def mix64(x: Long): Long = {
-    val z0 = x + -7046029254386353131L
-    val z1 = (z0 ^ (z0 >>> 30)) * -4658895280553007687L
-    val z2 = (z1 ^ (z1 >>> 27)) * -7723592293110705685L
-    z2 ^ (z2 >>> 31)
-  }
+  import graft.HashRef.mix64
 
-  test("mix64 is deterministic and collision-free over a 100k sample") {
+  test("mix64 is collision-free over a 100k sample") {
     val xs = (0L until 100000L).map(x => mix64(x * 2654435761L + 17))
     assert(xs.distinct.length == xs.length)
-    assert(xs == (0L until 100000L).map(x => mix64(x * 2654435761L + 17)))
   }
 
   test("column mix64 agrees with the JVM form (codegen vs reference)") {

@@ -11,3 +11,15 @@ object TestSpark {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 }
+
+/** JVM reference of [[graft.functions.HashFunctions.mix64]] — ONE copy for
+  * every suite that replays hashing on the driver, so the constants cannot
+  * drift between test-side reimplementations. */
+object HashRef {
+  def mix64(z: Long): Long = {
+    var x = z + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}
