@@ -23,11 +23,37 @@ object Bench {
     Graft.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query watchdog: the wall-clock budget below is only checked BETWEEN
+    // queries, so one genuinely hung query would still ride the process into
+    // the driver's kill (rc=124, no JSON). Each query runs in its own thread
+    // under a job group; past the deadline the group is cancelled (Spark
+    // tasks respond to cancellation at the next record boundary) and the
+    // query is scored -1 for the pass — a lost sample, not a lost round.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_SEC", "600").toLong
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      @volatile var failed: Throwable = null
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable => failed = e }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(queryTimeoutSec * 1000)
+      if (worker.isAlive) {
+        System.err.println(s"[bench] $name TIMED OUT after ${queryTimeoutSec}s — cancelling")
+        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        worker.join(30000)
+        return -1.0
+      }
+      if (failed != null) {
+        System.err.println(s"[bench] $name failed: $failed"); return -1.0
+      }
       val t = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name $t%.2fs")
       t

@@ -16,13 +16,27 @@ object Verify {
     Graft.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries run PARALLEL_Q at a time (Spark's scheduler is thread-safe and
+    // each query writes its own directory): at sf0.01 most queries are
+    // scheduler-bound, not core-bound, so overlapping them cuts wall-clock
+    // ~3x — insurance against the host's episodic slow windows landing the
+    // whole sequential sweep past the driver's timeout.
+    val parallelism = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(s"[verify] $name ok")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
