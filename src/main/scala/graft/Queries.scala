@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Packing, Rollup, Sampling, Similarity, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Packing, Rollup, Sampling, Similarity, Sketches, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -2271,6 +2271,123 @@ object Queries {
        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
        |SELECT new_doc, ref_doc FROM cand ORDER BY new_doc, ref_doc""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  // Deterministic HyperLogLog (Sketches.hllDistinct) next to the exact
+  // count: unlike q50's engine-specific HLL++, every step here is integer
+  // SplitMix64 arithmetic plus one final IEEE division, so the DuckDB
+  // oracle reproduces the ESTIMATE bit-for-bit — a sketch whose decisions
+  // can be audited by an independent engine. Shuffle per group is capped at
+  // 256 register rows however large the input.
+  private val q75: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val est = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"), p = 8)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type").orderBy("event_type")
+  }
+
+  private val q75Sql = {
+    import DuckHash._
+    val numer = graft.operators.Sketches.hllNumerator(8)
+    s"""WITH mx0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS u FROM events),
+       |${mix64Ctes("u")},
+       |hw AS (SELECT event_type, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
+       |sm1 AS (SELECT *, w|(w>>1) AS s1 FROM hw),
+       |sm2 AS (SELECT *, s1|(s1>>2) AS s2 FROM sm1),
+       |sm3 AS (SELECT *, s2|(s2>>4) AS s3 FROM sm2),
+       |sm4 AS (SELECT *, s3|(s3>>8) AS s4 FROM sm3),
+       |sm5 AS (SELECT *, s4|(s4>>16) AS s5 FROM sm4),
+       |sm6 AS (SELECT *, s5|(s5>>32) AS s6 FROM sm5),
+       |rho AS (SELECT event_type, bucket,
+       |  CASE WHEN w = 0 THEN 57 ELSE 57 - CAST(bit_count(s6) AS BIGINT) END AS r
+       |  FROM sm6),
+       |regs AS (SELECT event_type, bucket, max(r) AS reg FROM rho GROUP BY event_type, bucket),
+       |agg AS (SELECT event_type,
+       |  CAST(sum(CAST(1 AS HUGEINT) << CAST(57 - reg AS INTEGER)) AS HUGEINT)
+       |    + (256 - count(*)) * (CAST(1 AS HUGEINT) << 57) AS sinv
+       |  FROM regs GROUP BY event_type),
+       |exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+       |SELECT a.event_type, $numer / CAST(a.sinv AS DOUBLE) AS est_distinct, e.n_exact
+       |FROM agg a JOIN exact e ON a.event_type = e.event_type
+       |ORDER BY a.event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q76
+  // Deterministic hash-sampled percentiles — the oracle-checkable scale
+  // tier between exact q37 (full sort, cliffs on billion-row groups) and
+  // sketch q41 (bounded memory, engine-specific digest): a ~10% SplitMix64
+  // sample (low 10 hash bits < 102) cuts the sorted buffer 10x while both
+  // engines select the IDENTICAL sample, so the quantiles — exact on the
+  // sample — match bit-for-bit. The sample predicate rides the scan
+  // (codegen filter, no UDF, no shuffle added).
+  private val q76: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val key = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
+    li.filter(
+        graft.functions.HashFunctions.mix64(key).bitwiseAND(lit(1023L)) < lit(102L))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+        count(lit(1)).as("n_sample"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q76Sql = {
+    val mh = DuckHash.mix64Inline("CAST(l_orderkey*8 + l_linenumber AS UBIGINT)")
+    s"""SELECT l_returnflag,
+       | quantile_cont(l_quantity, 0.5) AS median_qty,
+       | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       | quantile_cont(l_extendedprice, 0.75) AS p75_price,
+       | count(*) AS n_sample
+       |FROM lineitem WHERE ($mh & 1023) < 102
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q77
+  // Unicode NFC normalization (plans.NfcNormalize — native codegen
+  // expression, §7 tier b): canonicalizes composed/decomposed forms before
+  // hash-based dedup so canonical equality and byte equality coincide.
+  // DuckDB's nfc_normalize implements the same Unicode TR15 NFC, making the
+  // normalized text value-level comparable across engines.
+  private val q77: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        graft.plans.GraftFunctions.nfcNormalize(col("text")).as("text_nfc"))
+      .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
+      .orderBy("doc_id")
+
+  private val q77Sql =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      | length(nfc_normalize(text)) AS n_chars_nfc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  // Snapshot upsert / CDC latest-wins merge (Merge.upsertLatest) — the
+  // distributed form of the reference's in-place UPDATE backfill (reference
+  // src/etl.py:21-29). Even event_ids play the base snapshot, odd ids the
+  // change batch; per user the newest (ts, updates-win, event_id) row
+  // survives. One shuffle total: the window's hash partition on user_id.
+  private val q78: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    graft.operators.Merge
+      .upsertLatest(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        keys = Seq("user_id"), versionCol = "ts", tieBreak = "event_id")
+      .orderBy("user_id")
+  }
+
+  private val q78Sql =
+    """WITH t AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "value", props,
+      |  CAST(event_id % 2 AS INTEGER) AS src FROM events),
+      |r AS (SELECT *, row_number() OVER (
+      |  PARTITION BY user_id ORDER BY ts DESC, src DESC, event_id DESC) AS rn FROM t)
+      |SELECT event_id, ts, user_id, event_type, "value", props
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2347,7 +2464,11 @@ object Queries {
     "q71_centroid_outliers" -> q71,
     "q72_contingency" -> q72,
     "q73_curation_e2e" -> q73,
-    "q74_incremental_dedup" -> q74
+    "q74_incremental_dedup" -> q74,
+    "q75_hll_distinct" -> q75,
+    "q76_sampled_percentiles" -> q76,
+    "q77_nfc_normalize" -> q77,
+    "q78_upsert_merge" -> q78
   )
 
   val oracles: Map[String, String] = Map(
@@ -2422,6 +2543,10 @@ object Queries {
     "q71_centroid_outliers" -> q71Sql,
     "q72_contingency" -> q72Sql,
     "q73_curation_e2e" -> q73Sql,
-    "q74_incremental_dedup" -> q74Sql
+    "q74_incremental_dedup" -> q74Sql,
+    "q75_hll_distinct" -> q75Sql,
+    "q76_sampled_percentiles" -> q76Sql,
+    "q77_nfc_normalize" -> q77Sql,
+    "q78_upsert_merge" -> q78Sql
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.HashFunctions
+
+/** Deterministic, cross-engine-reproducible sketches.
+  *
+  * Spark's own sketch aggregates (`approx_count_distinct` HLL++,
+  * `approx_percentile` GK) are correct and scale-safe but their internals are
+  * engine-specific: the same data yields different estimates on a different
+  * engine, so results can only be verified by error bounds, not by equality.
+  * The sketches here trade a little accuracy headroom for *bit-exact
+  * reproducibility*: every step is integer arithmetic on SplitMix64 hashes
+  * (public-domain finalizer, same constants as
+  * [[graft.functions.HashFunctions.mix64]]) plus ONE final IEEE double
+  * division, so an independent engine (the DuckDB oracle replays the math in
+  * SQL) produces the identical estimate. That property matters operationally
+  * at 100 TB: dedup/cardinality decisions made by a sketch can be audited and
+  * re-derived downstream without re-running the original job.
+  *
+  * Reference anchor: the reference validates row counts per table
+  * (`src/etl.py:283-291` acceptance query, `src/etl.py:305-315` constraint
+  * counts); these sketches are the bounded-memory scale tier of the same
+  * "how many distinct / how big" questions.
+  */
+object Sketches {
+
+  /** Raw-estimator HyperLogLog with deterministic SplitMix64 hashing.
+    *
+    * Per group: hash each key to 64 bits; low `p` bits pick one of `m = 2^p`
+    * registers, the remaining `64-p` bits' leading-zero rank (rho, in
+    * `1 .. 65-p`) is max-reduced per register; the estimate is the classic
+    * harmonic mean `alpha_m * m^2 / sum_j 2^(-M_j)` over all `m` registers
+    * (absent registers contribute `2^0`). The inverse-power sum is
+    * accumulated EXACTLY: each `2^(-M_j)` is scaled by `2^(65-p)` into an
+    * integer summed as decimal(38,0), so the only floating-point op is the
+    * final constant/sum division — the step that makes the estimate
+    * bit-identical across engines and partitionings.
+    *
+    * Plan shape: two hash aggregations (group+register, then group) with
+    * map-side partial combine — shuffle volume is at most `m` rows per group
+    * regardless of input size, the property that makes distinct-counting
+    * feasible on billion-cardinality groups where exact `count(distinct)`
+    * needs a full repartition of every key.
+    *
+    * Raw estimator only (no small/large-range correction): keeps both engine
+    * implementations one expression each; accuracy is the standard
+    * `~1.04/sqrt(m)` once cardinality exceeds `~2.5*m` (SketchesSpec pins
+    * the harness-data error; q34 is the exact tier).
+    *
+    * @param keyCol distinct-counted key (hashed via `cast(long)`)
+    * @param p      register-index bits; m = 2^p registers, default 256
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val maxRho = 65 - p // rho when the suffix is all zeros
+
+    val h = HashFunctions.mix64(keyCol.cast("long"))
+    val bucket = h.bitwiseAND(lit((m - 1).toLong))
+    val w = shiftrightunsigned(h, p)
+    // Accumulating bit-smear: after OR-ing in shifts of itself by
+    // 1,2,4,8,16,32 every bit below the MSB is set, so bit_count = the bit
+    // length of w; rho = (65-p) - bit_length(w).
+    val s1 = w.bitwiseOR(shiftrightunsigned(w, 1))
+    val s2 = s1.bitwiseOR(shiftrightunsigned(s1, 2))
+    val s3 = s2.bitwiseOR(shiftrightunsigned(s2, 4))
+    val s4 = s3.bitwiseOR(shiftrightunsigned(s3, 8))
+    val s5 = s4.bitwiseOR(shiftrightunsigned(s4, 16))
+    val s6 = s5.bitwiseOR(shiftrightunsigned(s5, 32))
+    val rho = when(w === 0L, lit(maxRho))
+      .otherwise(lit(maxRho) - bit_count(s6).cast("int"))
+
+    val g = groupCols.map(col)
+    val registers = df
+      .select(g :+ bucket.as("__hll_bucket") :+ rho.as("__hll_rho"): _*)
+      .groupBy(g :+ col("__hll_bucket"): _*)
+      .agg(max(col("__hll_rho")).as("__hll_reg"))
+
+    // 2^(-reg) scaled by 2^maxRho: an exact long in [1, 2^(maxRho-1)];
+    // decimal(38,0) sum holds m * 2^maxRho (< 2^81 only for p=16 — still
+    // inside 38 digits) without overflow or rounding. (expr form: the
+    // functions-API `shiftleft` only accepts a literal shift amount, but the
+    // underlying ShiftLeft expression shifts by a column just fine.)
+    val scaledInv =
+      expr(s"cast(shiftleft(cast(1 as bigint), $maxRho - __hll_reg) as decimal(38,0))")
+    val absent = (lit(m.toLong) - count(lit(1))).cast(DecimalType(38, 0)) *
+      lit(1L << maxRho).cast(DecimalType(38, 0))
+
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, maxRho)
+
+    registers
+      .groupBy(g: _*)
+      .agg((sum(scaledInv) + absent).as("__hll_s"))
+      .select(g :+ (lit(numer) / col("__hll_s").cast("double")).as("est_distinct"): _*)
+  }
+
+  /** The exact double constant `alpha_m * m^2 * 2^(65-p)` used by
+    * [[hllDistinct]], exposed so an external oracle can embed the identical
+    * literal (Scala's `Double.toString` round-trips). */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 65 - p)
+  }
+}

@@ -46,12 +46,26 @@ object GraftFunctions {
   private[plans] val minhashInfo =
     new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
 
+  /** Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfcNormalize(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+
+  private[plans] val nfcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_nfc expects exactly 1 argument")
+    NfcNormalize(children.head)
+  }
+
+  private[plans] val nfcInfo =
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
+
   /** Register the engine's functions into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder)
   }
 }
 
@@ -67,5 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo,
         GraftFunctions.minhashBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_nfc"), GraftFunctions.nfcInfo,
+        GraftFunctions.nfcBuilder))
   }
 }

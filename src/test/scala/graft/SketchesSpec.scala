@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Sketches}
+import graft.plans.GraftFunctions
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- deterministic HLL ----
+
+  test("hllDistinct estimate lands within the standard error envelope") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("g", "k")
+    val est = Sketches.hllDistinct(df, Seq("g"), col("k"), p = 8)
+      .select("est_distinct").as[Double].head()
+    // raw estimator, m=256 → ~6.5% standard error; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.20, s"estimate $est too far from $n")
+  }
+
+  test("hllDistinct is invariant to partitioning and row order") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "a" else "b", (i * 7919).toLong))
+      .toDF("g", "k")
+    val base = Sketches.hllDistinct(df, Seq("g"), col("k"), p = 8)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val shuffled = Sketches.hllDistinct(
+        df.repartition(13, col("k")).sortWithinPartitions(col("k").desc),
+        Seq("g"), col("k"), p = 8)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(base.toSeq == shuffled.toSeq) // bit-identical doubles
+  }
+
+  test("hllDistinct matches a driver-side replay of the same math") {
+    val keys = (1 to 1200).map(i => (i * 104729).toLong)
+    val df = keys.map(("g", _)).toDF("g", "k")
+    val est = Sketches.hllDistinct(df, Seq("g"), col("k"), p = 8)
+      .select("est_distinct").as[Double].head()
+
+    val m = 256
+    val regs = new Array[Int](m)
+    keys.foreach { k =>
+      val h = HashRef.mix64(k)
+      val b = (h & (m - 1)).toInt
+      val w = h >>> 8
+      val rho = if (w == 0L) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(b)) regs(b) = rho
+    }
+    val s = regs.map(r => BigInt(1) << (57 - r)).sum
+    val expected = Sketches.hllNumerator(8) / s.toDouble
+    assert(est == expected) // exact: same integer path, one final division
+  }
+
+  test("hllDistinct rejects out-of-range precision") {
+    val df = Seq(("g", 1L)).toDF("g", "k")
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(df, Seq("g"), col("k"), p = 20)
+    }
+  }
+
+  // ---- NFC normalization ----
+
+  test("nfcNormalize composes decomposed sequences and preserves NFC text") {
+    val decomposed = "Cafe\u0301 du Muse\u0301e" // e + COMBINING ACUTE ACCENT
+    val composed = "Caf\u00e9 du Mus\u00e9e"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "t")
+    val out = df.select(col("id"), GraftFunctions.nfcNormalize(col("t")).as("n"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out(0)._2 == composed) // decomposed → composed
+    assert(out(1)._2 == composed) // already NFC → unchanged
+    assert(out(2)._2 == "plain ascii")
+    assert(out(3)._2 == null) // null propagates
+  }
+
+  test("nfcNormalize interpreted and codegen paths agree with the JDK normalizer") {
+    // A + RING, e + ACUTE, d + DOT BELOW + DOT ABOVE (combining marks
+    // reorder canonically under NFC)
+    val s = "A\u030a bc de\u0301f d\u0307\u0323"
+    val df = Seq(s).toDF("t")
+    val projected = df.select(GraftFunctions.nfcNormalize(col("t"))).as[String].head()
+    assert(projected == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val kept = df.filter(
+      length(GraftFunctions.nfcNormalize(col("t"))) === lit(projected.length)).count()
+    assert(kept == 1L)
+  }
+
+  test("nfc equality after normalization enables exact dedup of canonical twins") {
+    val df = Seq((1L, "r\u00e9sum\u00e9"), (2L, "re\u0301sume\u0301")).toDF("id", "t")
+    val distinctRaw = df.select("t").distinct().count()
+    val distinctNfc = df.select(GraftFunctions.nfcNormalize(col("t"))).distinct().count()
+    assert(distinctRaw == 2L && distinctNfc == 1L)
+  }
+
+  // ---- upsert merge ----
+
+  private def ev(rows: (Long, Long, Int, String)*) =
+    rows.toSeq.toDF("event_id", "user_id", "v", "payload")
+
+  test("upsertLatest keeps the newest version per key, updates win ties") {
+    val base = ev((10L, 1L, 5, "base-old"), (11L, 2L, 9, "base-keep"), (12L, 3L, 1, "tie-base"))
+    val updates = ev((20L, 1L, 7, "upd-new"), (21L, 3L, 1, "tie-upd"))
+    val out = Merge.upsertLatest(base, updates, Seq("user_id"), "v", "event_id")
+      .orderBy("user_id").as[(Long, Long, Int, String)].collect()
+    assert(out.map(_._4).toSeq == Seq("upd-new", "base-keep", "tie-upd"))
+  }
+
+  test("upsertLatest re-applying the same batch is a no-op") {
+    val base = ev((1L, 1L, 3, "a"), (2L, 2L, 4, "b"))
+    val batch = ev((3L, 1L, 5, "a2"))
+    val once = Merge.upsertLatest(base, batch, Seq("user_id"), "v", "event_id")
+    val twice = Merge.upsertLatest(once, batch, Seq("user_id"), "v", "event_id")
+    assert(once.orderBy("user_id").collect().toSeq ==
+      twice.orderBy("user_id").collect().toSeq)
+  }
+
+  test("upsertLatest rejects mismatched schemas") {
+    val base = ev((1L, 1L, 3, "a"))
+    val bad = Seq((1L, 1L)).toDF("event_id", "user_id")
+    intercept[IllegalArgumentException] {
+      Merge.upsertLatest(base, bad, Seq("user_id"), "v", "event_id")
+    }
+  }
+}
