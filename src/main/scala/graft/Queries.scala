@@ -2388,6 +2388,42 @@ object Queries {
       |SELECT event_id, ts, user_id, event_type, "value", props
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  // Count-min-sketch heavy hitters (Sketches.cmsTopK): top users per event
+  // type by CMS estimate with the exact count for audit. Like q75, the
+  // sketch is seeded-SplitMix64 integer arithmetic end-to-end, so the
+  // ESTIMATES (not just the ranking) hash-match the DuckDB replay; the
+  // counter table is capped at groups × depth × width rows however large
+  // the input — the property that keeps heavy-hitter queries broadcastable
+  // at 100 TB.
+  private val q79: Q = (s, dir) =>
+    Sketches
+      .cmsTopK(Tables.events(s, dir), Seq("event_type"), col("user_id"),
+        k = 5, depth = 4, width = 1024)
+      .orderBy(col("event_type"), col("est_count").desc, col("key"))
+
+  private val q79Sql = {
+    import DuckHash._
+    s"""WITH b AS (SELECT event_type, user_id, CAST(user_id AS UBIGINT) AS u FROM events),
+       |sd AS (SELECT event_type, user_id, u, unnest(range(0, 4)) AS s FROM b),
+       |mx0 AS (SELECT event_type, user_id, s,
+       |  ${wadd("u", wmul("CAST(s AS UBIGINT)", Golden.toString))} AS x FROM sd),
+       |${mix64Ctes("x")},
+       |hw AS (SELECT event_type, user_id, s, mh & 1023 AS bucket FROM mx4),
+       |counters AS (SELECT event_type, s, bucket, count(*) AS c FROM hw GROUP BY 1, 2, 3),
+       |items AS (SELECT DISTINCT event_type, user_id, s, bucket FROM hw),
+       |est AS (SELECT i.event_type, i.user_id, min(c.c) AS est_count
+       |  FROM items i JOIN counters c
+       |    ON i.event_type = c.event_type AND i.s = c.s AND i.bucket = c.bucket
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT event_type, user_id, count(*) AS exact_count FROM events GROUP BY 1, 2),
+       |r AS (SELECT e.event_type, e.user_id AS key, e.est_count, x.exact_count,
+       |  row_number() OVER (PARTITION BY e.event_type ORDER BY e.est_count DESC, e.user_id) AS rn
+       |  FROM est e JOIN ex x ON e.event_type = x.event_type AND e.user_id = x.user_id)
+       |SELECT event_type, key, est_count, exact_count FROM r WHERE rn <= 5
+       |ORDER BY event_type, est_count DESC, key""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2468,7 +2504,8 @@ object Queries {
     "q75_hll_distinct" -> q75,
     "q76_sampled_percentiles" -> q76,
     "q77_nfc_normalize" -> q77,
-    "q78_upsert_merge" -> q78
+    "q78_upsert_merge" -> q78,
+    "q79_cms_heavy_hitters" -> q79
   )
 
   val oracles: Map[String, String] = Map(
@@ -2547,6 +2584,7 @@ object Queries {
     "q75_hll_distinct" -> q75Sql,
     "q76_sampled_percentiles" -> q76Sql,
     "q77_nfc_normalize" -> q77Sql,
-    "q78_upsert_merge" -> q78Sql
+    "q78_upsert_merge" -> q78Sql,
+    "q79_cms_heavy_hitters" -> q79Sql
   )
 }

@@ -110,4 +110,70 @@ object Sketches {
     val m = 1 << p
     0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 65 - p)
   }
+
+  /** Count-min-sketch heavy hitters: top-`k` keys per group ranked by their
+    * CMS count estimate, with the exact count alongside for auditing.
+    *
+    * The sketch: `depth` hash rows (seeded SplitMix64 family,
+    * [[HashFunctions.seeded]]) × `width` counters; a key's estimate is the
+    * MIN of its `depth` counters, an upper bound on the true count
+    * (Cormode & Muthukrishnan's classic bound: overestimate ≤ e·N/width
+    * with probability 1 − e^(−depth)). Everything is integer arithmetic —
+    * counter build, bucket probe, min — so the estimates are bit-identical
+    * across engines; ties rank deterministically by key.
+    *
+    * Scale shape: the counter table is at most `groups × depth × width`
+    * rows no matter how many input rows — the map-side combine collapses
+    * each partition's contribution before the one small shuffle. At 100 TB
+    * the counters stay broadcastable (4×1024 longs per group) while exact
+    * per-key counting of billions of distinct keys would repartition every
+    * key; the exact join here exists for the audit column and the oracle,
+    * and is the piece a pure-scale deployment would drop.
+    */
+  def cmsTopK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: Column,
+      k: Int = 5,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0, s"width must be a power of 2, got $width")
+    val g = groupCols.map(col)
+
+    val seeded = df
+      .select(g :+ keyCol.cast("long").as("__cms_key"): _*)
+      .withColumn("__cms_seed", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("__cms_bucket",
+        HashFunctions.seeded(col("__cms_key"), col("__cms_seed"))
+          .bitwiseAND(lit((width - 1).toLong)))
+
+    val counters = seeded
+      .groupBy(g :+ col("__cms_seed") :+ col("__cms_bucket"): _*)
+      .agg(count(lit(1)).as("__cms_c"))
+
+    val itemBuckets = seeded
+      .select(g :+ col("__cms_key") :+ col("__cms_seed") :+ col("__cms_bucket"): _*)
+      .distinct()
+
+    val est = itemBuckets
+      .join(counters, groupCols :+ "__cms_seed" :+ "__cms_bucket")
+      .groupBy(g :+ col("__cms_key"): _*)
+      .agg(min(col("__cms_c")).as("est_count"))
+
+    val exact = df
+      .select(g :+ keyCol.cast("long").as("__cms_key"): _*)
+      .groupBy(g :+ col("__cms_key"): _*)
+      .agg(count(lit(1)).as("exact_count"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+      .orderBy(col("est_count").desc, col("__cms_key"))
+    est
+      .join(exact, groupCols :+ "__cms_key")
+      .withColumn("__cms_rn", row_number().over(w))
+      .filter(col("__cms_rn") <= k)
+      .drop("__cms_rn")
+      .withColumnRenamed("__cms_key", "key")
+  }
 }

@@ -92,6 +92,38 @@ class SketchesSpec extends SparkSpec {
     assert(distinctRaw == 2L && distinctNfc == 1L)
   }
 
+  // ---- count-min heavy hitters ----
+
+  test("cmsTopK estimates upper-bound exact counts and rank true heavy hitters first") {
+    // key 7 appears 300x, key 13 100x, 400 singletons
+    val rows = Seq.fill(300)(7L) ++ Seq.fill(100)(13L) ++ (1000L until 1400L)
+    val df = rows.map(("g", _)).toDF("g", "k")
+    val top = Sketches.cmsTopK(df, Seq("g"), col("k"), k = 2, depth = 4, width = 1024)
+      .orderBy(col("est_count").desc).collect()
+    assert(top.map(_.getAs[Long]("key")).toSeq == Seq(7L, 13L))
+    top.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count")) // CMS never undercounts
+    }
+    assert(top(0).getAs[Long]("exact_count") == 300L)
+  }
+
+  test("cmsTopK is deterministic under repartitioning") {
+    val rows = (1 to 500).map(i => ("g", (i % 37).toLong))
+    val df = rows.toDF("g", "k")
+    val a = Sketches.cmsTopK(df, Seq("g"), col("k"), k = 5)
+      .orderBy(col("est_count").desc, col("key")).collect().toSeq
+    val b = Sketches.cmsTopK(df.repartition(11, col("k")), Seq("g"), col("k"), k = 5)
+      .orderBy(col("est_count").desc, col("key")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("cmsTopK validates sketch geometry") {
+    val df = Seq(("g", 1L)).toDF("g", "k")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsTopK(df, Seq("g"), col("k"), width = 1000) // not a power of 2
+    }
+  }
+
   // ---- upsert merge ----
 
   private def ev(rows: (Long, Long, Int, String)*) =
