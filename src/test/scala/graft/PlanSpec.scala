@@ -123,4 +123,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("q75 HLL shuffles registers, not rows: partial max before the exchange") {
+    val p = plan(SparkEntry.queries("q75_hll_distinct")(spark, sf))
+    // map-side partial_max collapses each partition to <= m register rows
+    // BEFORE the (group, bucket) exchange — the bounded-shuffle property
+    assert(p.contains("partial_max"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("q79 CMS top-k uses WindowGroupLimit and broadcast counter joins") {
+    val p = plan(SparkEntry.queries("q79_cms_heavy_hitters")(spark, sf))
+    // rank-limit pushdown: per-partition top-k before the window shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q77 NFC normalization runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q77_nfc_normalize")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("*("), p.take(3000)) // WholeStageCodegen span marker
+  }
 }

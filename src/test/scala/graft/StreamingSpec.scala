@@ -184,4 +184,36 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set((1L, "2024-01-01 10:30:00.0")))
     } finally q.stop()
   }
+
+  test("runningDistinct matches the batch HLL sketch on the same events") {
+    import graft.streaming.StreamingDistinct
+    import graft.streaming.StreamingDistinct.KeyedValue
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val est = StreamingDistinct.runningDistinct(input.toDS())
+    val q = est.writeStream
+      .format("memory").queryName("hll_stream_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      val batch1 = (1 to 400).map(i => KeyedValue("g", (i * 7919).toLong, t))
+      val batch2 = (300 to 700).map(i => KeyedValue("g", (i * 7919).toLong, t))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // latest update row carries the estimate over BOTH batches
+      val streamed = spark.table("hll_stream_test")
+        .orderBy(col("n_events").desc).limit(1)
+        .collect().map(r => (r.getAs[Double]("est_distinct"), r.getAs[Long]("n_events"))).head
+      assert(streamed._2 == batch1.size + batch2.size)
+      // the streaming registers obey the same math as the batch sketch:
+      // estimates are bit-identical for the same key multiset
+      val batchEst = graft.operators.Sketches
+        .hllDistinct((batch1 ++ batch2).map(e => ("g", e.key)).toDF("g", "k"),
+          Seq("g"), col("k"), p = 8)
+        .select("est_distinct").as[Double].head()
+      assert(streamed._1 == batchEst)
+    } finally q.stop()
+  }
 }
