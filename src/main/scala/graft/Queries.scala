@@ -2424,6 +2424,94 @@ object Queries {
        |ORDER BY event_type, est_count DESC, key""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q80
+  // Join-skew probe (Diagnostics.joinSkewProbe): per-key row counts on both
+  // sides of a prospective join and the exact output contribution
+  // n_left * n_right, top-20 — the pre-flight that spots the straggler key
+  // BEFORE a 1000-executor stage strands on it. Two map-side-combined
+  // aggregations; shuffle = distinct keys, never rows.
+  private val q80: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    graft.operators.Diagnostics.joinSkewProbe(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") =!= "purchase"),
+      "user_id", topN = 20)
+  }
+
+  private val q80Sql =
+    """WITH l AS (SELECT user_id, count(*) AS n_left FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (SELECT user_id, count(*) AS n_right FROM events
+      |  WHERE event_type <> 'purchase' GROUP BY user_id)
+      |SELECT l.user_id, n_left, n_right, n_left * n_right AS est_pairs
+      |FROM l JOIN r ON l.user_id = r.user_id
+      |ORDER BY est_pairs DESC, l.user_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  // Bloom-filter semi-join pre-filter (BloomPrefilter): lineitem probed
+  // against a 256 Ki-bit word table built from expensive orders' keys —
+  // the explicit, engine-portable form of runtime row-level filtering.
+  // Per returnflag: total rows, bloom survivors, true matches, and the
+  // false-positive tail the exact join absorbs. The oracle rebuilds the
+  // identical bit table in SQL (SplitMix64 replay + bit_or), so
+  // MEMBERSHIP DECISIONS, not just counts, are cross-engine verified.
+  private val q81: Q = (s, dir) => {
+    val expensive = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey")).distinct()
+    val table = graft.operators.BloomPrefilter
+      .buildTable(expensive, col("o_orderkey"), mBits = 262144, seeds = 2)
+    val flagged = graft.operators.BloomPrefilter
+      .prefilter(Tables.lineitem(s, dir), col("l_orderkey"), table,
+        mBits = 262144, seeds = 2)
+    flagged
+      .join(broadcast(expensive.withColumn("__true", lit(1))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("__true").isNotNull, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("bloom_pass") && col("__true").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q81Sql = {
+    import DuckHash._
+    s"""WITH ek AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 450000),
+       |allk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem
+       |  UNION SELECT o_orderkey FROM ek),
+       |sd AS (SELECT key, unnest(range(0, 2)) AS s FROM allk),
+       |mx0 AS (SELECT key, s,
+       |  ${wadd("CAST(key AS UBIGINT)", wmul("CAST(s AS UBIGINT)", Golden.toString))} AS x FROM sd),
+       |${mix64Ctes("x")},
+       |hb AS (SELECT key, s, (mh & 262143) >> 6 AS word,
+       |  CAST((mh & 262143) % 64 AS INTEGER) AS bit,
+       |  CAST(1 AS UBIGINT) << CAST((mh & 262143) % 64 AS INTEGER) AS mask
+       |  FROM mx4),
+       |bloom AS (SELECT word, bit_or(mask) AS bits
+       |  FROM hb JOIN ek ON hb.key = ek.o_orderkey GROUP BY word),
+       |probe AS (SELECT li.l_orderkey, li.l_returnflag,
+       |    h0.word AS w0, h0.bit AS b0, h1.word AS w1, h1.bit AS b1
+       |  FROM lineitem li
+       |  JOIN hb h0 ON h0.key = li.l_orderkey AND h0.s = 0
+       |  JOIN hb h1 ON h1.key = li.l_orderkey AND h1.s = 1),
+       |tested AS (SELECT p.l_orderkey, p.l_returnflag,
+       |    (coalesce((bb0.bits >> p.b0) & 1, 0) = 1
+       |     AND coalesce((bb1.bits >> p.b1) & 1, 0) = 1) AS pass
+       |  FROM probe p
+       |  LEFT JOIN bloom bb0 ON bb0.word = p.w0
+       |  LEFT JOIN bloom bb1 ON bb1.word = p.w1),
+       |wt AS (SELECT t.*, (ek.o_orderkey IS NOT NULL) AS istrue
+       |  FROM tested t LEFT JOIN ek ON t.l_orderkey = ek.o_orderkey)
+       |SELECT l_returnflag, count(*) AS n_rows,
+       | CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       | CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       | CAST(sum(CASE WHEN pass AND NOT istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM wt GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2505,7 +2593,9 @@ object Queries {
     "q76_sampled_percentiles" -> q76,
     "q77_nfc_normalize" -> q77,
     "q78_upsert_merge" -> q78,
-    "q79_cms_heavy_hitters" -> q79
+    "q79_cms_heavy_hitters" -> q79,
+    "q80_join_skew_probe" -> q80,
+    "q81_bloom_prefilter" -> q81
   )
 
   val oracles: Map[String, String] = Map(
@@ -2585,6 +2675,8 @@ object Queries {
     "q76_sampled_percentiles" -> q76Sql,
     "q77_nfc_normalize" -> q77Sql,
     "q78_upsert_merge" -> q78Sql,
-    "q79_cms_heavy_hitters" -> q79Sql
+    "q79_cms_heavy_hitters" -> q79Sql,
+    "q80_join_skew_probe" -> q80Sql,
+    "q81_bloom_prefilter" -> q81Sql
   )
 }
