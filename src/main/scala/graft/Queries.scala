@@ -2286,29 +2286,40 @@ object Queries {
     est.join(exact, "event_type").orderBy("event_type")
   }
 
+  /** Shared DuckDB HLL fragments (p=8), kept in ONE place so the q75 and
+    * q82 oracles cannot drift: smear/rho turns `hw(…carry…, bucket, w)`
+    * into `rho(…carry…, bucket, r)`; [[hllEstCte]] evaluates the estimate
+    * from a register CTE `(groupCol, bucket, reg)`. */
+  private val hllSmearRhoCtes: String =
+    """sm1 AS (SELECT *, w|(w>>1) AS s1 FROM hw),
+      |sm2 AS (SELECT *, s1|(s1>>2) AS s2 FROM sm1),
+      |sm3 AS (SELECT *, s2|(s2>>4) AS s3 FROM sm2),
+      |sm4 AS (SELECT *, s3|(s3>>8) AS s4 FROM sm3),
+      |sm5 AS (SELECT *, s4|(s4>>16) AS s5 FROM sm4),
+      |sm6 AS (SELECT *, s5|(s5>>32) AS s6 FROM sm5),
+      |rho AS (SELECT * EXCLUDE (w, s1, s2, s3, s4, s5, s6),
+      |  CASE WHEN w = 0 THEN 57 ELSE 57 - CAST(bit_count(s6) AS BIGINT) END AS r
+      |  FROM sm6)""".stripMargin
+
+  private def hllEstCte(regsCte: String, groupCol: String, outCte: String, estName: String): String = {
+    val numer = graft.operators.Sketches.hllNumerator(8)
+    s"""$outCte AS (SELECT $groupCol,
+       |  $numer / CAST(CAST(sum(CAST(1 AS HUGEINT) << CAST(57 - reg AS INTEGER)) AS HUGEINT)
+       |    + (256 - count(*)) * (CAST(1 AS HUGEINT) << 57) AS DOUBLE) AS $estName
+       |  FROM $regsCte GROUP BY $groupCol)""".stripMargin
+  }
+
   private val q75Sql = {
     import DuckHash._
-    val numer = graft.operators.Sketches.hllNumerator(8)
     s"""WITH mx0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS u FROM events),
        |${mix64Ctes("u")},
        |hw AS (SELECT event_type, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
-       |sm1 AS (SELECT *, w|(w>>1) AS s1 FROM hw),
-       |sm2 AS (SELECT *, s1|(s1>>2) AS s2 FROM sm1),
-       |sm3 AS (SELECT *, s2|(s2>>4) AS s3 FROM sm2),
-       |sm4 AS (SELECT *, s3|(s3>>8) AS s4 FROM sm3),
-       |sm5 AS (SELECT *, s4|(s4>>16) AS s5 FROM sm4),
-       |sm6 AS (SELECT *, s5|(s5>>32) AS s6 FROM sm5),
-       |rho AS (SELECT event_type, bucket,
-       |  CASE WHEN w = 0 THEN 57 ELSE 57 - CAST(bit_count(s6) AS BIGINT) END AS r
-       |  FROM sm6),
+       |$hllSmearRhoCtes,
        |regs AS (SELECT event_type, bucket, max(r) AS reg FROM rho GROUP BY event_type, bucket),
-       |agg AS (SELECT event_type,
-       |  CAST(sum(CAST(1 AS HUGEINT) << CAST(57 - reg AS INTEGER)) AS HUGEINT)
-       |    + (256 - count(*)) * (CAST(1 AS HUGEINT) << 57) AS sinv
-       |  FROM regs GROUP BY event_type),
+       |${hllEstCte("regs", "event_type", "est", "est_distinct")},
        |exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
-       |SELECT a.event_type, $numer / CAST(a.sinv AS DOUBLE) AS est_distinct, e.n_exact
-       |FROM agg a JOIN exact e ON a.event_type = e.event_type
+       |SELECT a.event_type, a.est_distinct, e.n_exact
+       |FROM est a JOIN exact e ON a.event_type = e.event_type
        |ORDER BY a.event_type""".stripMargin
   }
 
@@ -2512,6 +2523,88 @@ object Queries {
        |FROM wt GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q82
+  // Sketch mergeability (Sketches.hllRegisters/hllMerge): events split into
+  // two slices (event_id parity playing per-day shards), per-slice register
+  // tables merged by register-max, then estimated — next to the
+  // full-data estimate. The two estimates are EQUAL (merge is loss-free,
+  // both columns hash-checked): the property that lets a production
+  // pipeline persist m-row register tables per day and answer any later
+  // cross-slice distinct question without re-reading the data.
+  private val q82: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val regsByPart = Sketches.hllRegisters(
+      ev.withColumn("__part", pmod(col("event_id"), lit(2))),
+      Seq("event_type", "__part"), col("user_id"), p = 8)
+    val merged = Sketches.hllMerge(regsByPart.drop("__part"), Seq("event_type"))
+    val estMerged = Sketches
+      .hllEstimateFromRegisters(merged, Seq("event_type"), p = 8)
+      .withColumnRenamed("est_distinct", "est_merged")
+    val estFull = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"), p = 8)
+      .withColumnRenamed("est_distinct", "est_full")
+    estMerged.join(estFull, "event_type").orderBy("event_type")
+  }
+
+  private val q82Sql = {
+    import DuckHash._
+    s"""WITH mx0 AS (SELECT event_type, event_id % 2 AS par, CAST(user_id AS UBIGINT) AS u FROM events),
+       |${mix64Ctes("u")},
+       |hw AS (SELECT event_type, par, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
+       |$hllSmearRhoCtes,
+       |regs_par AS (SELECT event_type, par, bucket, max(r) AS reg
+       |  FROM rho GROUP BY event_type, par, bucket),
+       |merged AS (SELECT event_type, bucket, max(reg) AS reg
+       |  FROM regs_par GROUP BY event_type, bucket),
+       |full_regs AS (SELECT event_type, bucket, max(r) AS reg
+       |  FROM rho GROUP BY event_type, bucket),
+       |${hllEstCte("merged", "event_type", "em", "est_merged")},
+       |${hllEstCte("full_regs", "event_type", "ef", "est_full")}
+       |SELECT em.event_type, em.est_merged, ef.est_full
+       |FROM em JOIN ef ON em.event_type = ef.event_type
+       |ORDER BY em.event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q83
+  // Sequential conversion funnel: users who viewed, then clicked AFTER the
+  // first view, then purchased AFTER that click — the classic ordered
+  // event-sequence analytic. Every stage joins and aggregates on user_id,
+  // the key the events table is already spread on, so the whole funnel
+  // reuses ONE partitioning; stage counts are a 3-row union.
+  private val q83: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    views.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(
+        clicks.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(
+        purchases.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy("stage")
+  }
+
+  private val q83Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2595,7 +2688,9 @@ object Queries {
     "q78_upsert_merge" -> q78,
     "q79_cms_heavy_hitters" -> q79,
     "q80_join_skew_probe" -> q80,
-    "q81_bloom_prefilter" -> q81
+    "q81_bloom_prefilter" -> q81,
+    "q82_hll_merge" -> q82,
+    "q83_funnel" -> q83
   )
 
   val oracles: Map[String, String] = Map(
@@ -2677,6 +2772,8 @@ object Queries {
     "q78_upsert_merge" -> q78Sql,
     "q79_cms_heavy_hitters" -> q79Sql,
     "q80_join_skew_probe" -> q80Sql,
-    "q81_bloom_prefilter" -> q81Sql
+    "q81_bloom_prefilter" -> q81Sql,
+    "q82_hll_merge" -> q82Sql,
+    "q83_funnel" -> q83Sql
   )
 }

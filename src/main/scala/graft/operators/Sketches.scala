@@ -58,6 +58,19 @@ object Sketches {
       df: DataFrame,
       groupCols: Seq[String],
       keyCol: Column,
+      p: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, keyCol, p), groupCols, p)
+
+  /** The register table `(groupCols..., hll_bucket, hll_reg)` of the
+    * [[hllDistinct]] sketch — exposed because registers, not estimates, are
+    * the thing a production pipeline PERSISTS: per-day/per-shard register
+    * tables (m rows per group) are unioned + [[hllMerge]]d to answer any
+    * later cross-slice distinct question without re-reading the data, the
+    * same incremental shape as q74's persisted LSH band table. */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
@@ -79,28 +92,45 @@ object Sketches {
       .otherwise(lit(maxRho) - bit_count(s6).cast("int"))
 
     val g = groupCols.map(col)
-    val registers = df
-      .select(g :+ bucket.as("__hll_bucket") :+ rho.as("__hll_rho"): _*)
-      .groupBy(g :+ col("__hll_bucket"): _*)
-      .agg(max(col("__hll_rho")).as("__hll_reg"))
+    df.select(g :+ bucket.as("hll_bucket") :+ rho.as("hll_rho"): _*)
+      .groupBy(g :+ col("hll_bucket"): _*)
+      .agg(max(col("hll_rho")).as("hll_reg"))
+  }
 
+  /** Merge unioned register tables (e.g. per-day slices) back into one
+    * register set per group: register max is the HLL merge law — loss-free,
+    * associative, commutative, so merged-then-estimated equals
+    * estimated-over-everything exactly (SketchesSpec + q82 pin it). */
+  def hllMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    registers
+      .groupBy(g :+ col("hll_bucket"): _*)
+      .agg(max(col("hll_reg")).as("hll_reg"))
+  }
+
+  /** Evaluate the estimate from a register table (see [[hllDistinct]] for
+    * the exact-arithmetic construction). */
+  def hllEstimateFromRegisters(
+      registers: DataFrame,
+      groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val maxRho = 65 - p
+    val g = groupCols.map(col)
     // 2^(-reg) scaled by 2^maxRho: an exact long in [1, 2^(maxRho-1)];
     // decimal(38,0) sum holds m * 2^maxRho (< 2^81 only for p=16 — still
     // inside 38 digits) without overflow or rounding. (expr form: the
     // functions-API `shiftleft` only accepts a literal shift amount, but the
     // underlying ShiftLeft expression shifts by a column just fine.)
     val scaledInv =
-      expr(s"cast(shiftleft(cast(1 as bigint), $maxRho - __hll_reg) as decimal(38,0))")
+      expr(s"cast(shiftleft(cast(1 as bigint), $maxRho - hll_reg) as decimal(38,0))")
     val absent = (lit(m.toLong) - count(lit(1))).cast(DecimalType(38, 0)) *
       lit(1L << maxRho).cast(DecimalType(38, 0))
-
-    val alpha = 0.7213 / (1 + 1.079 / m)
-    val numer = alpha * m * m * math.pow(2.0, maxRho)
-
     registers
       .groupBy(g: _*)
       .agg((sum(scaledInv) + absent).as("__hll_s"))
-      .select(g :+ (lit(numer) / col("__hll_s").cast("double")).as("est_distinct"): _*)
+      .select(g :+ (lit(hllNumerator(p)) / col("__hll_s").cast("double")).as("est_distinct"): _*)
   }
 
   /** The exact double constant `alpha_m * m^2 * 2^(65-p)` used by

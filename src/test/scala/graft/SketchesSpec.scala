@@ -51,6 +51,17 @@ class SketchesSpec extends SparkSpec {
     assert(est == expected) // exact: same integer path, one final division
   }
 
+  test("hllMerge of sliced registers equals the full-data sketch exactly") {
+    val df = (1 to 3000).map(i => ("g", (i * 6007).toLong, i % 3)).toDF("g", "k", "slice")
+    val sliced = Sketches.hllRegisters(df, Seq("g", "slice"), col("k"), p = 8)
+    val merged = Sketches.hllMerge(sliced.drop("slice"), Seq("g"))
+    val estMerged = Sketches.hllEstimateFromRegisters(merged, Seq("g"), p = 8)
+      .select("est_distinct").as[Double].head()
+    val estFull = Sketches.hllDistinct(df, Seq("g"), col("k"), p = 8)
+      .select("est_distinct").as[Double].head()
+    assert(estMerged == estFull) // register max is the loss-free merge law
+  }
+
   test("hllDistinct rejects out-of-range precision") {
     val df = Seq(("g", 1L)).toDF("g", "k")
     intercept[IllegalArgumentException] {
