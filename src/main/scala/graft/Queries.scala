@@ -2605,6 +2605,90 @@ object Queries {
       |UNION ALL SELECT '3_purchase', count(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  // Weekly retention cohorts: users grouped by first-seen week, counted in
+  // each later week they stay active — the standard engagement matrix.
+  // Activity dedups to (user, week) FIRST (shuffle = distinct pairs, not
+  // events), cohorts join on the user_id partitioning the table already
+  // has; week offsets are exact integer day arithmetic in both engines.
+  private val q84: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+    activity.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("active_week"), col("cohort_week")) / lit(7)).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q84Sql =
+    """WITH cohorts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+      |SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+      | CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+      | count(*) AS n_users
+      |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  // HLL set algebra: audience-overlap estimation from REGISTERS alone —
+  // est(A), est(B), est(A∪B) from the union-merged registers, and the
+  // inclusion-exclusion intersection estimate est(A)+est(B)−est(A∪B),
+  // next to the exact overlap. At scale A and B are persisted register
+  // tables from different pipelines; the overlap question costs m-row
+  // table math, zero data reads. All four estimates hash-checked.
+  private val q85: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t)
+    val regsA = Sketches.hllRegisters(users("purchase"), Seq(), col("user_id"), p = 8)
+    val regsB = Sketches.hllRegisters(users("click"), Seq(), col("user_id"), p = 8)
+    def est(regs: DataFrame, name: String) =
+      Sketches.hllEstimateFromRegisters(regs, Seq(), p = 8)
+        .withColumnRenamed("est_distinct", name)
+    val merged = Sketches.hllMerge(regsA.unionByName(regsB), Seq())
+    val exact = users("purchase").select(col("user_id")).distinct()
+      .join(users("click").select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    est(regsA, "est_a")
+      .crossJoin(est(regsB, "est_b"))
+      .crossJoin(est(merged, "est_union"))
+      .crossJoin(exact)
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+      .select("est_a", "est_b", "est_union", "est_overlap", "n_exact_overlap")
+  }
+
+  private val q85Sql = {
+    import DuckHash._
+    s"""WITH mx0 AS (SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS tag,
+       |    CAST(user_id AS UBIGINT) AS u
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |${mix64Ctes("u")},
+       |hw AS (SELECT tag, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
+       |$hllSmearRhoCtes,
+       |regs_tag AS (SELECT tag, bucket, max(r) AS reg FROM rho GROUP BY tag, bucket),
+       |ra AS (SELECT bucket, reg, 'x' AS g FROM regs_tag WHERE tag = 'a'),
+       |rb AS (SELECT bucket, reg, 'x' AS g FROM regs_tag WHERE tag = 'b'),
+       |ru AS (SELECT bucket, max(reg) AS reg, 'x' AS g FROM regs_tag GROUP BY bucket),
+       |${hllEstCte("ra", "g", "ea", "est_a")},
+       |${hllEstCte("rb", "g", "eb", "est_b")},
+       |${hllEstCte("ru", "g", "eu", "est_union")},
+       |x AS (SELECT count(*) AS n_exact_overlap FROM (
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+       |  INTERSECT
+       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click') t)
+       |SELECT ea.est_a, eb.est_b, eu.est_union,
+       | ea.est_a + eb.est_b - eu.est_union AS est_overlap,
+       | x.n_exact_overlap
+       |FROM ea, eb, eu, x""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2690,7 +2774,9 @@ object Queries {
     "q80_join_skew_probe" -> q80,
     "q81_bloom_prefilter" -> q81,
     "q82_hll_merge" -> q82,
-    "q83_funnel" -> q83
+    "q83_funnel" -> q83,
+    "q84_retention_cohorts" -> q84,
+    "q85_hll_overlap" -> q85
   )
 
   val oracles: Map[String, String] = Map(
@@ -2774,6 +2860,8 @@ object Queries {
     "q80_join_skew_probe" -> q80Sql,
     "q81_bloom_prefilter" -> q81Sql,
     "q82_hll_merge" -> q82Sql,
-    "q83_funnel" -> q83Sql
+    "q83_funnel" -> q83Sql,
+    "q84_retention_cohorts" -> q84Sql,
+    "q85_hll_overlap" -> q85Sql
   )
 }
