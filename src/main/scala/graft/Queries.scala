@@ -2689,6 +2689,86 @@ object Queries {
        |FROM ea, eb, eu, x""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q86
+  // Bloom decontamination — the zero-join scale tier of q51: the eval
+  // set's 5-gram shingle hashes become a 64 Ki-bit broadcast bitset; every
+  // corpus shingle is tested map-only, and per-doc hit counts are an UPPER
+  // BOUND on true overlap (bloom can only over-report). At 100 TB the eval
+  // side is a few KB of bits instead of a broadcast hash set of millions
+  // of shingle strings, and the corpus side never shuffles. The oracle
+  // rebuilds the identical bitset (xxhash64 + seeded SplitMix64 replay),
+  // so the per-doc DECISIONS are cross-engine verified.
+  private val q86: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    def shingleHashes(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shinglesOfTokens(col("toks"), 5)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode_outer(transform(col("sh"), t => xxhash64(t))).as("shingle"))
+    val evalBits = graft.operators.BloomPrefilter.buildTable(
+      shingleHashes(d.filter(col("doc_id") < 10))
+        .filter(col("shingle").isNotNull).select(col("shingle")).distinct(),
+      col("shingle"), mBits = 65536, seeds = 2)
+    val corpus = shingleHashes(d.filter(col("doc_id") >= 10))
+    graft.operators.BloomPrefilter
+      .prefilter(corpus, col("shingle"), evalBits, mBits = 65536, seeds = 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_sh")).cast("long").as("n_shingles"),
+        sum(when(col("bloom_pass") && col("shingle").isNotNull, 1L).otherwise(0L))
+          .as("n_maybe_contaminated"))
+      .withColumn("contaminated", col("n_maybe_contaminated") >= 1L)
+      .orderBy("doc_id")
+  }
+
+  private val q86Sql = {
+    import DuckHash._
+    s"""WITH tk AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(t) < 5 THEN []
+       |       ELSE list_transform(range(0, len(t) - 4),
+       |              i -> array_to_string(list_slice(t, i+1, i+5), ' ')) END) AS s
+       |  FROM tk),
+       |evs AS (SELECT DISTINCT unnest(s) AS etok FROM shl WHERE doc_id < 10),
+       |css AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS ctok FROM shl WHERE doc_id >= 10),
+       |hx0 AS (SELECT DISTINCT tok FROM (
+       |  SELECT etok AS tok FROM evs UNION SELECT ctok FROM css)),
+       |${xxhash64Ctes("tok")},
+       |ht AS (SELECT tok, h FROM hx12),
+       |sd AS (SELECT tok, h, unnest(range(0, 2)) AS sdx FROM ht),
+       |mx0 AS (SELECT tok, sdx,
+       |  ${wadd("h", wmul("CAST(sdx AS UBIGINT)", Golden.toString))} AS x FROM sd),
+       |${mix64Ctes("x")},
+       |hb AS (SELECT tok, sdx, (mh & 65535) >> 6 AS word,
+       |  CAST((mh & 65535) % 64 AS INTEGER) AS bit,
+       |  CAST(1 AS UBIGINT) << CAST((mh & 65535) % 64 AS INTEGER) AS mask
+       |  FROM mx4),
+       |bloom AS (SELECT word, bit_or(mask) AS bits
+       |  FROM hb JOIN evs ON hb.tok = evs.etok GROUP BY word),
+       |probed AS (SELECT c.doc_id, c.n_sh,
+       |    (coalesce((b0.bits >> h0.bit) & 1, 0) = 1
+       |     AND coalesce((b1.bits >> h1.bit) & 1, 0) = 1) AS pass
+       |  FROM css c
+       |  JOIN hb h0 ON h0.tok = c.ctok AND h0.sdx = 0
+       |  JOIN hb h1 ON h1.tok = c.ctok AND h1.sdx = 1
+       |  LEFT JOIN bloom b0 ON b0.word = h0.word
+       |  LEFT JOIN bloom b1 ON b1.word = h1.word),
+       |perdoc AS (SELECT doc_id, max(n_sh) AS n_shingles,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+       |  FROM probed GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       | coalesce(p.n_maybe, 0) AS n_maybe_contaminated,
+       | coalesce(p.n_maybe, 0) >= 1 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+       |LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2776,7 +2856,8 @@ object Queries {
     "q82_hll_merge" -> q82,
     "q83_funnel" -> q83,
     "q84_retention_cohorts" -> q84,
-    "q85_hll_overlap" -> q85
+    "q85_hll_overlap" -> q85,
+    "q86_bloom_decontaminate" -> q86
   )
 
   val oracles: Map[String, String] = Map(
@@ -2862,6 +2943,7 @@ object Queries {
     "q82_hll_merge" -> q82Sql,
     "q83_funnel" -> q83Sql,
     "q84_retention_cohorts" -> q84Sql,
-    "q85_hll_overlap" -> q85Sql
+    "q85_hll_overlap" -> q85Sql,
+    "q86_bloom_decontaminate" -> q86Sql
   )
 }
