@@ -2769,6 +2769,87 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q87
+  // Equi-depth histogram: bin edges from the exact quartiles (q37-proven
+  // bit-parity of linear interpolation), then a map-only CASE binning over
+  // the scan — the ANALYZE-statistics shape a cost-based optimizer feeds
+  // on. Two passes; the second reuses nothing but three broadcast doubles.
+  private val q87: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val edges = li.agg(
+      percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+      percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+    val x = col("l_extendedprice")
+    li.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        when(x < col("p25"), 0).when(x < col("p50"), 1)
+          .when(x < col("p75"), 2).otherwise(3))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(x).as("lo"), max(x).as("hi"))
+      .orderBy("bin")
+  }
+
+  private val q87Sql =
+    """WITH e AS (SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75 FROM lineitem)
+      |SELECT CASE WHEN l_extendedprice < p25 THEN 0
+      |            WHEN l_extendedprice < p50 THEN 1
+      |            WHEN l_extendedprice < p75 THEN 2 ELSE 3 END AS bin,
+      | count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem, e GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  // ANALYZE-style column statistics: per key column, row/null counts and
+  // exact + sketched NDV side by side — the stats-collection pass a CBO
+  // needs, expressed as ONE melt + one grouped HLL (the 3 columns ride a
+  // single scan and a single register shuffle; at 100 TB this is the
+  // cheap way to refresh table stats). The deterministic sketch makes the
+  // collected stats reproducible across engines; rel_err audits the raw
+  // estimator against truth.
+  private val q88: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val melted = li.select(
+      explode(map(
+        lit("l_orderkey"), col("l_orderkey"),
+        lit("l_partkey"), col("l_partkey"),
+        lit("l_suppkey"), col("l_suppkey"))).as(Seq("column_name", "v")))
+    val est = Sketches.hllDistinct(melted, Seq("column_name"), col("v"), p = 8)
+      .withColumnRenamed("est_distinct", "ndv_est")
+    val exact = melted.groupBy(col("column_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col("v")).as("ndv_exact"))
+    exact.join(est, "column_name")
+      .withColumn("rel_err",
+        (col("ndv_est") - col("ndv_exact").cast("double")) / col("ndv_exact").cast("double"))
+      .orderBy("column_name")
+  }
+
+  private val q88Sql = {
+    import DuckHash._
+    s"""WITH m AS (
+       |  SELECT 'l_orderkey' AS column_name, l_orderkey AS v FROM lineitem
+       |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+       |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+       |mx0 AS (SELECT column_name, CAST(v AS UBIGINT) AS u FROM m),
+       |${mix64Ctes("u")},
+       |hw AS (SELECT column_name, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
+       |$hllSmearRhoCtes,
+       |regs AS (SELECT column_name, bucket, max(r) AS reg FROM rho GROUP BY column_name, bucket),
+       |${hllEstCte("regs", "column_name", "est", "ndv_est")},
+       |exact AS (SELECT column_name, count(*) AS n_rows,
+       |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |    count(DISTINCT v) AS ndv_exact
+       |  FROM m GROUP BY column_name)
+       |SELECT x.column_name, x.n_rows, x.n_nulls, x.ndv_exact, e.ndv_est,
+       | (e.ndv_est - CAST(x.ndv_exact AS DOUBLE)) / CAST(x.ndv_exact AS DOUBLE) AS rel_err
+       |FROM exact x JOIN est e ON x.column_name = e.column_name
+       |ORDER BY x.column_name""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2857,7 +2938,9 @@ object Queries {
     "q83_funnel" -> q83,
     "q84_retention_cohorts" -> q84,
     "q85_hll_overlap" -> q85,
-    "q86_bloom_decontaminate" -> q86
+    "q86_bloom_decontaminate" -> q86,
+    "q87_equidepth_histogram" -> q87,
+    "q88_analyze_stats" -> q88
   )
 
   val oracles: Map[String, String] = Map(
@@ -2944,6 +3027,8 @@ object Queries {
     "q83_funnel" -> q83Sql,
     "q84_retention_cohorts" -> q84Sql,
     "q85_hll_overlap" -> q85Sql,
-    "q86_bloom_decontaminate" -> q86Sql
+    "q86_bloom_decontaminate" -> q86Sql,
+    "q87_equidepth_histogram" -> q87Sql,
+    "q88_analyze_stats" -> q88Sql
   )
 }
