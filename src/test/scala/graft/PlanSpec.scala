@@ -139,6 +139,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q81 bloom probing is broadcast joins only — the fact side never shuffles for the filter") {
+    val p = plan(SparkEntry.queries("q81_bloom_prefilter")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q86 bloom decontamination has no pair join anywhere") {
+    val p = plan(SparkEntry.queries("q86_bloom_decontaminate")(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q77 NFC normalization runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q77_nfc_normalize")(spark, sf)
     df.collect()
