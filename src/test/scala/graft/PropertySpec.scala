@@ -91,4 +91,34 @@ class PropertySpec extends SparkSpec {
     assert(est.filter(col("est") < 0 || col("est") > 1).count() == 0)
     assert(est.filter(col("same") && col("est") =!= 1.0).count() == 0)
   }
+
+  test("HLL invariants in bulk: duplicate-insensitive, monotone under union, slice-merge exact") {
+    import graft.operators.Sketches
+    val keys = Gen.listOfN(800, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L)).get
+    val df = keys.zipWithIndex.map { case (k, i) => ("g", k, i % 4) }.toDF("g", "k", "slice")
+    def est(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(d, Seq("g"), col("k"), p = 8).select("est_distinct").as[Double].head()
+    // duplicate-insensitivity: unioning the data with itself changes nothing
+    assert(est(df) == est(df.unionAll(df)))
+    // slice-merge law on random slices
+    val merged = Sketches.hllEstimateFromRegisters(
+      Sketches.hllMerge(
+        Sketches.hllRegisters(df, Seq("g", "slice"), col("k"), p = 8).drop("slice"),
+        Seq("g")), Seq("g"), p = 8).select("est_distinct").as[Double].head()
+    assert(merged == est(df))
+    // registers only grow when data is added (estimate monotone non-decreasing)
+    val half = df.filter(col("slice") < 2)
+    assert(est(half) <= est(df))
+  }
+
+  test("bloom bulk property: every member passes, across random key sets") {
+    import graft.operators.BloomPrefilter
+    val keys = Gen.listOfN(400, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(11L)).get.distinct
+    val kdf = keys.map(Tuple1(_)).toDF("id")
+    val table = BloomPrefilter.buildTable(kdf, col("id"))
+    val flagged = BloomPrefilter.prefilter(kdf, col("id"), table)
+    assert(flagged.filter(!col("bloom_pass")).count() == 0) // no false negatives, ever
+  }
 }
