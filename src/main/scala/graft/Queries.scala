@@ -2850,6 +2850,66 @@ object Queries {
        |ORDER BY x.column_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q89
+  // Sliding-window distinct users (trailing 7 days, per day) via HLL
+  // register composition: per-day register tables (the persisted artifact
+  // of q82) range-joined over the window and merged by register-max — the
+  // shape that makes sliding-window COUNT DISTINCT tractable at 100 TB,
+  // where the exact form must re-shuffle every (day, user) pair per
+  // window. The exact count runs beside it for audit; window membership,
+  // merge, and estimate are all integer-deterministic, so every column
+  // hash-matches the replay.
+  private val q89: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val days = ev.select(col("day").as("target_day")).distinct()
+    // Window membership as explode(0..6)+equi-join, NOT a range join: each
+    // register/user-day row fans to the 7 windows it serves, then joins on
+    // the exact target day — hash-partitionable at any scale where a
+    // day-range BroadcastNestedLoop would not be.
+    def fanToWindows(df: DataFrame): DataFrame = df
+      .withColumn("__off", explode(sequence(lit(0), lit(6))))
+      .withColumn("target_day", col("day") + expr("make_interval(0, 0, 0, __off)"))
+      .join(days, "target_day")
+      .drop("day", "__off")
+      .withColumnRenamed("target_day", "day")
+    val windowRegs = fanToWindows(
+      Sketches.hllRegisters(ev, Seq("day"), col("user_id"), p = 8))
+    val est = Sketches.hllEstimateFromRegisters(
+        Sketches.hllMerge(windowRegs, Seq("day")), Seq("day"), p = 8)
+      .withColumnRenamed("est_distinct", "est_users_7d")
+    val exact = fanToWindows(ev.select(col("day"), col("user_id")).distinct())
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("n_exact_7d"))
+    est.join(exact, "day").orderBy("day")
+  }
+
+  private val q89Sql = {
+    import DuckHash._
+    s"""WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+       |mx0 AS (SELECT day, CAST(user_id AS UBIGINT) AS u FROM ev),
+       |${mix64Ctes("u")},
+       |hw AS (SELECT day, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
+       |$hllSmearRhoCtes,
+       |day_regs AS (SELECT day, bucket, max(r) AS reg FROM rho GROUP BY day, bucket),
+       |days AS (SELECT DISTINCT day AS target_day FROM ev),
+       |reg_fan AS (SELECT r.day + o.off * INTERVAL 1 DAY AS target_day, r.bucket, r.reg
+       |  FROM day_regs r, (SELECT unnest(range(0, 7)) AS off) o),
+       |win_regs AS (SELECT d.target_day AS day, f.bucket, max(f.reg) AS reg
+       |  FROM reg_fan f JOIN days d ON f.target_day = d.target_day
+       |  GROUP BY 1, 2),
+       |${hllEstCte("win_regs", "day", "est", "est_users_7d")},
+       |user_fan AS (SELECT e.day + o.off * INTERVAL 1 DAY AS target_day, e.user_id
+       |  FROM (SELECT DISTINCT day, user_id FROM ev) e,
+       |       (SELECT unnest(range(0, 7)) AS off) o),
+       |exact AS (SELECT d.target_day AS day, count(DISTINCT f.user_id) AS n_exact_7d
+       |  FROM user_fan f JOIN days d ON f.target_day = d.target_day
+       |  GROUP BY 1)
+       |SELECT CAST(a.day AS TIMESTAMP) AS day, a.est_users_7d, x.n_exact_7d
+       |FROM est a JOIN exact x ON a.day = x.day
+       |ORDER BY day""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2940,7 +3000,8 @@ object Queries {
     "q85_hll_overlap" -> q85,
     "q86_bloom_decontaminate" -> q86,
     "q87_equidepth_histogram" -> q87,
-    "q88_analyze_stats" -> q88
+    "q88_analyze_stats" -> q88,
+    "q89_sliding_distinct" -> q89
   )
 
   val oracles: Map[String, String] = Map(
@@ -3029,6 +3090,7 @@ object Queries {
     "q85_hll_overlap" -> q85Sql,
     "q86_bloom_decontaminate" -> q86Sql,
     "q87_equidepth_histogram" -> q87Sql,
-    "q88_analyze_stats" -> q88Sql
+    "q88_analyze_stats" -> q88Sql,
+    "q89_sliding_distinct" -> q89Sql
   )
 }
