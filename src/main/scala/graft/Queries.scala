@@ -2910,6 +2910,63 @@ object Queries {
        |ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q90
+  // Target-mixture rebalance (Sampling.rebalanceToTarget): downsample so
+  // the surviving corpus matches 2:1:1 en:zh:es — the data-MIXING step of
+  // a training pipeline, generalizing q66's equalize-to-smallest. The
+  // binding language is kept whole, everything else hash-thins to match;
+  // survival is one integer inequality (exact decimals, no rate rounding),
+  // map-only over the corpus. The oracle replays the salted hash and the
+  // same inequality in HUGEINT; output is the per-language before/after
+  // audit with achieved shares.
+  private val q90Salt = 29L
+  private val q90Weights = Seq(("en", 2L), ("zh", 1L), ("es", 1L))
+
+  private val q90: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val kept = Sampling.rebalanceToTarget(
+      d, "doc_id", "lang", q90Weights.toMap, salt = q90Salt)
+    val k = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val before = d.filter(col("lang").isin(q90Weights.map(_._1): _*))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val tot = k.agg(sum(col("n_kept")).as("__tot"))
+    before.join(k, "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("kept_share",
+        col("n_kept").cast("double") / col("__tot").cast("double"))
+      .select("lang", "n_before", "n_kept", "kept_share")
+      .orderBy("lang")
+  }
+
+  private val q90Sql = {
+    import DuckHash._
+    val lcm = 2L // lcm(2, 1, 1) — keep in lockstep with q90Weights
+    val saltG = (BigInt(q90Salt) * Golden).mod(BigInt(1) << 64).toString
+    val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
+    val valuesRows = q90Weights
+      .map { case (g, w) => s"('$g', $w, ${lcm / w})" }.mkString(", ")
+    s"""WITH mx0 AS (SELECT doc_id, lang,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")},
+       |w AS (SELECT * FROM (VALUES $valuesRows) AS t(lang, wt, lw)),
+       |c AS (SELECT d.lang, any_value(w.wt) AS wt, any_value(w.lw) AS lw, count(*) AS cnt
+       |  FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
+       |m AS (SELECT min(cnt * lw) AS bm FROM c),
+       |kept AS (SELECT k.lang, count(*) AS n_kept
+       |  FROM mx4 k JOIN c ON k.lang = c.lang CROSS JOIN m
+       |  WHERE CAST($bucket AS HUGEINT) * $lcm * c.cnt
+       |      < CAST(1000000 AS HUGEINT) * c.wt * m.bm
+       |  GROUP BY k.lang),
+       |tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total FROM kept),
+       |before_c AS (SELECT lang, count(*) AS n_before FROM documents
+       |  WHERE lang IN (${q90Weights.map(w => s"'${w._1}'").mkString(", ")})
+       |  GROUP BY lang)
+       |SELECT b.lang, b.n_before, k.n_kept,
+       | CAST(k.n_kept AS DOUBLE) / CAST(t.total AS DOUBLE) AS kept_share
+       |FROM before_c b JOIN kept k ON b.lang = k.lang CROSS JOIN tot t
+       |ORDER BY b.lang""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3001,7 +3058,8 @@ object Queries {
     "q86_bloom_decontaminate" -> q86,
     "q87_equidepth_histogram" -> q87,
     "q88_analyze_stats" -> q88,
-    "q89_sliding_distinct" -> q89
+    "q89_sliding_distinct" -> q89,
+    "q90_target_mix" -> q90
   )
 
   val oracles: Map[String, String] = Map(
@@ -3091,6 +3149,7 @@ object Queries {
     "q86_bloom_decontaminate" -> q86Sql,
     "q87_equidepth_histogram" -> q87Sql,
     "q88_analyze_stats" -> q88Sql,
-    "q89_sliding_distinct" -> q89Sql
+    "q89_sliding_distinct" -> q89Sql,
+    "q90_target_mix" -> q90Sql
   )
 }

@@ -76,4 +76,51 @@ object Sampling {
       .filter(hashBucket(col(idCol), salt) * col("__cnt") < lit(Buckets) * col("__target"))
       .drop("__cnt", "__target")
   }
+
+  /** Downsample to a TARGET MIXTURE: keep per-group fractions so the
+    * surviving corpus matches the given integer weight proportions as
+    * closely as possible WITHOUT upsampling any group — the data-mixing
+    * step of a training pipeline ("x% web, y% code, z% reference").
+    *
+    * The binding group (the one whose data runs out first relative to its
+    * weight) is kept whole; every other group downsamples to match. With
+    * `L = lcm(weights)` the binding scale is `M = min_g(n_g * L / w_g)`
+    * (exactly integral) and a row of group g survives iff
+    * `hash_bucket * L * n_g < Buckets * w_g * M` — pure integer
+    * arithmetic, so survival is deterministic across engines, runs, and
+    * partitionings, and re-running after an append keeps a superset of the
+    * previous sample (hash thresholds only move). Groups without a weight
+    * are dropped (the join is the filter).
+    *
+    * Plan: counts aggregate + two broadcasts + map-only filter; the corpus
+    * itself never shuffles — the skew being corrected cannot skew the job.
+    */
+  def rebalanceToTarget(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: Map[String, Long],
+      salt: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = weights.values.foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(groupCol, "__w")
+      .withColumn("__lw", lit(lcm) / col("__w")) // exactly integral: lcm % w == 0
+    val counts = df.join(broadcast(wdf), Seq(groupCol))
+      .groupBy(col(groupCol), col("__w"), col("__lw"))
+      .agg(count(lit(1)).as("__cnt"))
+    val binding = counts.agg(min(col("__cnt") * col("__lw")).as("__m"))
+    df.join(broadcast(counts.select(col(groupCol), col("__w"), col("__cnt"))), Seq(groupCol))
+      .crossJoin(broadcast(binding))
+      .filter(
+        // decimal(38,0) comparison: at 1e10-row groups with large weight
+        // lcms the 64-bit products overflow; exact decimals never do
+        hashBucket(col(idCol), salt).cast("decimal(38,0)") * lit(lcm) * col("__cnt") <
+          lit(Buckets).cast("decimal(38,0)") * col("__w") * col("__m"))
+      .drop("__w", "__cnt", "__m")
+  }
 }
