@@ -49,6 +49,15 @@ object Bench {
         System.err.println(s"[bench] $name TIMED OUT after ${queryTimeoutSec}s — cancelling")
         spark.sparkContext.cancelJobGroup(s"bench-$name")
         worker.join(30000)
+        // Spark cancellation is best-effort (tasks yield at record
+        // boundaries): a worker still alive after the grace join keeps
+        // competing for executor threads and contaminates the NEXT queries'
+        // samples in this pass. Flag it loudly so a pass with a zombie can
+        // be discounted when reading the numbers.
+        if (worker.isAlive)
+          System.err.println(
+            s"[bench] $name worker STILL RUNNING after cancel+30s grace — " +
+              "subsequent timings in this pass may be contaminated")
         return -1.0
       }
       if (failed != null) {
@@ -147,10 +156,23 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Console.out.flush()
-    // Duplicate on stderr: the harness's log-tail capture keeps the last N
-    // bytes of both streams, so the result survives even if stdout is
-    // buffered/truncated by the sbt wrapper on an abnormal exit.
-    System.err.println(json)
+    // The round's primary perf artifact must not depend on log-tail
+    // capture: at 90+ queries the full JSON line overflows the driver's
+    // tail window (round 5 lost q01-q31 to exactly this), so ALSO write it
+    // to a stable file in the repo. The file is (over)written every run
+    // and committed, making the per-query record loss-proof even when the
+    // process is killed right after this point.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+    try java.nio.file.Files.writeString(outPath, json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_out write failed: $e") }
+    // stderr gets ONLY a compact line (total + 10 slowest): a 90-query
+    // line on stderr is what overflowed the tail window; the compact form
+    // always fits and names the file carrying the full record.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    System.err.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","slowest10":$slow,"sf":"$sfDir","full":"$outPath"}""")
     System.err.flush()
     spark.stop()
   }

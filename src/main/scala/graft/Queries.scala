@@ -2301,8 +2301,14 @@ object Queries {
       |  CASE WHEN w = 0 THEN 57 ELSE 57 - CAST(bit_count(s6) AS BIGINT) END AS r
       |  FROM sm6)""".stripMargin
 
-  private def hllEstCte(regsCte: String, groupCol: String, outCte: String, estName: String): String = {
-    val numer = graft.operators.Sketches.hllNumerator(8)
+  private def hllEstCte(
+      regsCte: String, groupCol: String, outCte: String, estName: String,
+      p: Int = 8): String = {
+    // The 255/256/57 literals below (and hllSmearRhoCtes' maxRho) are the
+    // p=8 instantiation; a caller at another precision would silently get a
+    // wrong estimate, so fail the build instead.
+    require(p == 8, s"hllEstCte is hardcoded for p=8 (m=256, maxRho=57); got p=$p")
+    val numer = graft.operators.Sketches.hllNumerator(p)
     s"""$outCte AS (SELECT $groupCol,
        |  $numer / CAST(CAST(sum(CAST(1 AS HUGEINT) << CAST(57 - reg AS INTEGER)) AS HUGEINT)
        |    + (256 - count(*)) * (CAST(1 AS HUGEINT) << 57) AS DOUBLE) AS $estName

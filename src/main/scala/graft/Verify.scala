@@ -35,8 +35,12 @@ object Verify {
           }
       })
     }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    // shutdown in finally: the pool's threads are non-daemon, so an
+    // exception escaping the awaits (e.g. interrupt) would otherwise leave
+    // the JVM alive after main — the exact driver-timeout/lost-round mode
+    // this parallelization exists to prevent.
+    try tasks.foreach(_.get())
+    finally pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

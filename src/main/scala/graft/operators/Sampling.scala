@@ -108,12 +108,20 @@ object Sampling {
     val lcm = weights.values.foldLeft(1L)((a, b) => a / gcd(a, b) * b)
     val spark = df.sparkSession
     import spark.implicits._
-    val wdf = weights.toSeq.toDF(groupCol, "__w")
-      .withColumn("__lw", lit(lcm) / col("__w")) // exactly integral: lcm % w == 0
+    // lw = lcm / w computed on the DRIVER as an exact Long (lcm % w == 0 by
+    // construction): the Column form `lit(lcm) / col(w)` is fractional
+    // division, which would make __lw — and everything derived from it —
+    // DoubleType and silently demote the survival inequality below to
+    // double past 2^53.
+    val wdf = weights.toSeq.map { case (g, w) => (g, w, lcm / w) }
+      .toDF(groupCol, "__w", "__lw")
     val counts = df.join(broadcast(wdf), Seq(groupCol))
       .groupBy(col(groupCol), col("__w"), col("__lw"))
       .agg(count(lit(1)).as("__cnt"))
-    val binding = counts.agg(min(col("__cnt") * col("__lw")).as("__m"))
+    // __m stays decimal(38,0): cnt * lw overflows Long at the 1e10-row /
+    // large-lcm scale this operator claims to handle.
+    val binding = counts.agg(
+      min(col("__cnt").cast("decimal(38,0)") * col("__lw").cast("decimal(38,0)")).as("__m"))
     df.join(broadcast(counts.select(col(groupCol), col("__w"), col("__cnt"))), Seq(groupCol))
       .crossJoin(broadcast(binding))
       .filter(
