@@ -1045,25 +1045,49 @@ object Queries {
 
   // ---------------------------------------------------------------- q41
   // q37's SCALE tier: approx_percentile (GK sketch — bounded memory per
-  // group, associative merge; see AggFunctions.percentileApprox). Sketch
-  // internals differ across engines, so this is a rows-only entry; the
-  // EXACT tier q37 carries the value-level oracle, and PercentileSpec
-  // bounds the sketch's rank error against it.
+  // group, associative merge; see AggFunctions.percentileApprox).
   // accuracy=100: rank error ≤ 1% of each group — the GK digest's
   // insert/merge cost scales with accuracy (the default 10000 costs more
   // CPU than the exact sort on bench-scale groups, inverting the point of
   // the tier), and QuantileSummaries.merge is the most JIT/alloc-sensitive
   // op in the catalog; a demonstrative scale tier wants small digests.
+  //
+  // Sketch VALUES are engine-specific (and merge-order-sensitive), so the
+  // catalog row emits the ERROR-BOUND VERDICT instead: the estimate is a
+  // real data element whose rank the GK guarantee puts within ±1% of the
+  // target, hence its value must sit between the exact interpolated
+  // quantiles at rank ±2% (double headroom) — booleans the DuckDB oracle
+  // asserts as TRUE, making this a hash-checkable row rather than
+  // rows-only. The exact bracketing quantiles are the audit column a
+  // pure-scale deployment would drop (q37 is the exact tier); value-level
+  // rank error is additionally pinned by PercentileSpec.
   private val q41: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("median_qty"),
-        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25, 100).as("p25_price"),
-        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75, 100).as("p75_price"),
+        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("__amed"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.25, 100).as("__a25"),
+        AggFunctions.percentileApprox(col("l_extendedprice"), 0.75, 100).as("__a75"),
+        percentile(col("l_quantity"), lit(0.48)).as("__mlo"),
+        percentile(col("l_quantity"), lit(0.52)).as("__mhi"),
+        percentile(col("l_extendedprice"), lit(0.23)).as("__lo25"),
+        percentile(col("l_extendedprice"), lit(0.27)).as("__hi25"),
+        percentile(col("l_extendedprice"), lit(0.73)).as("__lo75"),
+        percentile(col("l_extendedprice"), lit(0.77)).as("__hi75"),
         count(lit(1)).as("n")
       )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        (col("__amed") >= col("__mlo") && col("__amed") <= col("__mhi")).as("median_ok"),
+        (col("__a25") >= col("__lo25") && col("__a25") <= col("__hi25")).as("p25_ok"),
+        (col("__a75") >= col("__lo75") && col("__a75") <= col("__hi75")).as("p75_ok"))
       .orderBy("l_returnflag")
+
+  private val q41Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      | TRUE AS median_ok, TRUE AS p25_ok, TRUE AS p75_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q43
   // MinHash-LSH banding — the candidate-generation tier that survives
@@ -1415,17 +1439,29 @@ object Queries {
   // ---------------------------------------------------------------- q50
   // q34's SCALE tier: HyperLogLog++ approximate distinct counting —
   // bounded-memory, associative-merge, the only distinct count that
-  // survives billion-cardinality groups. Sketch internals are
-  // engine-specific, so this is a rows-only entry (like q41); the exact
-  // tier q34 carries the value oracle and DistinctApproxSpec bounds the
-  // relative error against it.
+  // survives billion-cardinality groups. The sketch VALUE is
+  // engine-specific, so the catalog row emits the ERROR-BOUND VERDICT:
+  // relative error vs the exact count within 0.15 (3× the default 5% rsd)
+  // as a boolean the DuckDB oracle asserts TRUE — hash-checkable instead
+  // of rows-only. The exact count is the audit column a pure-scale
+  // deployment would drop (q34/q75 are the exact/deterministic tiers).
   private val q50: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id")).as("__approx"),
+        count_distinct(col("user_id")).as("__exact"),
         count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        (abs(col("__approx").cast("double") / col("__exact").cast("double") - 1.0)
+          <= 0.15).as("within_bound"))
       .orderBy("event_type")
+
+  private val q50Sql =
+    """SELECT event_type, count(*) AS n_events, TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q51
   // Benchmark decontamination (Dedup.contaminationFlags): docs 0-9 act as
@@ -2776,16 +2812,26 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q87
-  // Equi-depth histogram: bin edges from the exact quartiles (q37-proven
-  // bit-parity of linear interpolation), then a map-only CASE binning over
-  // the scan — the ANALYZE-statistics shape a cost-based optimizer feeds
-  // on. Two passes; the second reuses nothing but three broadcast doubles.
+  // Equi-depth histogram: bin edges from the q76 deterministic ~10%
+  // hash-sampled quartiles (exact `percentile` materializes the full value
+  // multiset in ONE aggregation buffer — a global-sort hazard at 100 TB;
+  // the sampled edges bound the buffer at sample size while both engines
+  // select the IDENTICAL sample, so the edges still hash-match), then a
+  // map-only CASE binning over the full scan — the ANALYZE-statistics
+  // shape a cost-based optimizer feeds on. Two passes; the second reuses
+  // nothing but three broadcast doubles. Exact-edge parity is the
+  // PercentileSpec audit; PlanSpec pins the sample filter under the edge
+  // aggregation.
   private val q87: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
-    val edges = li.agg(
-      percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-      percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-      percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+    val sampleKey = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
+    val edges = li
+      .filter(graft.functions.HashFunctions.mix64(sampleKey)
+        .bitwiseAND(lit(1023L)) < lit(102L))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
     val x = col("l_extendedprice")
     li.crossJoin(broadcast(edges))
       .withColumn("bin",
@@ -2796,15 +2842,18 @@ object Queries {
       .orderBy("bin")
   }
 
-  private val q87Sql =
-    """WITH e AS (SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
-      |  quantile_cont(l_extendedprice, 0.5) AS p50,
-      |  quantile_cont(l_extendedprice, 0.75) AS p75 FROM lineitem)
-      |SELECT CASE WHEN l_extendedprice < p25 THEN 0
-      |            WHEN l_extendedprice < p50 THEN 1
-      |            WHEN l_extendedprice < p75 THEN 2 ELSE 3 END AS bin,
-      | count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-      |FROM lineitem, e GROUP BY 1 ORDER BY bin""".stripMargin
+  private val q87Sql = {
+    val mh = DuckHash.mix64Inline("CAST(l_orderkey*8 + l_linenumber AS UBIGINT)")
+    s"""WITH e AS (SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+       |  quantile_cont(l_extendedprice, 0.5) AS p50,
+       |  quantile_cont(l_extendedprice, 0.75) AS p75
+       |  FROM lineitem WHERE ($mh & 1023) < 102)
+       |SELECT CASE WHEN l_extendedprice < p25 THEN 0
+       |            WHEN l_extendedprice < p50 THEN 1
+       |            WHEN l_extendedprice < p75 THEN 2 ELSE 3 END AS bin,
+       | count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+       |FROM lineitem, e GROUP BY 1 ORDER BY bin""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q88
   // ANALYZE-style column statistics: per key column, row/null counts and
@@ -2859,35 +2908,33 @@ object Queries {
   // ---------------------------------------------------------------- q89
   // Sliding-window distinct users (trailing 7 days, per day) via HLL
   // register composition: per-day register tables (the persisted artifact
-  // of q82) range-joined over the window and merged by register-max — the
-  // shape that makes sliding-window COUNT DISTINCT tractable at 100 TB,
-  // where the exact form must re-shuffle every (day, user) pair per
-  // window. The exact count runs beside it for audit; window membership,
-  // merge, and estimate are all integer-deterministic, so every column
-  // hash-matches the replay.
+  // of q82) fanned over the window and merged by register-max — the shape
+  // that makes sliding-window COUNT DISTINCT tractable at 100 TB. The fan
+  // is ≤ 256 register rows × 7 per day, NEVER (day, user) pairs — the
+  // exact form would re-shuffle every user per window, which is precisely
+  // the cost this composition removes, so the catalog query is the
+  // register path ALONE (PlanSpec pins no distinct-count over a user fan;
+  // SketchesSpec carries the exact-vs-estimate audit at fixture scale).
+  // Window membership, merge, and estimate are all integer-deterministic,
+  // so the estimate hash-matches the replay.
   private val q89: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .withColumn("day", date_trunc("day", col("ts")))
     val days = ev.select(col("day").as("target_day")).distinct()
     // Window membership as explode(0..6)+equi-join, NOT a range join: each
-    // register/user-day row fans to the 7 windows it serves, then joins on
-    // the exact target day — hash-partitionable at any scale where a
+    // register row fans to the 7 windows it serves, then joins on the
+    // exact target day — hash-partitionable at any scale where a
     // day-range BroadcastNestedLoop would not be.
-    def fanToWindows(df: DataFrame): DataFrame = df
+    val windowRegs = Sketches.hllRegisters(ev, Seq("day"), col("user_id"), p = 8)
       .withColumn("__off", explode(sequence(lit(0), lit(6))))
       .withColumn("target_day", col("day") + expr("make_interval(0, 0, 0, __off)"))
       .join(days, "target_day")
       .drop("day", "__off")
       .withColumnRenamed("target_day", "day")
-    val windowRegs = fanToWindows(
-      Sketches.hllRegisters(ev, Seq("day"), col("user_id"), p = 8))
-    val est = Sketches.hllEstimateFromRegisters(
+    Sketches.hllEstimateFromRegisters(
         Sketches.hllMerge(windowRegs, Seq("day")), Seq("day"), p = 8)
       .withColumnRenamed("est_distinct", "est_users_7d")
-    val exact = fanToWindows(ev.select(col("day"), col("user_id")).distinct())
-      .groupBy(col("day"))
-      .agg(count_distinct(col("user_id")).as("n_exact_7d"))
-    est.join(exact, "day").orderBy("day")
+      .orderBy("day")
   }
 
   private val q89Sql = {
@@ -2904,16 +2951,9 @@ object Queries {
        |win_regs AS (SELECT d.target_day AS day, f.bucket, max(f.reg) AS reg
        |  FROM reg_fan f JOIN days d ON f.target_day = d.target_day
        |  GROUP BY 1, 2),
-       |${hllEstCte("win_regs", "day", "est", "est_users_7d")},
-       |user_fan AS (SELECT e.day + o.off * INTERVAL 1 DAY AS target_day, e.user_id
-       |  FROM (SELECT DISTINCT day, user_id FROM ev) e,
-       |       (SELECT unnest(range(0, 7)) AS off) o),
-       |exact AS (SELECT d.target_day AS day, count(DISTINCT f.user_id) AS n_exact_7d
-       |  FROM user_fan f JOIN days d ON f.target_day = d.target_day
-       |  GROUP BY 1)
-       |SELECT CAST(a.day AS TIMESTAMP) AS day, a.est_users_7d, x.n_exact_7d
-       |FROM est a JOIN exact x ON a.day = x.day
-       |ORDER BY day""".stripMargin
+       |${hllEstCte("win_regs", "day", "est", "est_users_7d")}
+       |SELECT CAST(day AS TIMESTAMP) AS day, est_users_7d
+       |FROM est ORDER BY day""".stripMargin
   }
 
   // ---------------------------------------------------------------- q90
@@ -3109,6 +3149,7 @@ object Queries {
     "q38_streaming_hourly" -> q38Sql,
     "q39_census_melt" -> q39Sql,
     "q40_pipeline_compose" -> q40Sql,
+    "q41_percentiles_approx" -> q41Sql,
     "q42_token_classes" -> q42Sql,
     "q43_minhash_lsh" -> q43Sql,
     "q44_asof_join" -> q44Sql,
@@ -3117,6 +3158,7 @@ object Queries {
     "q47_json_extract" -> q47Sql,
     "q48_ivf_ann" -> q48Sql,
     "q49_range_agg" -> q49Sql,
+    "q50_distinct_approx" -> q50Sql,
     "q51_contamination" -> q51Sql,
     "q52_pii_redact" -> q52Sql,
     "q53_pack_offsets" -> q53Sql,

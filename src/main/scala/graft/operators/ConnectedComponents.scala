@@ -94,22 +94,29 @@ object ConnectedComponents {
         .distinct()
     }
 
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
-        count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
+    // Convergence = STAR FORM, checked directly: every u has exactly one
+    // out-edge and no edge target is itself a source (roots emit nothing).
+    // A star set is a fixed point of both steps, each star's root is its
+    // component minimum (hi→lo orientation), and Kiveris et al. prove the
+    // iteration's only fixed point is the star partition — so star form is
+    // exactly convergence, detected ONE ROUND EARLIER than the previous
+    // fingerprint-equality check (which needed an extra full
+    // large+small-star round just to observe "nothing changed"). The two
+    // probes are an aggregate and a semi-join on the current edge set —
+    // cheaper than the round they replace at any scale.
+    def isStarForm(e: DataFrame): Boolean = {
+      val multiOut = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") > 1).limit(1).isEmpty
+      multiOut && e.select(col("v"))
+        .join(e.select(col("u").as("v")), Seq("v"), "left_semi")
+        .limit(1).isEmpty
     }
 
-    var fp = fingerprint(edges)
-    var converged = false
+    var converged = isStarForm(edges)
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      fp = nfp
-      edges = next
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      converged = isStarForm(edges)
       iter += 1
     }
     // Non-converged labels are intermediate parents, not component minima —

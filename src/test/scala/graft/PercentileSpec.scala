@@ -33,4 +33,32 @@ class PercentileSpec extends SparkSpec {
         s"p90 group $g: approx=${approx(g)._2} exact=${exact(g)._2}")
     }
   }
+
+  test("q87 hash-sampled bin edges bracket the exact quartiles (scale-tier audit)") {
+    // The catalog q87 feeds its CASE binning from the deterministic ~10%
+    // hash sample (the exact global percentile is a single-buffer sort
+    // hazard at scale) — so exact-edge parity is audited HERE: each sampled
+    // quartile must land between the exact quantiles at rank ±0.08
+    // (sample rank sd ≈ sqrt(q(1-q)/600) ≈ 2% at fixture scale; 3-4 sigma).
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val key = ($"l_orderkey" * lit(8L) + $"l_linenumber").cast("long")
+    val sampled = li
+      .filter(graft.functions.HashFunctions.mix64(key).bitwiseAND(lit(1023L)) < lit(102L))
+      .agg(
+        percentile($"l_extendedprice", lit(0.25)).as("p25"),
+        percentile($"l_extendedprice", lit(0.5)).as("p50"),
+        percentile($"l_extendedprice", lit(0.75)).as("p75"))
+      .head()
+    val brackets = li.agg(
+        percentile($"l_extendedprice", lit(0.17)), percentile($"l_extendedprice", lit(0.33)),
+        percentile($"l_extendedprice", lit(0.42)), percentile($"l_extendedprice", lit(0.58)),
+        percentile($"l_extendedprice", lit(0.67)), percentile($"l_extendedprice", lit(0.83)))
+      .head()
+    for ((i, lo, hi) <- Seq((0, 0, 1), (1, 2, 3), (2, 4, 5))) {
+      val v = sampled.getDouble(i)
+      assert(v >= brackets.getDouble(lo) && v <= brackets.getDouble(hi),
+        s"sampled quartile $i = $v outside exact bracket " +
+          s"[${brackets.getDouble(lo)}, ${brackets.getDouble(hi)}]")
+    }
+  }
 }

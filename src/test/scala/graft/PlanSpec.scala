@@ -153,6 +153,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q89 sliding distinct is register composition only — no distinct-count over a user fan") {
+    val p = plan(SparkEntry.queries("q89_sliding_distinct")(spark, sf))
+    // the scale-killer this query exists to remove: exact count_distinct
+    // over the ×7 (day, user) fan — registers (≤256 rows/day) fan instead
+    assert(!p.contains("count(distinct"), p.take(3000))
+    assert(p.contains("partial_max"), p.take(3000)) // register max-merge path
+  }
+
+  test("q87 histogram edges come from the hash sample, not an exact global percentile") {
+    val p = plan(SparkEntry.queries("q87_equidepth_histogram")(spark, sf))
+    // the sample mask must gate the percentile aggregation's input — the
+    // exact tier's unbounded single-buffer global sort is the q37 audit,
+    // not this plan
+    assert(p.contains("1023"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000)) // 1-row edge table broadcast back over the full scan
+  }
+
   test("q77 NFC normalization runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q77_nfc_normalize")(spark, sf)
     df.collect()

@@ -62,6 +62,40 @@ class SketchesSpec extends SparkSpec {
     assert(estMerged == estFull) // register max is the loss-free merge law
   }
 
+  test("sliding-window register composition tracks the exact 7-day distinct (q89 audit)") {
+    // The catalog q89 ships the register path ALONE (the exact count over
+    // the ×7 (day, user) fan is the very shuffle the composition removes at
+    // scale) — so the exact-vs-estimate audit lives here, at fixture scale,
+    // over the identical fan + merge + estimate composition.
+    import org.apache.spark.sql.functions.{col, count_distinct, explode, expr, lit, sequence}
+    val rows = for {
+      d <- 1 to 14
+      u <- 1 to 4000
+      // deterministic ~40% presence per (day, user): windows overlap but differ
+      if (((u * 2654435761L + d * 40503L) >>> 3) & 7) < 3
+    } yield (java.sql.Timestamp.valueOf(f"2024-03-$d%02d 00:00:00"), u.toLong)
+    val ev = rows.toDF("day", "user_id")
+    val days = ev.select(col("day").as("target_day")).distinct()
+    def fan(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__off", explode(sequence(lit(0), lit(6))))
+      .withColumn("target_day", col("day") + expr("make_interval(0, 0, 0, __off)"))
+      .join(days, "target_day")
+      .drop("day", "__off")
+      .withColumnRenamed("target_day", "day")
+    val est = Sketches.hllEstimateFromRegisters(
+        Sketches.hllMerge(fan(Sketches.hllRegisters(ev, Seq("day"), col("user_id"), p = 8)),
+          Seq("day")), Seq("day"), p = 8)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    val exact = fan(ev.distinct())
+      .groupBy("day").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      // m=256 raw estimator: ~6.5% standard error; 3 sigma envelope
+      assert(math.abs(est(d) - n) / n < 0.20, s"$d: est ${est(d)} vs exact $n")
+    }
+  }
+
   test("hllDistinct rejects out-of-range precision") {
     val df = Seq(("g", 1L)).toDF("g", "k")
     intercept[IllegalArgumentException] {
