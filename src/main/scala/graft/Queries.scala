@@ -3013,6 +3013,120 @@ object Queries {
        |ORDER BY b.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q91
+  // §2.12 stateful streaming sessionizer, executed in BATCH mode: the
+  // IDENTICAL flatMapGroupsWithState fold that runs under readStream
+  // (StreamingSpec drives it through a MemoryStream) — in batch, Spark
+  // invokes the function once per user with all events, so sessions closed
+  // by in-data gaps are emitted and each user's final session stays open
+  // in state (no timeouts fire in batch). The oracle replays gap
+  // sessionization minus each user's last session. total_value is
+  // projected out: it is a fold-order double sum, not cross-engine
+  // hashable (q38's decimal-sum rollup covers value aggregation).
+  private val q91: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.StreamingSessionize.Event]
+    graft.streaming.StreamingSessionize.sessions(ev)
+      .toDF()
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+  }
+
+  private val q91Sql =
+    """WITH t AS (
+      |  SELECT user_id, ts, "value",
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, "value")),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, "value"
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM t),
+      |g AS (SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |        CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
+      |      FROM s GROUP BY user_id, sid),
+      |last AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY user_id)
+      |SELECT g.user_id, g.session_start, g.session_end, g.n_events
+      |FROM g JOIN last l ON g.user_id = l.user_id AND g.sid < l.last_sid
+      |ORDER BY g.user_id, g.session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  // §2.12 streaming exact dedup, batch twin (StreamingDedup.dedupBatch):
+  // the same normalized-md5 fingerprint key the watermarked state store
+  // dedups on, with plain Deduplicate standing in for the store
+  // (dropDuplicatesWithinWatermark analyzes streaming-only). Projected to
+  // the surviving fingerprint SET — which row survives per fingerprint is
+  // nondeterministic, the set is not.
+  private val q92: Q = (s, dir) =>
+    graft.streaming.StreamingDedup
+      .dedupBatch(Tables.documents(s, dir), "text")
+      .select(col("fp"))
+      .orderBy("fp")
+
+  private val q92Sql =
+    """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  // §2.12 streaming running-distinct (StreamingDistinct.runningDistinct),
+  // executed in BATCH mode: mapGroupsWithState is invoked once per group
+  // with all rows, so the emitted estimate is the same deterministic
+  // SplitMix64 register math as q75 — the DuckDB oracle replays it
+  // bit-for-bit, putting a value-level gate on the driver-side state
+  // update code the streaming path shares.
+  private val q93: Q = (s, dir) => {
+    import s.implicits._
+    val kv = Tables.events(s, dir)
+      .select(col("event_type").as("group"), col("user_id").as("key"), col("ts"))
+      .as[graft.streaming.StreamingDistinct.KeyedValue]
+    graft.streaming.StreamingDistinct.runningDistinct(kv)
+      .toDF()
+      .orderBy("group")
+  }
+
+  private val q93Sql = {
+    import DuckHash._
+    s"""WITH mx0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS u FROM events),
+       |${mix64Ctes("u")},
+       |hw AS (SELECT event_type, mh & 255 AS bucket, mh >> 8 AS w FROM mx4),
+       |$hllSmearRhoCtes,
+       |regs AS (SELECT event_type, bucket, max(r) AS reg FROM rho GROUP BY event_type, bucket),
+       |${hllEstCte("regs", "event_type", "est", "est_distinct")},
+       |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+       |SELECT e.event_type AS "group", e.est_distinct, n.n_events
+       |FROM est e JOIN n ON e.event_type = n.event_type
+       |ORDER BY "group"""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q94
+  // §2.12 stream-stream interval join (StreamingJoin.intervalJoin), batch
+  // mode: the watermarks are no-ops on finite input and the banded join
+  // condition — the thing that bounds streaming state — is exactly the
+  // batch predicate, so the result is fully oracle-checkable. Every 10th
+  // event probes for same-user events within the following hour.
+  private val q94: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val probes = ev
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("probe_id"))
+    val matches = ev
+      .select(col("user_id"), col("ts").as("match_ts"), col("event_id").as("match_id"))
+    graft.streaming.StreamingJoin
+      .intervalJoin(probes, matches, "user_id", "probe_ts", "match_ts", band = "1 hour")
+      .select(col("probe_id"), col("match_id"))
+      .orderBy("probe_id", "match_id")
+  }
+
+  private val q94Sql =
+    """SELECT l.event_id AS probe_id, r.event_id AS match_id
+      |FROM events l JOIN events r
+      |  ON l.event_id % 10 = 0 AND r.user_id = l.user_id
+      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+      |ORDER BY probe_id, match_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3105,7 +3219,11 @@ object Queries {
     "q87_equidepth_histogram" -> q87,
     "q88_analyze_stats" -> q88,
     "q89_sliding_distinct" -> q89,
-    "q90_target_mix" -> q90
+    "q90_target_mix" -> q90,
+    "q91_stream_sessions" -> q91,
+    "q92_stream_dedup" -> q92,
+    "q93_stream_distinct" -> q93,
+    "q94_stream_interval_join" -> q94
   )
 
   val oracles: Map[String, String] = Map(
@@ -3198,6 +3316,10 @@ object Queries {
     "q87_equidepth_histogram" -> q87Sql,
     "q88_analyze_stats" -> q88Sql,
     "q89_sliding_distinct" -> q89Sql,
-    "q90_target_mix" -> q90Sql
+    "q90_target_mix" -> q90Sql,
+    "q91_stream_sessions" -> q91Sql,
+    "q92_stream_dedup" -> q92Sql,
+    "q93_stream_distinct" -> q93Sql,
+    "q94_stream_interval_join" -> q94Sql
   )
 }

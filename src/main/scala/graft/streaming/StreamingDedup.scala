@@ -29,4 +29,14 @@ object StreamingDedup {
     df.withColumn("fp", TextFunctions.fingerprintMd5(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Batch twin of [[dedupStream]] — the IDENTICAL fingerprint key, with
+    * Spark's plain `Deduplicate` standing in for the watermark-evicted
+    * state store (`dropDuplicatesWithinWatermark` analyzes streaming-only;
+    * a finite batch needs no horizon). Catalog q92 runs this form, putting
+    * driver-level regression cover on the shared key derivation; the
+    * state-store path itself is exercised by StreamingSpec. */
+  def dedupBatch(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .dropDuplicates("fp")
 }

@@ -22,8 +22,20 @@ object StreamingSessionize {
   /** Input event. */
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
 
-  /** Open-session state carried between micro-batches. */
+  /** Open-session state carried between micro-batches. Event times are
+    * MICROSECONDS since epoch: Spark timestamps carry μs precision, and a
+    * millisecond fold would misorder sub-ms neighbors and emit session
+    * bounds that disagree with the source timestamps. */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Emitted closed session. */
   final case class Session(
@@ -44,8 +56,9 @@ object StreamingSessionize {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val gapUs = gapMs * 1000L
           def emit(s: SessionState): Session =
-            Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+            Session(userId, toTs(s.start), toTs(s.last), s.n, s.total)
 
           if (batch.isEmpty && state.hasTimedOut) {
             // watermark passed last-event + gap: the open session is closed
@@ -55,13 +68,13 @@ object StreamingSessionize {
           } else {
             // fold this batch's events (in event-time order) into sessions;
             // gaps INSIDE the batch close sessions immediately
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.value))
             var open = state.getOption
             val closed = List.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += emit(s)
@@ -74,8 +87,9 @@ object StreamingSessionize {
               case Some(s) =>
                 state.update(s)
                 // close the still-open session once the watermark passes
-                // its gap deadline
-                state.setTimeoutTimestamp(s.last + gapMs)
+                // its gap deadline (timeout clock is ms — round UP so the
+                // deadline is never before the exact μs one)
+                state.setTimeoutTimestamp(Math.floorDiv(s.last + 999L, 1000L) + gapMs)
               case None => state.remove()
             }
             closed.result().iterator
