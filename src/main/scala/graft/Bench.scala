@@ -23,6 +23,12 @@ object Bench {
     Graft.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query execution datasheet (rows/bytes/shuffle/spill/task-skew
+    // keyed by the bench-<query> job group) — the monitoring parity
+    // artifact, written next to the timing JSON every run.
+    val metrics = new graft.pipeline.MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
     // Per-query watchdog: the wall-clock budget below is only checked BETWEEN
     // queries, so one genuinely hung query would still ride the process into
     // the driver's kill (rc=124, no JSON). Each query runs in its own thread
@@ -174,6 +180,13 @@ object Bench {
     System.err.println(
       s"""{"metric":"total","value":$total,"unit":"sec","slowest10":$slow,"sf":"$sfDir","full":"$outPath"}""")
     System.err.flush()
+    // Metrics datasheet: give the async listener bus a moment to drain
+    // the tail of task-end events before snapshotting.
+    Thread.sleep(2000)
+    val metricsPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "/root/repo/bench_metrics.json"))
+    try metrics.write(metricsPath)
+    catch { case e: Throwable => System.err.println(s"[bench] metrics write failed: $e") }
     spark.stop()
   }
 }

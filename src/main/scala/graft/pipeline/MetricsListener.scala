@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+
+/** Per-query execution metrics via `SparkListener` — the engine's parity
+  * artifact for the reference's Prometheus/Grafana stack (reference
+  * `docker-compose.yml:40-103`, `prometheus.yml`, `docs/MONITORING.md`
+  * SLOs): rows/bytes read, shuffle traffic, spill, and task skew, keyed
+  * by job group so every catalog query benches with its own datasheet.
+  *
+  * Queries are attributed through `setJobGroup` (Bench already wraps each
+  * query in group `bench-<name>`); anything outside a group lands under
+  * `"(ungrouped)"`. Listener callbacks are single-purpose and lock-free
+  * (ConcurrentHashMap + synchronized leaf updates): the listener bus is
+  * asynchronous and must never become the bottleneck it is measuring.
+  *
+  * Task skew is reported as `max_task_ms / mean_task_ms` per group — the
+  * first-order signal that a key is hot: at 1000 executors a skew of 30
+  * means 97% of the cluster idles while one partition finishes, which is
+  * invisible in wall-clock-only benchmarks at local scale.
+  */
+final class MetricsListener extends SparkListener {
+
+  final class GroupMetrics {
+    var nTasks: Long = 0L
+    var totalTaskMs: Long = 0L
+    var maxTaskMs: Long = 0L
+    var inputRecords: Long = 0L
+    var inputBytes: Long = 0L
+    var outputRecords: Long = 0L
+    var shuffleReadBytes: Long = 0L
+    var shuffleWriteBytes: Long = 0L
+    var memorySpillBytes: Long = 0L
+    var diskSpillBytes: Long = 0L
+    var failedTasks: Long = 0L
+
+    def skew: Double =
+      if (nTasks == 0 || totalTaskMs == 0) 1.0
+      else maxTaskMs.toDouble / (totalTaskMs.toDouble / nTasks)
+
+    def json: String =
+      s"""{"n_tasks":$nTasks,"failed_tasks":$failedTasks,""" +
+        s""""total_task_ms":$totalTaskMs,"max_task_ms":$maxTaskMs,""" +
+        f""""task_skew":$skew%.3f,""" +
+        s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
+        s""""output_records":$outputRecords,""" +
+        s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
+        s""""memory_spill_bytes":$memorySpillBytes,"disk_spill_bytes":$diskSpillBytes}"""
+  }
+
+  private val byGroup = new ConcurrentHashMap[String, GroupMetrics]()
+  private val stageToGroup = new ConcurrentHashMap[Int, String]()
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val group = Option(jobStart.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      .getOrElse("(ungrouped)")
+    jobStart.stageInfos.foreach(si => stageToGroup.put(si.stageId, group))
+  }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val group = stageToGroup.getOrDefault(taskEnd.stageId, "(ungrouped)")
+    val g = byGroup.computeIfAbsent(group, _ => new GroupMetrics)
+    val m = taskEnd.taskMetrics
+    g.synchronized {
+      g.nTasks += 1
+      if (!taskEnd.taskInfo.successful) g.failedTasks += 1
+      g.totalTaskMs += taskEnd.taskInfo.duration
+      g.maxTaskMs = math.max(g.maxTaskMs, taskEnd.taskInfo.duration)
+      if (m != null) {
+        g.inputRecords += m.inputMetrics.recordsRead
+        g.inputBytes += m.inputMetrics.bytesRead
+        g.outputRecords += m.outputMetrics.recordsWritten
+        g.shuffleReadBytes += m.shuffleReadMetrics.totalBytesRead
+        g.shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
+        g.memorySpillBytes += m.memoryBytesSpilled
+        g.diskSpillBytes += m.diskBytesSpilled
+      }
+    }
+  }
+
+  /** Tasks observed so far for `group` (spec/polling hook: the listener
+    * bus is async, so callers wait on this rather than sleeping). */
+  def tasksSeen(group: String): Long = {
+    val g = byGroup.get(group)
+    if (g == null) 0L else g.synchronized(g.nTasks)
+  }
+
+  /** One JSON object `{group: datasheet}`, groups sorted. */
+  def snapshotJson(): String = {
+    import scala.jdk.CollectionConverters._
+    byGroup.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.synchronized(v.json) }
+      .mkString("{", ",", "}")
+  }
+
+  /** Write the datasheet file (parent dirs created). */
+  def write(path: java.nio.file.Path): Unit = {
+    val parent = path.toAbsolutePath.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    java.nio.file.Files.writeString(path, snapshotJson() + "\n")
+  }
+}

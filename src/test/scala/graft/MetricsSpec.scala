@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MetricsListener
+
+/** The per-query metrics datasheet (monitoring parity artifact): job-group
+  * attribution, field plausibility, and the JSON contract Bench writes. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def awaitTasks(m: MetricsListener, group: String, atLeast: Long): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (m.tasksSeen(group) < atLeast && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(m.tasksSeen(group) >= atLeast,
+      s"listener saw only ${m.tasksSeen(group)} tasks for $group")
+  }
+
+  test("attributes tasks, input and shuffle volume to the active job group") {
+    val m = new MetricsListener
+    spark.sparkContext.addSparkListener(m)
+    try {
+      spark.sparkContext.setJobGroup("mtest-shuffle", "metrics spec", false)
+      val parts = 4
+      // force a real shuffle: repartition + aggregate
+      (1 to 10000).toDF("x").repartition(parts, col("x"))
+        .groupBy(col("x") % 7).count().collect()
+      spark.sparkContext.clearJobGroup()
+      awaitTasks(m, "mtest-shuffle", parts.toLong)
+
+      val json = m.snapshotJson()
+      assert(json.contains("\"mtest-shuffle\":"), json.take(500))
+      val ds = json.split("\"mtest-shuffle\":", 2)(1)
+      assert("\"shuffle_write_bytes\":(\\d+)".r.findFirstMatchIn(ds)
+        .exists(_.group(1).toLong > 0), ds.take(300))
+      assert("\"shuffle_read_bytes\":(\\d+)".r.findFirstMatchIn(ds)
+        .exists(_.group(1).toLong > 0), ds.take(300))
+      assert("\"task_skew\":([0-9.]+)".r.findFirstMatchIn(ds)
+        .exists(_.group(1).toDouble >= 1.0), ds.take(300))
+      assert("\"failed_tasks\":0".r.findFirstIn(ds).isDefined, ds.take(300))
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
+  test("separate job groups get separate datasheets; file write round-trips") {
+    val m = new MetricsListener
+    spark.sparkContext.addSparkListener(m)
+    try {
+      spark.sparkContext.setJobGroup("mtest-a", "a", false)
+      (1 to 100).toDF("x").agg(sum(col("x"))).collect()
+      spark.sparkContext.setJobGroup("mtest-b", "b", false)
+      (1 to 100).toDF("x").agg(max(col("x"))).collect()
+      spark.sparkContext.clearJobGroup()
+      awaitTasks(m, "mtest-a", 1)
+      awaitTasks(m, "mtest-b", 1)
+
+      val path = java.nio.file.Files.createTempDirectory("graft-metrics")
+        .resolve("datasheet.json")
+      m.write(path)
+      val txt = java.nio.file.Files.readString(path)
+      assert(txt.contains("\"mtest-a\":") && txt.contains("\"mtest-b\":"), txt.take(500))
+      // groups sorted, object well-formed enough for the driver's json.load
+      assert(txt.indexOf("mtest-a") < txt.indexOf("mtest-b"))
+      assert(txt.trim.startsWith("{") && txt.trim.endsWith("}"))
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+}
