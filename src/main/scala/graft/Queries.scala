@@ -3127,6 +3127,33 @@ object Queries {
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
       |ORDER BY probe_id, match_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  // Maximal duplicated spans (Dedup.maximalDuplicatedSpans): the
+  // exact-substring reporting tier over q64's window table — consecutive
+  // duplicated 15-token windows merge into one maximal shared substring
+  // via the pos − row_number run-length trick (one doc-keyed shuffle over
+  // only the duplicated positions; no suffix array, nothing pairwise).
+  // Both engines fingerprint identical window text, so start offsets and
+  // span lengths hash-match.
+  private val q95: Q = (s, dir) =>
+    Dedup.maximalDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text", w = q64W)
+      .orderBy("doc_id", "span_start")
+
+  private val q95Sql =
+    s"""WITH $duckToksCte,
+       |sp AS (SELECT doc_id, unnest(range(0, len(t) - ${q64W - 1})) AS pos, t
+       |  FROM tk WHERE len(t) >= $q64W),
+       |e AS (SELECT doc_id, pos,
+       |  md5(array_to_string(list_slice(t, pos+1, pos+$q64W), ' ')) AS span FROM sp),
+       |dup AS (SELECT span FROM e GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, pos FROM e JOIN dup USING (span)),
+       |r AS (SELECT doc_id, pos,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       | CAST(count(*) + ${q64W - 1} AS BIGINT) AS span_tokens
+       |FROM r GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3223,7 +3250,8 @@ object Queries {
     "q91_stream_sessions" -> q91,
     "q92_stream_dedup" -> q92,
     "q93_stream_distinct" -> q93,
-    "q94_stream_interval_join" -> q94
+    "q94_stream_interval_join" -> q94,
+    "q95_max_dup_spans" -> q95
   )
 
   val oracles: Map[String, String] = Map(
@@ -3320,6 +3348,7 @@ object Queries {
     "q91_stream_sessions" -> q91Sql,
     "q92_stream_dedup" -> q92Sql,
     "q93_stream_distinct" -> q93Sql,
-    "q94_stream_interval_join" -> q94Sql
+    "q94_stream_interval_join" -> q94Sql,
+    "q95_max_dup_spans" -> q95Sql
   )
 }

@@ -434,4 +434,57 @@ object Dedup {
           .otherwise(coalesce(col("__n_dup"), lit(0L)).cast("double") / col("n_spans").cast("double"))
           .as("dup_span_frac"))
   }
+
+  /** Maximal duplicated spans — the EXACT-substring tier above
+    * [[duplicatedSpanStats]]'s per-doc fractions (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", the
+    * maximal-match reporting step): for each document, every maximal run
+    * of consecutive duplicated `w`-token windows, reported as
+    * `(idCol, span_start, span_tokens)` — a run of k consecutive
+    * duplicated window starts is one maximal shared substring of
+    * `k + w - 1` tokens (its interior windows are duplicated by
+    * construction, and extending past either end hits a non-duplicated
+    * window).
+    *
+    * This is the suffix-extension a suffix-array tier would do, but over
+    * the window table: instead of building a corpus-wide suffix array
+    * (super-linear memory, global sort over every suffix), consecutive
+    * duplicated positions are grouped with the classic `pos − row_number`
+    * run-length trick — ONE extra shuffle, on the doc key, over only the
+    * duplicated positions (a small subset of the corpus by the time
+    * training data is worth span-level auditing). Every stage stays
+    * linear in total token count; nothing is ever pairwise.
+    */
+  def maximalDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    // position-carrying variant of duplicatedSpanStats' window table
+    val spans = toks
+      .filter(size(col("__toks")) >= w)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - w)).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__pos") + 1, lit(w)))).as("__span"))
+    val dupSpans = spans
+      .groupBy(col("__span"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__span"))
+    val dupPos = spans
+      .join(dupSpans, Seq("__span"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val ws = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    dupPos
+      .withColumn("__grp", col("__pos") - row_number().over(ws))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("__pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(w - 1)).cast("long").as("span_tokens"))
+      .drop("__grp")
+  }
 }

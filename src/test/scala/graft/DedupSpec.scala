@@ -87,6 +87,31 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((3L, 5L, 0L, 0.0)))
   }
 
+  test("maximalDuplicatedSpans merges consecutive duplicated windows into maximal runs") {
+    val d = Seq(
+      (0L, "a b c d e x"), //  shares the 5-token run "a b c d e" with doc 1
+      (1L, "z a b c d e"),
+      (2L, "p q r s t u")  //  nothing shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.maximalDuplicatedSpans(d, "doc_id", "text", w = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // w=3 windows of "a b c d e": positions 0,1,2 in doc 0 / 1,2,3 in
+    // doc 1 — each a single run of 3 windows = one maximal 5-token span
+    assert(out == Seq((0L, 0L, 5L), (1L, 1L, 5L)))
+  }
+
+  test("maximalDuplicatedSpans reports disjoint runs separately") {
+    val d = Seq(
+      (0L, "a b c x y z d e f"), // shares "a b c" and "d e f", split by x y z
+      (1L, "a b c q q q d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maximalDuplicatedSpans(d, "doc_id", "text", w = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 3L), (0L, 6L, 3L), (1L, 0L, 3L), (1L, 6L, 3L)))
+  }
+
   test("minhash LSH banding surfaces duplicate and near-duplicate candidates") {
     // rowsPerBand=2 → 32 bands: collision prob ≈ 1-(1-j²)³² ≈ 0.996 at
     // j=0.4, so the near-dup pair is found with near-certainty while the
