@@ -105,6 +105,11 @@ object ConnectedComponents {
     // probes are an aggregate and a semi-join on the current edge set —
     // cheaper than the round they replace at any scale.
     def isStarForm(e: DataFrame): Boolean = {
+      // Two short-circuited actions, NOT a fused union-limit(1) probe:
+      // in every non-converged round the degree probe finds a violation
+      // almost immediately and && skips the semi-join entirely, so the
+      // common case costs one cheap aggregate. A fused probe partially
+      // executes BOTH branches every round and benched slower.
       val multiOut = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") > 1).limit(1).isEmpty
       multiOut && e.select(col("v"))
@@ -112,7 +117,12 @@ object ConnectedComponents {
         .limit(1).isEmpty
     }
 
-    var converged = isStarForm(edges)
+    // No pre-check on the initial edges: LSH/pair input is essentially
+    // never star-form, so probing it costs two actions on the LARGEST
+    // edge set for nothing — and if it is a star set, round 1 is a no-op
+    // (stars are fixed points) and the post-round check still exits at
+    // iter 1.
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
