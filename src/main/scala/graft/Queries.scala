@@ -3169,6 +3169,28 @@ object Queries {
        |FROM r GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  // Grouped top-k via the native TopKAgg TypedImperativeAggregate — the
+  // SCALE tier of q14's row_number window. Same result, radically
+  // different plan: the window shuffles and sorts every event row (no
+  // partial aggregation exists for windows), while this aggregates
+  // map-side with a bounded k-heap per group so the exchange carries at
+  // most groups × k pairs. Oracle = q14's SQL verbatim; PlanSpec pins the
+  // no-Window/no-global-sort shape.
+  private val q96: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.GraftFunctions.topK(col("value"), col("event_id"), 3).as("__top"))
+      .select(col("event_type"), posexplode(col("__top")))
+      .select(
+        col("event_type"),
+        col("col.id").as("event_id"),
+        col("col.ord").as("value"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("event_type", "rnk")
+
+  private val q96Sql = q14Sql
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3266,7 +3288,8 @@ object Queries {
     "q92_stream_dedup" -> q92,
     "q93_stream_distinct" -> q93,
     "q94_stream_interval_join" -> q94,
-    "q95_max_dup_spans" -> q95
+    "q95_max_dup_spans" -> q95,
+    "q96_grouped_topk" -> q96
   )
 
   val oracles: Map[String, String] = Map(
@@ -3364,6 +3387,7 @@ object Queries {
     "q92_stream_dedup" -> q92Sql,
     "q93_stream_distinct" -> q93Sql,
     "q94_stream_interval_join" -> q94Sql,
-    "q95_max_dup_spans" -> q95Sql
+    "q95_max_dup_spans" -> q95Sql,
+    "q96_grouped_topk" -> q96Sql
   )
 }

@@ -58,6 +58,28 @@ object GraftFunctions {
   private[plans] val nfcInfo =
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
 
+  /** Grouped top-k aggregate (see [[TopKAgg]]): the k largest `(ord, id)`
+    * pairs by (ord DESC, id ASC), in rank order. Use instead of a
+    * `row_number` window when only the top k rows per group are needed —
+    * partial aggregation keeps the shuffle at groups × k. */
+  def topK(ord: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  private[plans] val topkBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, "graft_topk expects (ord, id, k)")
+    val k = children(2) match {
+      case e if e.foldable => e.eval(null).asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(
+        "graft_topk k must be a literal")
+    }
+    TopKAgg(children(0), children(1), k)
+  }
+
+  private[plans] val topkInfo =
+    new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk")
+
   /** Register the engine's functions into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -66,6 +88,8 @@ object GraftFunctions {
       .registerFunction(FunctionIdentifier("graft_minhash"), minhashInfo, minhashBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("graft_topk"), topkInfo, topkBuilder)
   }
 }
 
@@ -84,5 +108,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_nfc"), GraftFunctions.nfcInfo,
         GraftFunctions.nfcBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_topk"), GraftFunctions.topkInfo,
+        GraftFunctions.topkBuilder))
   }
 }
