@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Packing, Rollup, Sampling, Similarity, Sketches, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Packing, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -3191,6 +3191,69 @@ object Queries {
 
   private val q96Sql = q14Sql
 
+  // ---------------------------------------------------------------- q97
+  // Salted skew join (SkewJoin.saltedJoin): orders⋈customer shuffled on
+  // (custkey, mix64(o_orderkey) mod 8) — each customer row replicated 8×,
+  // so a pathologically hot customer's orders spread over 8 reducers
+  // instead of stalling one. Salting must not change the RESULT: the
+  // oracle is the plain join + rollup, and the deterministic salt makes
+  // the Spark side re-run identically at any partitioning.
+  private val q97: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    SkewJoin.saltedJoin(o, c, "custkey", col("o_orderkey"), salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        AggFunctions.sumExact(col("o_totalprice")).as("sum_totalprice"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q97Sql =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  // KMV quantile registers (Sketches.kmvRegisters/kmvMerge/kmvQuantiles):
+  // per-shard (returnflag, linestatus) bottom-256-by-id-hash registers,
+  // MERGED up to returnflag, then quantiles over the merged keep set. The
+  // merge is lossless — bottom-k(∪ shards) = bottom-k(∪ shard bottom-ks)
+  // — so the oracle computes the global bottom-256 directly and the
+  // estimates match bit-for-bit: a fixed-memory, persistable, mergeable
+  // quantile artifact that two engines agree on exactly (contrast q41's
+  // engine-specific GK digest, which only admits error-bound checks).
+  private val q98: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val id = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
+    val shardRegs = Sketches.kmvRegisters(
+      li, Seq("l_returnflag", "l_linestatus"), id, col("l_extendedprice"), k = 256)
+    val merged = Sketches.kmvMerge(shardRegs, Seq("l_returnflag"), k = 256)
+    Sketches.kmvQuantiles(
+        merged, Seq("l_returnflag"),
+        Seq(0.25, 0.5, 0.75), Seq("p25_price", "median_price", "p75_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q98Sql = {
+    val mh = DuckHash.signed(
+      DuckHash.mix64Inline("CAST(l_orderkey*8 + l_linenumber AS UBIGINT)"))
+    s"""WITH h AS (SELECT l_returnflag, $mh AS hh,
+       |  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |r AS (SELECT l_returnflag, v,
+       |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hh, v) AS rn FROM h)
+       |SELECT l_returnflag,
+       | quantile_cont(v, 0.25) AS p25_price,
+       | quantile_cont(v, 0.5) AS median_price,
+       | quantile_cont(v, 0.75) AS p75_price,
+       | count(*) AS n_keep
+       |FROM r WHERE rn <= 256
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3289,7 +3352,9 @@ object Queries {
     "q93_stream_distinct" -> q93,
     "q94_stream_interval_join" -> q94,
     "q95_max_dup_spans" -> q95,
-    "q96_grouped_topk" -> q96
+    "q96_grouped_topk" -> q96,
+    "q97_salted_join" -> q97,
+    "q98_kmv_quantiles" -> q98
   )
 
   val oracles: Map[String, String] = Map(
@@ -3388,6 +3453,8 @@ object Queries {
     "q93_stream_distinct" -> q93Sql,
     "q94_stream_interval_join" -> q94Sql,
     "q95_max_dup_spans" -> q95Sql,
-    "q96_grouped_topk" -> q96Sql
+    "q96_grouped_topk" -> q96Sql,
+    "q97_salted_join" -> q97Sql,
+    "q98_kmv_quantiles" -> q98Sql
   )
 }

@@ -206,4 +206,86 @@ object Sketches {
       .drop("__cms_rn")
       .withColumnRenamed("__cms_key", "key")
   }
+
+  // ---- KMV quantile registers ------------------------------------------
+
+  /** Bottom-k-by-hash quantile registers — the QUANTILE analog of
+    * [[hllRegisters]]: per group, the k rows whose SplitMix64 id-hash is
+    * smallest, each carrying its measure value. The kept rows are a
+    * uniform (hash-ordered) sample of the group that is (a) DETERMINISTIC
+    * — both engines and every partitioning select the identical set, so
+    * estimates are hash-verifiable, unlike `approx_percentile`'s
+    * engine-specific digest; (b) FIXED-SIZE — k pairs per group no matter
+    * how many billions of rows the group has, unlike q76's fixed-FRACTION
+    * sample whose absolute size still grows with the data; (c) LOSSLESSLY
+    * MERGEABLE — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)),
+    * so per-shard/per-day register tables recombine into any later slice
+    * ([[kmvMerge]]) without re-reading the data.
+    *
+    * Built on [[graft.plans.KmvAgg]] (bounded-buffer
+    * TypedImperativeAggregate): ObjectHashAggregate with map-side partial
+    * combine, shuffle ≤ groups × k pairs. Rank error of a quantile over a
+    * uniform k-sample is O(1/sqrt(k)) (KMV sampling, Bar-Yossef et al.'s
+    * bottom-k estimator applied to values).
+    *
+    * @param idCol   distinct row id (cast to long, SplitMix64-hashed);
+    *                duplicate ids double-count their rows, same caveat as
+    *                [[hllDistinct]]'s key
+    * @return `(groupCols..., kmv_h: bigint, kmv_v: double)`, ≤ k rows per
+    *         group — the persistable register table
+    */
+  def kmvRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: Column,
+      valueCol: Column,
+      k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(graft.plans.GraftFunctions
+        .kmvBottomK(HashFunctions.mix64(idCol.cast("long")), valueCol.cast("double"), k)
+        .as("__kmv"))
+      .select(g :+ explode(col("__kmv")).as("__e"): _*)
+      .select(g :+ col("__e.h").as("kmv_h") :+ col("__e.v").as("kmv_v"): _*)
+  }
+
+  /** Merge unioned register tables (per-day/per-shard slices) back to one
+    * register set per group — re-keeping bottom-k over the union of kept
+    * pairs, which equals the registers of the combined data exactly
+    * (KmvSpec and q98 pin it). */
+  def kmvMerge(registers: DataFrame, groupCols: Seq[String], k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    registers
+      .groupBy(g: _*)
+      .agg(graft.plans.GraftFunctions
+        .kmvBottomK(col("kmv_h"), col("kmv_v"), k).as("__kmv"))
+      .select(g :+ explode(col("__kmv")).as("__e"): _*)
+      .select(g :+ col("__e.h").as("kmv_h") :+ col("__e.v").as("kmv_v"): _*)
+  }
+
+  /** Quantile estimates from a register table: exact linear-interpolation
+    * percentiles over the ≤ k kept values per group (bounded buffer by
+    * construction — the unbounded-group hazard of exact `percentile` is
+    * precisely what the registers removed).
+    *
+    * @param ps    quantiles in [0,1], emitted as columns `names` (same
+    *              length); plus `n_keep`, the kept-sample size
+    */
+  def kmvQuantiles(
+      registers: DataFrame,
+      groupCols: Seq[String],
+      ps: Seq[Double],
+      names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == names.length, "ps/names must align")
+    val g = groupCols.map(col)
+    registers
+      .groupBy(g: _*)
+      .agg(
+        percentile(col("kmv_v"), array(ps.map(lit): _*)).as("__q"),
+        count(lit(1)).as("n_keep"))
+      .select(g ++
+        names.zipWithIndex.map { case (n, i) =>
+          element_at(col("__q"), i + 1).as(n)
+        } :+ col("n_keep"): _*)
+  }
 }

@@ -80,6 +80,28 @@ object GraftFunctions {
   private[plans] val topkInfo =
     new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk")
 
+  /** Bottom-k-by-hash aggregate (see [[KmvAgg]]): the k pairs with the
+    * smallest signed-long hash `h`, payload `v` carried through, sorted by
+    * `h` ascending — the register buffer of
+    * [[graft.operators.Sketches.kmvRegisters]]. */
+  def kmvBottomK(h: Column, v: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvAgg(ColumnBridge.expression(h), ColumnBridge.expression(v), k)
+        .toAggregateExpression())
+
+  private[plans] val kmvBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3, "graft_kmv expects (h, v, k)")
+    val k = children(2) match {
+      case e if e.foldable => e.eval(null).asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(
+        "graft_kmv k must be a literal")
+    }
+    KmvAgg(children(0), children(1), k)
+  }
+
+  private[plans] val kmvInfo =
+    new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv")
+
   /** Register the engine's functions into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -90,6 +112,8 @@ object GraftFunctions {
       .registerFunction(FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_topk"), topkInfo, topkBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder)
   }
 }
 
@@ -111,5 +135,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_topk"), GraftFunctions.topkInfo,
         GraftFunctions.topkBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_kmv"), GraftFunctions.kmvInfo,
+        GraftFunctions.kmvBuilder))
   }
 }
