@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Packing, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Layout, Packing, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -3254,6 +3254,44 @@ object Queries {
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  // Z-order tiles (Layout.zOrder2): Morton-interleave (partkey, suppkey)
+  // and roll up per 2^14-wide z-range tile. Each tile's x/y min-max spans
+  // stay small BECAUSE the curve is locality-preserving — the property
+  // that makes z-clustered parquet files bbox-prunable (Layout.clusterByZ
+  // is the storage-side user; LayoutSpec measures the footprint win). The
+  // interleave is pure shift/mask composition, replayed bit-for-bit by
+  // the oracle in SQL.
+  private val q99: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val z = Layout.zOrder2(
+      pmod(col("l_partkey"), lit(65536L)), pmod(col("l_suppkey"), lit(65536L)))
+    li.select(z.as("__z"), col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftright(col("__z"), 14).as("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("x_min"), max(col("l_partkey")).as("x_max"),
+        min(col("l_suppkey")).as("y_min"), max(col("l_suppkey")).as("y_max"))
+      .orderBy("tile")
+  }
+
+  private val q99Sql = {
+    def spread(e: String): String = {
+      val a = s"($e & 65535)"
+      val b = s"(($a | ($a << 8)) & 16711935)" // 0x00FF00FF
+      val c = s"(($b | ($b << 4)) & 252645135)" // 0x0F0F0F0F
+      val d = s"(($c | ($c << 2)) & 858993459)" // 0x33333333
+      s"(($d | ($d << 1)) & 1431655765)" // 0x55555555
+    }
+    s"""WITH z AS (SELECT
+       |  (${spread("(l_partkey % 65536)")} | (${spread("(l_suppkey % 65536)")} << 1)) AS zv,
+       |  l_partkey, l_suppkey FROM lineitem)
+       |SELECT (zv >> 14) AS tile, count(*) AS n_rows,
+       | min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+       | min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+       |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3354,7 +3392,8 @@ object Queries {
     "q95_max_dup_spans" -> q95,
     "q96_grouped_topk" -> q96,
     "q97_salted_join" -> q97,
-    "q98_kmv_quantiles" -> q98
+    "q98_kmv_quantiles" -> q98,
+    "q99_zorder_tiles" -> q99
   )
 
   val oracles: Map[String, String] = Map(
@@ -3455,6 +3494,7 @@ object Queries {
     "q95_max_dup_spans" -> q95Sql,
     "q96_grouped_topk" -> q96Sql,
     "q97_salted_join" -> q97Sql,
-    "q98_kmv_quantiles" -> q98Sql
+    "q98_kmv_quantiles" -> q98Sql,
+    "q99_zorder_tiles" -> q99Sql
   )
 }
