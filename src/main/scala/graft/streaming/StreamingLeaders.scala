@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
+
+/** Continuously-maintained per-group leaderboard: the streaming face of
+  * the [[graft.plans.TopKAgg]] bounded-buffer aggregate (q96's batch
+  * operator), here running inside Structured Streaming's stateful
+  * aggregation. The state store persists each group's SERIALIZED k-heap
+  * between micro-batches (the same serialize/deserialize pair the batch
+  * shuffle uses), so state per group is O(k) forever — a leaderboard over
+  * an unbounded stream with bounded memory, where collecting rows and
+  * re-ranking would grow without limit.
+  *
+  * Complete/update output only (top-k is not monotone: a new row can
+  * evict an old leader), so this pairs with a sink that upserts by group
+  * — e.g. [[StreamingSink.upsertSnapshot]] keyed on the group column.
+  */
+object StreamingLeaders {
+
+  /** Per-group running top-k of (`ord`, `id`).
+    *
+    * @return one row per (group, rank): `groupCol..., rnk, ord, id` —
+    *         ranks re-emitted each trigger as leaders change
+    */
+  def topKLeaders(
+      stream: DataFrame,
+      groupCols: Seq[String],
+      ord: Column,
+      id: Column,
+      k: Int): DataFrame =
+    stream
+      .groupBy(groupCols.map(col): _*)
+      .agg(GraftFunctions.topK(ord, id, k).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.ord").as("ord"),
+        col("col.id").as("id")): _*)
+}
