@@ -158,14 +158,19 @@ object MilanPipeline {
     fs.delete(old, true)
   }
 
-  /** Restore after a crash mid-swap: if the table dir is missing but the
-    * `.backfill_old` snapshot exists, move it back. */
+  /** Restore after a crash mid-swap: table dir missing + `.backfill_old`
+    * present → the swap didn't finish, move the old snapshot back; BOTH
+    * present → the swap finished and only the cleanup delete was lost, so
+    * drop the superseded `.backfill_old` (otherwise the leftover blocks
+    * every later backfill against a healthy table). Returns true if
+    * anything was repaired. */
   def recoverBackfill(spark: SparkSession, tableDir: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val target = new Path(tableDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(tableDir + ".backfill_old")
-    if (fs.exists(old) && !fs.exists(target)) fs.rename(old, target)
-    else false
+    if (!fs.exists(old)) false
+    else if (!fs.exists(target)) fs.rename(old, target)
+    else fs.delete(old, true)
   }
 }

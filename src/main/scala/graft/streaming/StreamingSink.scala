@@ -80,14 +80,20 @@ object StreamingSink {
     } else if (!fs.rename(tmp, target)) sys.error(s"upsert swap failed: $tmp -> $target")
   }
 
-  /** Restore after a crash mid-swap: if the snapshot dir is missing but
-    * `.upsert_old` exists, move it back. Returns true if restored. */
+  /** Restore after a crash mid-swap. Two distinguishable crash states:
+    * snapshot dir missing + `.upsert_old` present → the swap DIDN'T finish,
+    * move the old snapshot back; both present → the swap DID finish and
+    * only the cleanup delete was lost, so drop the superseded `.upsert_old`
+    * (without this branch the leftover would deadlock every later
+    * `applyBatch` against a perfectly healthy snapshot). Returns true if
+    * anything was repaired. */
   def recoverSnapshot(spark: SparkSession, snapshotDir: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val target = new Path(snapshotDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(snapshotDir + ".upsert_old")
-    if (fs.exists(old) && !fs.exists(target)) fs.rename(old, target)
-    else false
+    if (!fs.exists(old)) false
+    else if (!fs.exists(target)) fs.rename(old, target)
+    else fs.delete(old, true)
   }
 }

@@ -73,6 +73,18 @@ class KmvSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window must not appear in:\n$plan")
   }
 
+  test("property: shard-then-merge equals direct registers for any sharding and k") {
+    for ((shards, k) <- Seq((2L, 8), (9L, 33), (31L, 256))) {
+      val sharded = events.withColumn("shard", pmod($"id", lit(shards)))
+      val merged = Sketches.kmvMerge(
+          Sketches.kmvRegisters(sharded, Seq("g", "shard"), $"id", $"v", k), Seq("g"), k)
+        .orderBy("g", "kmv_h").collect().toSeq
+      val direct = Sketches.kmvRegisters(events, Seq("g"), $"id", $"v", k)
+        .orderBy("g", "kmv_h").collect().toSeq
+      assert(merged == direct && merged.nonEmpty, s"shards=$shards k=$k")
+    }
+  }
+
   test("graft_kmv is SQL-callable after registration") {
     GraftFunctions.register(spark)
     Seq((1L, 5.0), (2L, 6.0), (3L, 7.0), (4L, 8.0)).toDF("h", "v")

@@ -101,5 +101,15 @@ class MilanPipelineSpec extends SparkSpec {
     Files.move(dir.resolve("grid"), dir.resolve("grid.backfill_old"))
     assert(MilanPipeline.recoverBackfill(spark, tbl))
     assert(spark.read.parquet(tbl).count() == 2)
+
+    // crash-recovery, other window: swap completed but the cleanup delete
+    // was lost — recovery drops the superseded snapshot, table untouched
+    Files.createDirectory(dir.resolve("grid.backfill_old"))
+    intercept[IllegalArgumentException] {
+      MilanPipeline.backfillColumn(spark, tbl, "bounds", lit("YYY"))
+    }
+    assert(MilanPipeline.recoverBackfill(spark, tbl))
+    assert(!Files.exists(dir.resolve("grid.backfill_old")))
+    assert(spark.read.parquet(tbl).count() == 2)
   }
 }

@@ -45,6 +45,23 @@ class StreamingSinkSpec extends SparkSpec {
     StreamingSink.applyBatch(b1, dir, Seq("k"), "ver", "ver") // applies again fine
   }
 
+  test("crash after a completed swap (lost cleanup) is also recoverable") {
+    val root = Files.createTempDirectory("snapl")
+    val dir = root.toString + "/t"
+    val b1 = Seq((1L, 10.0, 1L)).toDF("k", "v", "ver")
+    StreamingSink.applyBatch(b1, dir, Seq("k"), "ver", "ver")
+    // simulate: swap finished but the .upsert_old delete was lost
+    val stale = java.nio.file.Paths.get(dir + ".upsert_old")
+    Files.createDirectory(stale)
+    intercept[IllegalArgumentException] {
+      StreamingSink.applyBatch(b1, dir, Seq("k"), "ver", "ver")
+    }
+    assert(StreamingSink.recoverSnapshot(spark, dir)) // drops the superseded dir
+    assert(!Files.exists(stale))
+    assert(readSnap(dir) == Seq((1L, 10.0, 1L))) // snapshot untouched
+    StreamingSink.applyBatch(b1, dir, Seq("k"), "ver", "ver")
+  }
+
   test("upsertSnapshot maintains the snapshot across micro-batches end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("snape").toString + "/t"

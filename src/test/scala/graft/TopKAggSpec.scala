@@ -70,6 +70,25 @@ class TopKAggSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window must not appear in:\n$plan")
   }
 
+  test("property: equals the window for random data, duplicate ords, and many k") {
+    val rnd = new scala.util.Random(42)
+    // heavy ord duplication so tie-break paths are exercised constantly
+    val rows = Seq.tabulate(3000)(i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(20).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(9)
+    val w = Window.partitionBy("g").orderBy($"v".desc, $"id".asc)
+    val ranked = df.withColumn("rnk", row_number().over(w))
+    for (k <- Seq(1, 2, 17, 100, 5000)) {
+      val expected = ranked.filter($"rnk" <= k)
+        .select($"g", $"v", $"id", $"rnk".cast("int"))
+        .orderBy("g", "rnk").collect().toSeq
+      val got = topk(df, k)
+        .select($"g", $"v", $"id", $"rnk".cast("int"))
+        .orderBy("g", "rnk").collect().toSeq
+      assert(got == expected, s"k=$k")
+    }
+  }
+
   test("graft_topk is SQL-callable after registration") {
     GraftFunctions.register(spark)
     fixture.createOrReplaceTempView("topk_test")
