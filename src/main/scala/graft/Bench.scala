@@ -24,7 +24,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Per-query execution datasheet (rows/bytes/shuffle/spill/task-skew
-    // keyed by the bench-<query> job group) — the monitoring parity
+    // keyed by per-pass bench-<query>#p<pass> job groups; the written
+    // sheet keeps only each query's winning pass) — the monitoring parity
     // artifact, written next to the timing JSON every run.
     val metrics = new graft.pipeline.MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -37,23 +38,28 @@ object Bench {
     // query is scored -1 for the pass — a lost sample, not a lost round.
     val queryTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_SEC", "600").toLong
-    def run(name: String): Double = {
+    // Each execution runs under its OWN job group (bench-<name>#p<pass>):
+    // the metrics datasheet then reports the winning pass's numbers alone,
+    // instead of summing warm-up + every pass + cancelled attempts into
+    // incomparable totals (cross-round comparability needs per-execution
+    // semantics, matching the min-across-passes timing).
+    def run(name: String, group: String): Double = {
       val t0 = System.nanoTime()
       @volatile var failed: Throwable = null
       val worker = new Thread(() => {
         try {
-          spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
         } catch { case e: Throwable => failed = e }
         finally spark.sparkContext.clearJobGroup()
-      }, s"bench-$name")
+      }, group)
       worker.setDaemon(true)
       worker.start()
       worker.join(queryTimeoutSec * 1000)
       if (worker.isAlive) {
         System.err.println(s"[bench] $name TIMED OUT after ${queryTimeoutSec}s — cancelling")
-        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        spark.sparkContext.cancelJobGroup(group)
         worker.join(30000)
         // Spark cancellation is best-effort (tasks yield at record
         // boundaries): a worker still alive after the grace join keeps
@@ -74,8 +80,9 @@ object Bench {
       t
     }
 
-    // Warm-up: JVM/codegen/parquet-footer caches.
-    run("q16_distinct_flags")
+    // Warm-up: JVM/codegen/parquet-footer caches (own group — must not
+    // leak into any query's datasheet).
+    run("q16_distinct_flags", "bench-warmup")
 
     // INTERLEAVED best-of-N (default 3 passes, up to 6): this host shows
     // episodic multi-MINUTE degradation windows (all tasks drop to
@@ -106,7 +113,9 @@ object Bench {
     val passTimes = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     // Timings from a pass cut short by the budget: they join the final
     // minima but not the calm-pass vote (a partial pass can't certify).
-    val partialSamples = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // (name, time, passIdx) — the pass index recovers the job group of a
+    // winning partial sample for the metrics datasheet.
+    val partialSamples = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
 
     // A pass is "calm" iff its sum sits within ~30% of the sum of minima
     // computed from the OTHER passes (a self-comparison is trivially true,
@@ -134,7 +143,7 @@ object Bench {
     while (!outOfTime && (pass < basePasses || (pass < maxPasses && !calmSeen))) {
       val cur = scala.collection.mutable.LinkedHashMap[String, Double]()
       for (n <- names if !outOfTime) {
-        cur(n) = run(n)
+        cur(n) = run(n, s"bench-$n#p$pass")
         // Pass 1 always completes (every query needs >= 1 sample); later
         // passes yield mid-pass the moment the budget runs out.
         if (pass >= 1 && elapsed > budgetSec) outOfTime = true
@@ -144,7 +153,7 @@ object Bench {
         passTimes += cur.toMap
         calmSeen = passTimes.indices.exists(passIsCalm)
       } else {
-        partialSamples ++= cur
+        partialSamples ++= cur.map { case (n, t) => (n, t, pass - 1) }
       }
       val passSum = cur.values.filter(_ >= 0).sum
       System.err.println(
@@ -152,11 +161,15 @@ object Bench {
           (if (cur.size != names.size) s" (partial ${cur.size}/${names.size})" else ""))
       if (elapsed > budgetSec) outOfTime = true
     }
-    val results = names.map { n =>
-      val vs = passTimes.map(_(n)) ++ partialSamples.collect { case (`n`, t) => t }
-      val ok = vs.filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    // (name, min time, winning pass index) — passTimes(i) is pass i (a
+    // partial pass can only be the LAST one, so full-pass indices align).
+    val resultsWithPass = names.map { n =>
+      val vs = passTimes.zipWithIndex.map { case (m, i) => (m(n), i) } ++
+        partialSamples.collect { case (`n`, t, p) => (t, p) }
+      val ok = vs.filter(_._1 >= 0)
+      if (ok.isEmpty) (n, -1.0, -1) else { val best = ok.minBy(_._1); (n, best._1, best._2) }
     }
+    val results = resultsWithPass.map { case (n, t, _) => n -> t }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
@@ -176,17 +189,39 @@ object Bench {
     // line on stderr is what overflowed the tail window; the compact form
     // always fits and names the file carrying the full record.
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // Locale.ROOT — a comma-decimal JVM locale would make this record
+        // unparseable, the exact loss mode the compact line guards against
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      }.mkString("{", ",", "}")
     System.err.println(
       s"""{"metric":"total","value":$total,"unit":"sec","slowest10":$slow,"sf":"$sfDir","full":"$outPath"}""")
     System.err.flush()
-    // Metrics datasheet: give the async listener bus a moment to drain
-    // the tail of task-end events before snapshotting.
-    Thread.sleep(2000)
+    // Metrics datasheet: drain the async listener bus by POLLING until the
+    // task count stabilizes (a fixed sleep silently truncates the tail of
+    // the sheet inside this host's documented degradation windows).
+    var seen = -1L
+    var stable = 0
+    val drainDeadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < drainDeadline) {
+      Thread.sleep(200)
+      val now = metrics.totalTasksSeen()
+      if (now == seen) stable += 1 else { stable = 0; seen = now }
+    }
+    if (stable < 3)
+      System.err.println("[bench] metrics bus still draining at deadline — sheet may undercount tail tasks")
+    // Each query's sheet = its WINNING pass's execution only (one clean
+    // run, same semantics as the min-across-passes timing beside it).
     val metricsPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "/root/repo/bench_metrics.json"))
-    try metrics.write(metricsPath)
-    catch { case e: Throwable => System.err.println(s"[bench] metrics write failed: $e") }
+    val selection = resultsWithPass.collect {
+      case (n, t, p) if t >= 0 => s"bench-$n" -> s"bench-$n#p$p"
+    }
+    try {
+      val parent = metricsPath.toAbsolutePath.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.writeString(metricsPath, metrics.selectedJson(selection) + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] metrics write failed: $e") }
     spark.stop()
   }
 }

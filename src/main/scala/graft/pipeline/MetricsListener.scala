@@ -10,9 +10,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * SLOs): rows/bytes read, shuffle traffic, spill, and task skew, keyed
   * by job group so every catalog query benches with its own datasheet.
   *
-  * Queries are attributed through `setJobGroup` (Bench already wraps each
-  * query in group `bench-<name>`); anything outside a group lands under
-  * `"(ungrouped)"`. Listener callbacks are single-purpose and lock-free
+  * Queries are attributed through `setJobGroup` (Bench wraps each query
+  * execution in a per-pass group `bench-<name>#p<pass>` and the written
+  * sheet selects each query's winning pass via [[selectedJson]]);
+  * anything outside a group lands under `"(ungrouped)"`. Listener callbacks are single-purpose and lock-free
   * (ConcurrentHashMap + synchronized leaf updates): the listener bus is
   * asynchronous and must never become the bottleneck it is measuring.
   *
@@ -43,7 +44,10 @@ final class MetricsListener extends SparkListener {
     def json: String =
       s"""{"n_tasks":$nTasks,"failed_tasks":$failedTasks,""" +
         s""""total_task_ms":$totalTaskMs,"max_task_ms":$maxTaskMs,""" +
-        f""""task_skew":$skew%.3f,""" +
+        // Locale.ROOT: the f"" interpolator honors the JVM default locale,
+        // and a comma-decimal locale (de_DE …) would emit 1,234 here —
+        // unparseable JSON, silently zeroing the round's metrics artifact
+        s""""task_skew":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(skew))},""" +
         s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
         s""""output_records":$outputRecords,""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
@@ -88,6 +92,20 @@ final class MetricsListener extends SparkListener {
     if (g == null) 0L else g.synchronized(g.nTasks)
   }
 
+  /** Total tasks observed across ALL groups — the drain-polling hook:
+    * callers loop until consecutive reads stabilize instead of guessing a
+    * sleep for the async bus. */
+  def totalTasksSeen(): Long = {
+    import scala.jdk.CollectionConverters._
+    byGroup.asScala.values.map(g => g.synchronized(g.nTasks)).sum
+  }
+
+  /** Datasheet JSON for one group, if any tasks were attributed to it. */
+  def groupJson(group: String): Option[String] = {
+    val g = byGroup.get(group)
+    if (g == null) None else Some(g.synchronized(g.json))
+  }
+
   /** One JSON object `{group: datasheet}`, groups sorted. */
   def snapshotJson(): String = {
     import scala.jdk.CollectionConverters._
@@ -95,6 +113,15 @@ final class MetricsListener extends SparkListener {
       .map { case (k, v) => "\"" + k + "\":" + v.synchronized(v.json) }
       .mkString("{", ",", "}")
   }
+
+  /** Datasheet restricted to `selection` (output name → recorded group):
+    * Bench maps each query to the job group of its WINNING (min-time)
+    * pass, so the emitted numbers describe one clean execution — not a
+    * sum over warm-up, repeated passes, and cancelled attempts. */
+  def selectedJson(selection: Seq[(String, String)]): String =
+    selection
+      .flatMap { case (out, group) => groupJson(group).map("\"" + out + "\":" + _) }
+      .mkString("{", ",", "}")
 
   /** Write the datasheet file (parent dirs created). */
   def write(path: java.nio.file.Path): Unit = {

@@ -170,7 +170,14 @@ object MilanPipeline {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(tableDir + ".backfill_old")
     if (!fs.exists(old)) false
-    else if (!fs.exists(target)) fs.rename(old, target)
-    else fs.delete(old, true)
+    else if (!fs.exists(target)) {
+      // loud on failure — a false return here would read as "healthy"
+      // while the table exists only under .backfill_old
+      if (!fs.rename(old, target)) sys.error(s"recover failed: $old -> $target")
+      true
+    } else {
+      if (!fs.delete(old, true)) sys.error(s"recover failed: delete $old")
+      true
+    }
   }
 }

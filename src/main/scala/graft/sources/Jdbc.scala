@@ -96,13 +96,40 @@ object JdbcSink {
     val existing =
       try JdbcSource.count(df.sparkSession, url, table, props)
       catch {
-        // probe against a missing table: first load — append creates it.
-        // (JDBC surfaces this as an AnalysisException/SQLException chain
-        // whose shape is driver-specific; any probe failure that ISN'T
-        // "table missing" will re-throw from the append below.)
-        case _: Exception => 0L
+        case probeFailure: Exception =>
+          // Disambiguate "table missing" (first load — append creates it)
+          // from a TRANSIENT probe failure (network blip, pool exhaustion):
+          // treating the latter as empty would re-append every row into a
+          // table the guard exists to protect. The driver-specific
+          // exception chains don't distinguish the two, so ask the
+          // database directly on a fresh connection: if the zero-row
+          // existence query also fails, the table is genuinely absent; if
+          // it succeeds (or the connection can't even open), the original
+          // failure was NOT "missing table" — rethrow it and let the
+          // caller retry rather than double-load.
+          if (tableMissing(url, table, props, probeFailure)) 0L
+          else throw probeFailure
       }
     if (existing > 0L) false
     else { append(df, url, table, batchSize, props); true }
+  }
+
+  /** True iff a fresh connection opens AND `SELECT ... WHERE 1=0` on
+    * `table` fails — the only state that licenses treating a failed count
+    * probe as "first load". */
+  private def tableMissing(
+      url: String,
+      table: String,
+      props: Properties,
+      probeFailure: Exception): Boolean = {
+    val conn =
+      try java.sql.DriverManager.getConnection(url, props)
+      catch { case _: Exception => throw probeFailure } // infra down — not "missing"
+    try {
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); false }
+      catch { case _: java.sql.SQLException => true }
+      finally st.close()
+    } finally conn.close()
   }
 }

@@ -16,7 +16,10 @@ import graft.plans.GraftFunctions
   *
   * Complete/update output only (top-k is not monotone: a new row can
   * evict an old leader), so this pairs with a sink that upserts by group
-  * — e.g. [[StreamingSink.upsertSnapshot]] keyed on the group column.
+  * — e.g. [[StreamingSink.upsertSnapshot]] keyed on (group, rnk) with
+  * `outputMode = "update"` and a constant version column (update-mode
+  * ties resolve updates-first, so each trigger's re-emission wins);
+  * StreamingSinkSpec drives exactly that composition.
   */
 object StreamingLeaders {
 

@@ -33,9 +33,17 @@ object StreamingSink {
     *
     * @param changes    streaming change frame (same schema the snapshot
     *                   will have)
-    * @param versionCol newest-wins ordering column
+    * @param versionCol newest-wins ordering column. For an UPDATE-mode
+    *                   upstream (e.g. [[StreamingLeaders]]) a CONSTANT
+    *                   version column is the right choice:
+    *                   `upsertLatest` breaks version ties updates-first,
+    *                   so the newest emission for a key always wins.
     * @param tieBreak   unique-per-(key, version) column for deterministic
     *                   survivors (see [[Merge.upsertLatest]])
+    * @param outputMode "append" for plain change streams; "update" when
+    *                   the upstream is a stateful aggregation re-emitting
+    *                   revised rows per trigger (Append on an
+    *                   unwatermarked aggregation fails analysis)
     */
   def upsertSnapshot(
       changes: DataFrame,
@@ -43,9 +51,10 @@ object StreamingSink {
       checkpointDir: String,
       keys: Seq[String],
       versionCol: String,
-      tieBreak: String): StreamingQuery =
+      tieBreak: String,
+      outputMode: String = "append"): StreamingQuery =
     changes.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         applyBatch(batch, snapshotDir, keys, versionCol, tieBreak)
@@ -93,7 +102,15 @@ object StreamingSink {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(snapshotDir + ".upsert_old")
     if (!fs.exists(old)) false
-    else if (!fs.exists(target)) fs.rename(old, target)
-    else fs.delete(old, true)
+    else if (!fs.exists(target)) {
+      // a failed repair must be LOUD: returning false here would be
+      // indistinguishable from "nothing to repair" while the data sits
+      // only in .upsert_old and every applyBatch keeps refusing
+      if (!fs.rename(old, target)) sys.error(s"recover failed: $old -> $target")
+      true
+    } else {
+      if (!fs.delete(old, true)) sys.error(s"recover failed: delete $old")
+      true
+    }
   }
 }

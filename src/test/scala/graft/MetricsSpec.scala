@@ -64,4 +64,24 @@ class MetricsSpec extends SparkSpec {
       assert(txt.trim.startsWith("{") && txt.trim.endsWith("}"))
     } finally spark.sparkContext.removeSparkListener(m)
   }
+
+  test("selectedJson keeps only the winning pass's group, renamed to the output key") {
+    val m = new MetricsListener
+    spark.sparkContext.addSparkListener(m)
+    try {
+      // two "passes" of the same query under per-pass groups
+      spark.sparkContext.setJobGroup("bench-qX#p0", "p0", false)
+      (1 to 500).toDF("x").agg(sum(col("x"))).collect()
+      spark.sparkContext.setJobGroup("bench-qX#p1", "p1", false)
+      (1 to 500).toDF("x").agg(sum(col("x"))).collect()
+      spark.sparkContext.clearJobGroup()
+      awaitTasks(m, "bench-qX#p0", 1)
+      awaitTasks(m, "bench-qX#p1", 1)
+      val sel = m.selectedJson(Seq("bench-qX" -> "bench-qX#p1"))
+      assert(sel.contains("\"bench-qX\":{"), sel)
+      assert(!sel.contains("#p"), sel) // pass tags never leak into the sheet
+      // a selection whose group never ran is skipped, not emitted empty
+      assert(m.selectedJson(Seq("bench-qY" -> "bench-qY#p0")) == "{}")
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
 }

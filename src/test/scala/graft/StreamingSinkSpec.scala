@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{StreamingLeaders, StreamingSink}
@@ -75,6 +76,27 @@ class StreamingSinkSpec extends SparkSpec {
       input.addData((1L, 12.0, 2L), (3L, 30.0, 1L))
       q.processAllAvailable()
       assert(readSnap(dir) == Seq((1L, 12.0, 2L), (2L, 20.0, 1L), (3L, 30.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("leaders -> snapshot composition: update-mode upsert keyed on (g, rnk)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("snapld").toString + "/t"
+    val ckpt = Files.createTempDirectory("snaplc").toString
+    val input = MemoryStream[(String, Double, Long)]
+    val leaders = StreamingLeaders.topKLeaders(
+        input.toDF().toDF("g", "v", "id"), Seq("g"), $"v", $"id", k = 2)
+      .withColumn("ver", lit(0L)) // constant version: update-mode ties resolve updates-first
+    val q = StreamingSink.upsertSnapshot(
+      leaders, dir, ckpt, Seq("g", "rnk"), "ver", "id", outputMode = "update")
+    try {
+      input.addData(("a", 5.0, 1L), ("a", 3.0, 2L))
+      q.processAllAvailable()
+      input.addData(("a", 9.0, 3L)) // evicts id=2 from rank 2, id=1 drops to rank 2
+      q.processAllAvailable()
+      val snap = spark.read.parquet(dir).orderBy("g", "rnk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(snap == Seq(("a", 1L, 9.0, 3L), ("a", 2L, 5.0, 1L)))
     } finally q.stop()
   }
 
