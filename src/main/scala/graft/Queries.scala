@@ -3298,6 +3298,37 @@ object Queries {
        |FROM z GROUP BY tile ORDER BY tile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q100
+  // Five-number summary written the NAIVE way — five separate scalar
+  // percentile calls on the same column. [[graft.plans.FusePercentiles]]
+  // (injected by Graft.prepare / GraftExtensions) rewrites them into ONE
+  // array-form value buffer at optimization time, so this costs the same
+  // as q37's hand-fused form: one multiset per group instead of five.
+  // FusePercentilesSpec pins the fused plan shape; this entry keeps the
+  // rule exercised in the oracle-verified + benched path.
+  private val q100: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.0)).as("lo_price"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+        percentile(col("l_extendedprice"), lit(1.0)).as("hi_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q100Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | quantile_cont(l_extendedprice, 0.0) AS lo_price,
+      | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      | quantile_cont(l_extendedprice, 0.5) AS median_price,
+      | quantile_cont(l_extendedprice, 0.75) AS p75_price,
+      | quantile_cont(l_extendedprice, 1.0) AS hi_price,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3399,7 +3430,8 @@ object Queries {
     "q96_grouped_topk" -> q96,
     "q97_salted_join" -> q97,
     "q98_kmv_quantiles" -> q98,
-    "q99_zorder_tiles" -> q99
+    "q99_zorder_tiles" -> q99,
+    "q100_fused_summary" -> q100
   )
 
   val oracles: Map[String, String] = Map(
@@ -3501,6 +3533,7 @@ object Queries {
     "q96_grouped_topk" -> q96Sql,
     "q97_salted_join" -> q97Sql,
     "q98_kmv_quantiles" -> q98Sql,
-    "q99_zorder_tiles" -> q99Sql
+    "q99_zorder_tiles" -> q99Sql,
+    "q100_fused_summary" -> q100Sql
   )
 }

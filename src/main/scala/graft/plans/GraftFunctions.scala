@@ -123,6 +123,7 @@ object GraftFunctions {
   * numHashes-must-be-a-literal contract identically. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => FusePercentiles)
     ext.injectFunction(
       (FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo,
         GraftFunctions.cosineBuilder))
