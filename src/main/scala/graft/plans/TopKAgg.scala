@@ -13,14 +13,17 @@ import org.apache.spark.sql.types._
 /** Grouped top-k as a real AGGREGATE, not a window.
   *
   * The idiomatic Spark top-k-per-group (`row_number().over(partitionBy(g)
-  * .orderBy(v.desc)) <= k`, catalog q14) shuffles and sorts EVERY input
-  * row: window functions have no partial aggregation, so at 100 TB the
-  * exchange carries the full fact table and each partition pays an
-  * O(n log n) sort to keep 3 rows per group. This aggregate keeps a
-  * bounded k-heap per group in the aggregation buffer instead —
-  * `ObjectHashAggregate` runs it map-side, so the shuffle carries at most
-  * groups × k `(ord, id)` pairs (the same reduction that makes grouped
-  * SUM scale) and nothing is ever globally sorted.
+  * .orderBy(v.desc)) <= k`, catalog q14) is partly rescued by Spark 3.5+'s
+  * `InferWindowGroupLimit`: a Partial `WindowGroupLimitExec` below the
+  * exchange caps the shuffle at groups × k per map partition — the same
+  * exchange bound this aggregate achieves. What the window idiom still
+  * pays that this aggregate does not: a full O(n log n) SORT of every
+  * input row per map partition (WindowGroupLimit consumes sorted input;
+  * the reduce side then sorts again), where the k-heap does O(n log k)
+  * updates inside a hash aggregate with no sort at all; and a window can
+  * only rank — this runs in the same `groupBy.agg(...)` pass as other
+  * aggregates and inside Structured Streaming's stateful aggregation
+  * (`StreamingLeaders`), neither of which a window-limit plan can do.
   *
   * Semantics: per group, the k largest `(ord, id)` pairs by
   * (ord DESC, id ASC) — the exact order q14's window uses — returned as
