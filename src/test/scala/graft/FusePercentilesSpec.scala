@@ -120,6 +120,40 @@ class FusePercentilesSpec extends SparkSpec {
     assert(optimizedPercs(q).forall(!_.percentageExpression.isInstanceOf[CreateArray]))
   }
 
+  test("randomized percentile sets: fused session ≡ plain session bit-for-bit") {
+    // The rule runs on EVERY engine query, so its blast radius warrants a
+    // randomized sweep: random columns × random (possibly duplicated)
+    // percentages in random order, grouped and global, fused vs un-ruled.
+    // Fusion must not move a single bit — same value buffer, same
+    // interpolation, only the buffer COUNT changes.
+    val rnd = new scala.util.Random(1234)
+    val pool = Seq(0.0, 0.1, 0.25, 1.0 / 3.0, 0.5, 0.6180339887, 0.75, 0.9, 1.0)
+    val plainDf = plain.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    for (trial <- 1 to 6) {
+      val aggs = (1 to (1 + rnd.nextInt(3))).flatMap { _ =>
+        val c = if (rnd.nextBoolean()) "x" else "y"
+        (1 to (1 + rnd.nextInt(4))).map { _ =>
+          val p = pool(rnd.nextInt(pool.length))
+          (c, p)
+        }
+      }
+      val exprs = aggs.zipWithIndex.map { case ((c, p), i) =>
+        percentile(col(c), lit(p)).as(s"p$i")
+      } :+ count(lit(1)).as("n")
+      val grouped = rnd.nextBoolean()
+      def run(d: DataFrame): Array[String] = {
+        val r = if (grouped) d.groupBy(col("g")).agg(exprs.head, exprs.tail: _*)
+                else d.agg(exprs.head, exprs.tail: _*)
+        r.collect().map(_.toSeq.map {
+          case d: Double => java.lang.Double.doubleToLongBits(d).toString
+          case v => String.valueOf(v)
+        }.mkString("|")).sorted
+      }
+      assert(run(df).sameElements(run(plainDf)),
+        s"trial $trial diverged: aggs=$aggs grouped=$grouped")
+    }
+  }
+
   private implicit class SeqAsJava[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {
       val l = new java.util.ArrayList[T](s.length)
