@@ -114,4 +114,57 @@ object Rollup {
         sum(col("__n")).as("n_rows"),
         sum(col("__s")).cast("double").as("total_value"))
   }
+
+  /** Time-decayed counts with EXACT dyadic weights — "recency-weighted
+    * popularity" without floating-point drift. Naive exponential decay
+    * (`sum(exp(-age/tau))`) is a sum of irrational doubles: its value
+    * depends on partition merge order, so two runs of the same job — let
+    * alone two engines — disagree in the low bits. Here the decay is a
+    * STAIRCASE: weight halves every `stepDays` (age bucket `s` in
+    * `[0, maxSteps]` gets weight `2^(maxSteps-s)`, an exact integer), the
+    * weights are summed as decimal(38,0) (associative, order-independent),
+    * and one final division by `2^maxSteps` rescales — so the score is
+    * bit-identical across partitionings, retries, and engines whenever the
+    * integer sum stays below 2^53 (at the default maxSteps=12 that is
+    * ~2.2e12 fully-weighted rows PER GROUP; beyond that the cast rounds but
+    * stays order-independent).
+    *
+    * The reference time is `max(date(tsCol))` over the input — derived from
+    * the data, so the score is a pure function of the table (re-runnable,
+    * cacheable); pass a wall-clock literal instead via `refDate` for
+    * production freshness.
+    *
+    * Plan shape: one scalar max (broadcast back as a 1-row cross join) +
+    * one map-side-combined aggregation — two scans, no row shuffle beyond
+    * the group exchange. */
+  def decayedCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: Column,
+      stepDays: Int = 7,
+      maxSteps: Int = 12,
+      refDate: Option[Column] = None): DataFrame = {
+    require(stepDays > 0, "stepDays must be positive")
+    require(maxSteps >= 1 && maxSteps <= 62, s"maxSteps must be in [1,62], got $maxSteps")
+    val g = groupCols.map(col)
+    val withRef = refDate match {
+      case Some(r) => df.withColumn("__ref", r)
+      case None => df.crossJoin(broadcast(df.agg(max(to_date(tsCol)).as("__ref"))))
+    }
+    // ages are small integers: the double division inside floor is exact.
+    // Clamp below at 0 so rows NEWER than an explicit refDate weigh like
+    // "now" instead of overflowing the shift.
+    val steps = greatest(
+      lit(0),
+      least(
+        floor(datediff(col("__ref"), to_date(tsCol)) / lit(stepDays.toDouble)).cast("int"),
+        lit(maxSteps)))
+    withRef
+      .withColumn("__w", call_function("shiftleft", lit(1L), lit(maxSteps) - steps))
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(col("__w").cast("decimal(38,0)")).cast("double") /
+          lit(math.pow(2.0, maxSteps))).as("decayed_score"))
+  }
 }

@@ -131,4 +131,71 @@ object Sampling {
           lit(Buckets).cast("decimal(38,0)") * col("__w") * col("__m"))
       .drop("__w", "__cnt", "__m")
   }
+
+  /** 52-bit hash rank: the selection order shared by [[capPerGroup]] and
+    * [[budgetPerGroup]]. 2^52 < 2^53 keeps the value EXACTLY representable
+    * as a double (TopKAgg's ord type), so ranking by the double and ranking
+    * by the integer agree — the DuckDB oracle compares the integer. */
+  private[graft] def hashRank52(id: Column, salt: Long): Column =
+    pmod(HashFunctions.seeded(id.cast("long"), lit(salt)), lit(1L << 52))
+
+  /** Per-group frequency cap: keep at most `k` rows per group, chosen
+    * deterministically by salted-hash order (tie id ASC) — the web-curation
+    * "at most N documents per domain" pass, without `rand()`'s
+    * irreproducibility.
+    *
+    * Emits `(groupCol, idCol, rnk)` with `rnk` the 1-based hash-order rank;
+    * join back on id for payload columns. Scale shape: this is a bounded
+    * [[graft.plans.TopKAgg]] aggregation, NOT a `row_number` window — the
+    * map side keeps a k-heap per group, so the exchange carries at most
+    * groups × k pairs and a billion-row hot domain costs its scan, not a
+    * sorted shuffle of itself (q96 vs q14 is the measured comparison). */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      salt: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    // TopKAgg ranks (ord DESC, id ASC); negate the rank so the SMALLEST
+    // hash wins — ascending-hash selection like every sampler here.
+    val ord = -hashRank52(col(idCol), salt).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(graft.plans.GraftFunctions.topK(ord, col(idCol).cast("long"), k).as("__keep"))
+      .select(col(groupCol), posexplode(col("__keep")))
+      .select(
+        col(groupCol),
+        col("col.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Per-group BUDGET cap: walk each group in salted-hash order and keep
+    * rows while the running `costCol` total stays within `budget` — "at
+    * most B tokens per source", the volume-based sibling of
+    * [[capPerGroup]]'s count cap. Deterministic: the kept set is a pure
+    * function of (ids, costs, salt), and is PREFIX-CLOSED in hash order, so
+    * growing the budget only ever adds rows.
+    *
+    * Emits the input columns plus `cum_cost` (running total including the
+    * current row; integer arithmetic, exact cross-engine). Scale shape: one
+    * hash-partitioned window per group — unlike [[capPerGroup]] the
+    * cumulative sum genuinely needs ordered per-group traversal, so this
+    * shuffles the candidate rows on `groupCol`; run it AFTER the map-only
+    * samplers have cut the corpus, not before. */
+  def budgetPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      costCol: Column,
+      budget: Long,
+      salt: Long = 0L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashRank52(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_cost", sum(costCol.cast("long")).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
 }

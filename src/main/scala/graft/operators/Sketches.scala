@@ -288,4 +288,72 @@ object Sketches {
           element_at(col("__q"), i + 1).as(n)
         } :+ col("n_keep"): _*)
   }
+
+  // ---- CMS join-size estimation ----------------------------------------
+
+  /** Pre-flight JOIN CARDINALITY estimate from count-min sketches — the
+    * sketch tier of [[Diagnostics.joinSkewProbe]] (q80). The exact output
+    * size of an equi-join is the inner product of the two sides' key-count
+    * vectors, `sum_k cA(k) * cB(k)`; the CMS estimate of that inner product
+    * (Cormode & Muthukrishnan's dot-product estimator) is
+    * `min_d sum_b cA[d][b] * cB[d][b]` over the depth rows — each row's
+    * bucket-collision terms only ADD, so the estimate NEVER undercounts,
+    * and `min` over d independent rows pulls the overshoot within
+    * `(e/width) * |A| * |B|` with probability `1 - e^-depth`.
+    *
+    * Why it matters at 100 TB: answering "can I afford this join" exactly
+    * costs a distinct-key shuffle of both sides (q80); the sketch answers
+    * it from two `depth x width` counter tables — map-side-combined
+    * aggregations whose exchanges carry at most `depth * width` rows each,
+    * regardless of input size, and which can be persisted per-partition and
+    * composed later (counters are additive).
+    *
+    * Emits ONE row: `est_pairs`, `exact_pairs` (the audit column a
+    * pure-scale deployment drops), `overestimates` (the one-sided guarantee
+    * as a checkable boolean). Both counts are exact integer arithmetic in
+    * decimal(38,0) — products of billion-row key counts overflow BIGINT —
+    * so the DuckDB oracle replays the identical values.
+    */
+  def cmsJoinSize(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      keyA: Column,
+      keyB: Column,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0, s"width must be a power of 2, got $width")
+
+    def counters(df: DataFrame, key: Column, tag: String): DataFrame =
+      df.select(key.cast("long").as("__k"))
+        .withColumn("__s", explode(array((0 until depth).map(lit): _*)))
+        .withColumn("__b",
+          HashFunctions.seeded(col("__k"), col("__s"))
+            .bitwiseAND(lit((width - 1).toLong)))
+        .groupBy(col("__s"), col("__b"))
+        .agg(count(lit(1)).as(tag))
+
+    // Inner join: a bucket missing from either side contributes 0 to the
+    // dot product. Both counter tables are <= depth*width rows — AQE
+    // broadcasts this join however large the inputs were.
+    val est = counters(dfA, keyA, "__ca")
+      .join(counters(dfB, keyB, "__cb"), Seq("__s", "__b"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__ca").cast("decimal(19,0)") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).cast("decimal(38,0)").as("est_pairs"))
+
+    def keyCounts(df: DataFrame, key: Column, tag: String): DataFrame =
+      df.select(key.cast("long").as("__k")).groupBy(col("__k")).agg(count(lit(1)).as(tag))
+
+    val exact = keyCounts(dfA, keyA, "__na")
+      .join(keyCounts(dfB, keyB, "__nb"), Seq("__k"))
+      .agg(sum(col("__na").cast("decimal(19,0)") * col("__nb"))
+        .cast("decimal(38,0)").as("exact_pairs"))
+
+    est.crossJoin(exact)
+      .select(
+        col("est_pairs"),
+        col("exact_pairs"),
+        (col("est_pairs") >= col("exact_pairs")).as("overestimates"))
+  }
 }
