@@ -3329,6 +3329,131 @@ object Queries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  // Recency-weighted popularity (Rollup.decayedCounts): exponential-style
+  // decay as an exact dyadic STAIRCASE — the weight halves every 3 days,
+  // the integer weights sum order-independently in decimal, and one final
+  // division rescales. A naive sum(exp(-age/tau)) of doubles depends on
+  // partition merge order; this score is bit-identical across
+  // partitionings, retries, and engines. Ref date is data-derived (max
+  // event date), so the score is a pure function of the table. Plan: one
+  // scalar max broadcast back + one map-side-combined aggregation.
+  private val q101: Q = (s, dir) =>
+    Rollup.decayedCounts(
+        Tables.events(s, dir), Seq("event_type"), col("ts"),
+        stepDays = 3, maxSteps = 9)
+      .orderBy("event_type")
+
+  private val q101Sql =
+    """WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+      |w AS (SELECT event_type,
+      |  (CAST(1 AS BIGINT) << (9 - least(greatest(CAST(floor(date_diff('day', CAST(ts AS DATE), r.ref) / 3.0) AS INT), 0), 9))) AS wt
+      |  FROM events CROSS JOIN r)
+      |SELECT event_type, count(*) AS n_events,
+      | CAST(sum(wt) AS DOUBLE) / 512.0 AS decayed_score
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  // Per-group frequency cap (Sampling.capPerGroup): "at most 20 documents
+  // per language", selected in salted-hash order — deterministic where
+  // rand() is not — and computed as a bounded TopKAgg aggregation (map-side
+  // k-heap per group; the exchange carries at most groups × k pairs)
+  // instead of a row_number window that would shuffle-sort the corpus.
+  // The oracle replays the salted splitmix64 52-bit rank and takes
+  // row_number in the same (rank, id) order.
+  private val q102Salt = 29L
+
+  private val q102: Q = (s, dir) =>
+    Sampling.capPerGroup(
+        Tables.documents(s, dir), "lang", "doc_id", k = 20, salt = q102Salt)
+      .orderBy("lang", "rnk")
+
+  private val q102Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q102Salt) * Golden).mod(BigInt(1) << 64).toString
+    val m52 = "4503599627370496" // 2^52
+    s"""WITH mx0 AS (SELECT lang, doc_id,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")},
+       |r AS (SELECT lang, doc_id,
+       |  ((${signed("mh")} % $m52 + $m52) % $m52) AS hr FROM mx4),
+       |rk AS (SELECT lang, doc_id,
+       |  row_number() OVER (PARTITION BY lang ORDER BY hr, doc_id) AS rnk FROM r)
+       |SELECT lang, doc_id, rnk FROM rk WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q103
+  // Per-group volume budget (Sampling.budgetPerGroup): walk each source in
+  // salted-hash order and keep documents while the running n_chars total
+  // stays within 4000 — "at most B chars per source", the volume sibling of
+  // q102's count cap. The kept set is prefix-closed in hash order (growing
+  // the budget only adds rows). The cumulative sum genuinely needs ordered
+  // per-group traversal, so this is the one sampler that shuffles its
+  // input on the group key; the operator doc says to run it AFTER the
+  // map-only samplers have cut the corpus.
+  private val q103Salt = 31L
+
+  private val q103: Q = (s, dir) =>
+    Sampling.budgetPerGroup(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "doc_id", col("n_chars"), budget = 4000L, salt = q103Salt)
+      .orderBy("doc_id")
+
+  private val q103Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q103Salt) * Golden).mod(BigInt(1) << 64).toString
+    val m52 = "4503599627370496" // 2^52
+    s"""WITH mx0 AS (SELECT doc_id, source, n_chars,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")},
+       |r AS (SELECT doc_id, source, n_chars,
+       |  ((${signed("mh")} % $m52 + $m52) % $m52) AS hr FROM mx4),
+       |c AS (SELECT doc_id, source, n_chars,
+       |  CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY hr, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost FROM r)
+       |SELECT doc_id, source, n_chars, cum_cost FROM c
+       |WHERE cum_cost <= 4000 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q104
+  // Pre-flight join-size estimate from count-min sketches
+  // (Sketches.cmsJoinSize): the self-join size of events on user_id — the
+  // "can I afford this join" / F2 skew answer — from two depth×width
+  // counter tables instead of the distinct-key shuffle q80's exact probe
+  // pays. The CMS inner-product estimate never undercounts (collisions
+  // only add); min over depth rows bounds the overshoot. The catalog entry
+  // casts the counts to BIGINT for the cross-engine hash — the operator's
+  // native decimal(38,0) form is the 100 TB artifact; at catalog scale the
+  // values fit a long exactly.
+  private val q104: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    Sketches.cmsJoinSize(ev, ev, col("user_id"), col("user_id"), depth = 4, width = 1024)
+      .select(
+        col("est_pairs").cast("long").as("est_pairs"),
+        col("exact_pairs").cast("long").as("exact_pairs"),
+        col("overestimates"))
+  }
+
+  private val q104Sql = {
+    import DuckHash._
+    val mod = BigInt(1) << 64
+    def sg(i: Int): String = (Golden * i).mod(mod).toString
+    val seedTerm =
+      s"(CASE s WHEN 0 THEN 0 WHEN 1 THEN ${sg(1)} WHEN 2 THEN ${sg(2)} ELSE ${sg(3)} END)"
+    s"""WITH mx0 AS (SELECT s,
+       |  ${wadd("CAST(user_id AS UBIGINT)", seedTerm)} AS sx
+       |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+       |${mix64Ctes("sx")},
+       |ct AS (SELECT s, CAST(mh AS UBIGINT) % 1024 AS b, count(*) AS c
+       |  FROM mx4 GROUP BY s, b),
+       |dot AS (SELECT s, sum(CAST(c AS HUGEINT) * c) AS d FROM ct GROUP BY s),
+       |est AS (SELECT CAST(min(d) AS BIGINT) AS est_pairs FROM dot),
+       |ex AS (SELECT CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS exact_pairs
+       |  FROM (SELECT count(*) AS n FROM events GROUP BY user_id))
+       |SELECT est_pairs, exact_pairs, (est_pairs >= exact_pairs) AS overestimates
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3431,7 +3556,11 @@ object Queries {
     "q97_salted_join" -> q97,
     "q98_kmv_quantiles" -> q98,
     "q99_zorder_tiles" -> q99,
-    "q100_fused_summary" -> q100
+    "q100_fused_summary" -> q100,
+    "q101_decayed_counts" -> q101,
+    "q102_cap_per_group" -> q102,
+    "q103_budget_per_group" -> q103,
+    "q104_join_size_estimate" -> q104
   )
 
   val oracles: Map[String, String] = Map(
@@ -3534,6 +3663,10 @@ object Queries {
     "q97_salted_join" -> q97Sql,
     "q98_kmv_quantiles" -> q98Sql,
     "q99_zorder_tiles" -> q99Sql,
-    "q100_fused_summary" -> q100Sql
+    "q100_fused_summary" -> q100Sql,
+    "q101_decayed_counts" -> q101Sql,
+    "q102_cap_per_group" -> q102Sql,
+    "q103_budget_per_group" -> q103Sql,
+    "q104_join_size_estimate" -> q104Sql
   )
 }

@@ -55,15 +55,22 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spread(read(spark, dir, "embeddings"), "vec_id")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` the physical int64 arrives as a
-    * LongType of nanoseconds, which we truncate to microseconds — the same
-    * truncation DuckDB applies when it reads nanos into its native
-    * microsecond timestamp, so oracle comparisons line up exactly.
+  /** `events.parquet`'s `ts` has varied across harness data vintages:
+    * TIMESTAMP(NANOS) (arrives as a LongType of nanoseconds under
+    * `spark.sql.legacy.parquet.nanosAsLong` — truncate to micros, the same
+    * truncation DuckDB applies reading nanos) or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ — recast to the
+    * session-UTC instant type the rest of the engine uses; under the UTC
+    * session timezone the micros value is unchanged, so oracle comparisons
+    * line up exactly in both vintages).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spread(
-      read(spark, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")),
-      "user_id")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts DIV 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+    spread(raw.withColumn("ts", ts), "user_id")
+  }
 }

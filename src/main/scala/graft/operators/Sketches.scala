@@ -335,19 +335,26 @@ object Sketches {
 
     // Inner join: a bucket missing from either side contributes 0 to the
     // dot product. Both counter tables are <= depth*width rows — AQE
-    // broadcasts this join however large the inputs were.
+    // broadcasts this join however large the inputs were. A depth row with
+    // NO shared buckets vanishes from the grouped join entirely, but its
+    // dot product is 0 — and a 0 row estimate certifies the exact answer
+    // is 0 (the row never undercounts) — so the min must see it: if fewer
+    // than `depth` rows survive, the estimate is 0, not min-of-present.
     val est = counters(dfA, keyA, "__ca")
       .join(counters(dfB, keyB, "__cb"), Seq("__s", "__b"))
       .groupBy(col("__s"))
       .agg(sum(col("__ca").cast("decimal(19,0)") * col("__cb")).as("__dot"))
-      .agg(min(col("__dot")).cast("decimal(38,0)").as("est_pairs"))
+      .agg(when(count(lit(1)) === depth, min(col("__dot")))
+        .otherwise(lit(0)).cast("decimal(38,0)").as("est_pairs"))
 
     def keyCounts(df: DataFrame, key: Column, tag: String): DataFrame =
       df.select(key.cast("long").as("__k")).groupBy(col("__k")).agg(count(lit(1)).as(tag))
 
+    // coalesce: disjoint key sets make the join empty and sum() NULL — the
+    // true join size there is 0.
     val exact = keyCounts(dfA, keyA, "__na")
       .join(keyCounts(dfB, keyB, "__nb"), Seq("__k"))
-      .agg(sum(col("__na").cast("decimal(19,0)") * col("__nb"))
+      .agg(coalesce(sum(col("__na").cast("decimal(19,0)") * col("__nb")), lit(0))
         .cast("decimal(38,0)").as("exact_pairs"))
 
     est.crossJoin(exact)

@@ -46,4 +46,32 @@ class RollupSpec extends SparkSpec {
     ).agg(sum("t")).as[Double].collect()(0)
     assert(total == raw)
   }
+
+  test("decayedCounts assigns exact dyadic staircase weights from the max date") {
+    // ref = 2024-01-31; ages 0, 3, 7 days → steps 0, 1, 2 at stepDays=3
+    val ev = Seq(
+      (ts("2024-01-31 10:00:00"), "a"),
+      (ts("2024-01-28 09:00:00"), "a"),
+      (ts("2024-01-24 08:00:00"), "a"),
+      (ts("2024-01-31 23:00:00"), "b")
+    ).toDF("when", "grp")
+    val out = Rollup.decayedCounts(ev, Seq("grp"), col("when"), stepDays = 3, maxSteps = 4)
+      .orderBy("grp").as[(String, Long, Double)].collect()
+    // weights: 2^4, 2^3, 2^2 → (16+8+4)/16 = 1.75; b: 16/16 = 1.0
+    assert(out.toSeq == Seq(("a", 3L, 1.75), ("b", 1L, 1.0)))
+  }
+
+  test("decayedCounts clamps ages beyond maxSteps and below an explicit refDate") {
+    val ev = Seq(
+      (ts("2024-03-01 00:00:00"), "g"), // NEWER than refDate → clamped to step 0
+      (ts("2024-01-01 00:00:00"), "g"), // 31 days old at stepDays=1 → clamped to maxSteps
+      (ts("2024-01-31 12:00:00"), "g") // 1 day old → step 1
+    ).toDF("when", "grp")
+    val out = Rollup.decayedCounts(
+        ev, Seq("grp"), col("when"), stepDays = 1, maxSteps = 2,
+        refDate = Some(lit("2024-02-01").cast("date")))
+      .as[(String, Long, Double)].head()
+    // weights: 4 (clamped new), 1 (clamped old), 2 → 7/4
+    assert(out == (("g", 3L, 1.75)))
+  }
 }

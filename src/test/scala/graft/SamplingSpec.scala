@@ -60,4 +60,53 @@ class SamplingSpec extends SparkSpec {
       Sampling.rebalanceToTarget(df, "id", "grp", Map("a" -> 0L))
     }
   }
+
+  test("capPerGroup keeps at most k per group in salted-hash order") {
+    val df = ((1L to 200L).map(("big", _)) ++ (1001L to 1010L).map(("mid", _)) ++
+      (2001L to 2003L).map(("tiny", _))).toDF("grp", "id")
+    val out = Sampling.capPerGroup(df, "grp", "id", k = 10, salt = 7L)
+      .as[(String, Long, Long)].collect()
+
+    val byGrp = out.groupBy(_._1)
+    assert(byGrp("big").length == 10)
+    assert(byGrp("mid").length == 10) // exactly at the cap
+    assert(byGrp("tiny").length == 3) // under the cap: kept whole
+    // ranks are 1..n within each group
+    byGrp.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+
+    // selection = the k smallest 52-bit salted hashes, rank = hash order
+    // (replayed on the driver through the shared HashRef mix64)
+    def rank52(id: Long): Long = {
+      val h = HashRef.mix64(id + 7L * 0x9E3779B97F4A7C15L)
+      val m = h % (1L << 52)
+      if (m < 0) m + (1L << 52) else m
+    }
+    val expectBig = (1L to 200L).sortBy(id => (rank52(id), id)).take(10)
+    assert(byGrp("big").sortBy(_._3).map(_._2).toSeq == expectBig)
+  }
+
+  test("budgetPerGroup respects the budget and is prefix-closed in hash order") {
+    val df = (1L to 50L).map(i => ("s" + (i % 3), i, 10L + i % 7)).toDF("grp", "id", "cost")
+    val kept = Sampling.budgetPerGroup(df, "grp", "id", col("cost"), budget = 60L, salt = 3L)
+    val rows = kept.select("grp", "id", "cost", "cum_cost").as[(String, Long, Long, Long)].collect()
+
+    // every kept row's running total is within budget, and per-group sums agree
+    assert(rows.forall(_._4 <= 60L))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum == rs.map(_._4).max)
+    }
+
+    // growing the budget only ever ADDS rows (prefix-closed selection)
+    val bigger = Sampling.budgetPerGroup(df, "grp", "id", col("cost"), budget = 120L, salt = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(rows.map(_._2).toSet.subsetOf(bigger))
+
+    // a row larger than the remaining budget is skipped along with its suffix
+    // (cumulative semantics), never partially counted
+    val one = Sampling.budgetPerGroup(
+      Seq(("g", 1L, 100L)).toDF("grp", "id", "cost"), "grp", "id", col("cost"), budget = 60L)
+    assert(one.count() == 0)
+  }
 }

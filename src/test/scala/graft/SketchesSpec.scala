@@ -198,4 +198,49 @@ class SketchesSpec extends SparkSpec {
       Merge.upsertLatest(base, bad, Seq("user_id"), "v", "event_id")
     }
   }
+
+  // ---- CMS join-size estimation ----
+
+  test("cmsJoinSize never undercounts and exact_pairs matches the true join size") {
+    // skewed key mix: key 1 × 50, key 2 × 10, keys 100..149 × 1 on side A;
+    // key 1 × 3, key 2 × 7, keys 120..129 × 2 on side B
+    val a = (Seq.fill(50)(1L) ++ Seq.fill(10)(2L) ++ (100L until 150L)).toDF("k")
+    val b = (Seq.fill(3)(1L) ++ Seq.fill(7)(2L) ++
+      (120L until 130L) ++ (120L until 130L)).toDF("k")
+    val out = Sketches.cmsJoinSize(a, b, col("k"), col("k"))
+      .select(
+        col("est_pairs").cast("long"), col("exact_pairs").cast("long"), col("overestimates"))
+      .as[(Long, Long, Boolean)].head()
+
+    val truth = a.join(b, "k").count()
+    assert(truth == 50L * 3 + 10L * 7 + 10L * 2) // 240
+    assert(out._2 == truth)
+    assert(out._1 >= truth, s"CMS estimate ${out._1} undercounts $truth")
+    assert(out._3)
+    // 62 distinct keys in 1024 buckets: the min-over-depth estimate should
+    // stay close (collision overshoot is bounded, not a blowup)
+    assert(out._1 <= 2 * truth, s"estimate ${out._1} implausibly large")
+  }
+
+  test("cmsJoinSize on disjoint key sets estimates from shared buckets only") {
+    val a = (1L to 40L).toDF("k")
+    val b = (1000L to 1040L).toDF("k")
+    val out = Sketches.cmsJoinSize(a, b, col("k"), col("k"))
+      .select(col("est_pairs").cast("long"), col("exact_pairs").cast("long"))
+      .as[(Long, Long)].head()
+    assert(out._2 == 0L)
+    // only hash collisions contribute; with 40×41 keys in 1024×4 buckets the
+    // min over depth rows is a small number, and never negative
+    assert(out._1 >= 0L && out._1 <= 20L)
+  }
+
+  test("cmsJoinSize validates depth and width") {
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(df, df, col("k"), col("k"), depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(df, df, col("k"), col("k"), width = 1000)
+    }
+  }
 }
