@@ -3454,6 +3454,109 @@ object Queries {
        |FROM est CROSS JOIN ex""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q105
+  // Snapshot drift audit (Diagnostics.ksDrift): binned two-sample KS
+  // distance of `value` per event_type between the first and second half
+  // of the month — "did this crawl's distribution shift" before mixing a
+  // new snapshot into training data. The numerator max|cumA·nB − cumB·nA|
+  // is exact cross-multiplied integer arithmetic (order-independent,
+  // engine-independent); the final statistic is one double division. One
+  // (group, bin)-keyed map-combined aggregation over the tagged union —
+  // the shuffle carries ≤ groups × 64 rows regardless of input size.
+  private val q105: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    graft.operators.Diagnostics.ksDrift(
+        ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
+        Seq("event_type"), col("value"), bins = 64, lo = 0.0, hi = 512.0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("ks_num").cast("long").as("ks_num"), col("ks_stat"))
+      .orderBy("event_type")
+  }
+
+  private val q105Sql = {
+    val ks = "max(abs(cuma * nb - cumb * na))"
+    s"""WITH u AS (SELECT event_type,
+       |  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS side,
+       |  least(63, greatest(0, CAST(floor(("value" - 0.0) / 512.0 * 64) AS INT))) AS bin
+       | FROM events),
+       |c AS (SELECT event_type, bin,
+       |  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+       |  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+       | FROM u GROUP BY event_type, bin),
+       |w AS (SELECT event_type,
+       |  sum(ca) OVER (PARTITION BY event_type ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |  sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+       |  sum(ca) OVER (PARTITION BY event_type) AS na,
+       |  sum(cb) OVER (PARTITION BY event_type) AS nb
+       | FROM c)
+       |SELECT event_type,
+       | CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       | CAST($ks AS BIGINT) AS ks_num,
+       | CAST($ks AS DOUBLE) / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS ks_stat
+       |FROM w GROUP BY event_type
+       |HAVING max(na) > 0 AND max(nb) > 0
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q106
+  // Layout pruning audit (Layout.pruningAudit): for three bbox probes,
+  // what fraction of q99's z-tiles — and how many rows — a min/max
+  // footprint reader (parquet row-group skipping) would prune vs scan.
+  // The decision artifact for "is re-clustering this table worth it",
+  // computed from the footprint table alone; the fact table is read once
+  // to build tiles and never again. Boxes broadcast over the tiny tile
+  // table; all integer arithmetic.
+  private val q106: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val z = Layout.zOrder2(
+      pmod(col("l_partkey"), lit(65536L)), pmod(col("l_suppkey"), lit(65536L)))
+    val tiles = li.select(z.as("__z"), col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftright(col("__z"), 14).as("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("x_min"), max(col("l_partkey")).as("x_max"),
+        min(col("l_suppkey")).as("y_min"), max(col("l_suppkey")).as("y_max"))
+    val boxes = Seq(
+      (1L, 0L, 64L, 0L, 64L),
+      (2L, 100L, 300L, 20L, 80L),
+      (3L, 0L, 1000000L, 0L, 1000000L)
+    ).toDF("box_id", "x_lo", "x_hi", "y_lo", "y_hi")
+    Layout.pruningAudit(tiles, boxes).orderBy("box_id")
+  }
+
+  private val q106Sql = {
+    def spread(e: String): String = {
+      val a = s"($e & 65535)"
+      val b = s"(($a | ($a << 8)) & 16711935)"
+      val c = s"(($b | ($b << 4)) & 252645135)"
+      val d = s"(($c | ($c << 2)) & 858993459)"
+      s"(($d | ($d << 1)) & 1431655765)"
+    }
+    s"""WITH z AS (SELECT
+       |  (${spread("(l_partkey % 65536)")} | (${spread("(l_suppkey % 65536)")} << 1)) AS zv,
+       |  l_partkey, l_suppkey FROM lineitem),
+       |tiles AS (SELECT (zv >> 14) AS tile, count(*) AS n_rows,
+       |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+       |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+       | FROM z GROUP BY tile),
+       |boxes AS (SELECT * FROM (VALUES
+       |  (1, 0, 64, 0, 64), (2, 100, 300, 20, 80),
+       |  (3, 0, 1000000, 0, 1000000)) AS t(box_id, x_lo, x_hi, y_lo, y_hi))
+       |SELECT CAST(box_id AS BIGINT) AS box_id,
+       | count(*) AS n_tiles,
+       | CAST(sum(CASE WHEN x_max < x_lo OR x_min > x_hi OR y_max < y_lo OR y_min > y_hi
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       | CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       | CAST(sum(CASE WHEN x_max < x_lo OR x_min > x_hi OR y_max < y_lo OR y_min > y_hi
+       |   THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+       |FROM tiles CROSS JOIN boxes
+       |GROUP BY box_id ORDER BY box_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3560,7 +3663,9 @@ object Queries {
     "q101_decayed_counts" -> q101,
     "q102_cap_per_group" -> q102,
     "q103_budget_per_group" -> q103,
-    "q104_join_size_estimate" -> q104
+    "q104_join_size_estimate" -> q104,
+    "q105_ks_drift" -> q105,
+    "q106_pruning_audit" -> q106
   )
 
   val oracles: Map[String, String] = Map(
@@ -3667,6 +3772,8 @@ object Queries {
     "q101_decayed_counts" -> q101Sql,
     "q102_cap_per_group" -> q102Sql,
     "q103_budget_per_group" -> q103Sql,
-    "q104_join_size_estimate" -> q104Sql
+    "q104_join_size_estimate" -> q104Sql,
+    "q105_ks_drift" -> q105Sql,
+    "q106_pruning_audit" -> q106Sql
   )
 }

@@ -75,4 +75,34 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** File-skipping audit: quantify what a z-clustered layout would prune
+    * for a set of bbox probes, from footprint statistics alone — the
+    * decision artifact for "is re-clustering this 100 TB table worth it",
+    * computed WITHOUT rewriting or scanning the table again.
+    *
+    * `tiles` is a footprint table `(n_rows, x_min, x_max, y_min, y_max)` +
+    * any id columns — exactly what [[graft.Queries]] q99 emits per z-range,
+    * and what a parquet footer min/max index gives per file. `boxes` is a
+    * tiny probe table `(box_id, x_lo, x_hi, y_lo, y_hi)` (inclusive
+    * bounds). A tile is PRUNED for a box when the ranges miss on either
+    * dimension — the same conservative test parquet row-group skipping
+    * applies, so `rows_scanned` is the upper bound a min/max reader pays.
+    *
+    * Plan shape: broadcast the boxes over the tile table (tiles ≪ rows;
+    * the fact table itself is never touched) — one map-side-combined
+    * aggregation, all integer arithmetic.
+    */
+  def pruningAudit(tiles: DataFrame, boxes: DataFrame): DataFrame = {
+    val pruned =
+      col("x_max") < col("x_lo") || col("x_min") > col("x_hi") ||
+        col("y_max") < col("y_lo") || col("y_min") > col("y_hi")
+    tiles.crossJoin(broadcast(boxes))
+      .groupBy(col("box_id"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(pruned, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
+  }
 }

@@ -78,6 +78,29 @@ class LayoutSpec extends SparkSpec {
     // and the data survives the re-layout intact
     assert(spark.read.parquet(dir).count() == 5000)
   }
+
+  test("pruningAudit counts prunable tiles and rows per probe box") {
+    val tiles = Seq(
+      // tile footprints: (n_rows, x_min, x_max, y_min, y_max)
+      (10L, 0L, 9L, 0L, 9L),
+      (20L, 10L, 19L, 0L, 9L),
+      (30L, 0L, 9L, 10L, 19L)
+    ).toDF("n_rows", "x_min", "x_max", "y_min", "y_max")
+    val boxes = Seq(
+      (1L, 0L, 5L, 0L, 5L), // overlaps tile 1 only
+      (2L, 0L, 25L, 0L, 25L), // overlaps everything
+      (3L, 50L, 60L, 50L, 60L), // disjoint from all tiles
+      (4L, 10L, 10L, 9L, 9L) // inclusive-boundary touch: tile 2 only
+    ).toDF("box_id", "x_lo", "x_hi", "y_lo", "y_hi")
+    val out = graft.operators.Layout.pruningAudit(tiles, boxes)
+      .orderBy("box_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 60L, 10L),
+      (2L, 3L, 0L, 60L, 60L),
+      (3L, 3L, 3L, 60L, 0L),
+      (4L, 3L, 2L, 60L, 20L)))
+  }
 }
 
 /** Column-side mix64 for test fixtures (matches [[HashRef.mix64]]). */
