@@ -178,4 +178,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isFinalPlan=true"), p.take(500))
     assert(p.contains("*("), p.take(3000)) // WholeStageCodegen span marker
   }
+
+  test("q101 decayed counts: one map-combined aggregation, scalar max broadcast back") {
+    val p = plan(SparkEntry.queries("q101_decayed_counts")(spark, sf))
+    // partial_sum/partial_count before the group exchange — the weights
+    // combine map-side; the ref-date row rides a broadcast, never a shuffle
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q102 per-group cap is a bounded aggregate, not a row_number window") {
+    val p = plan(SparkEntry.queries("q102_cap_per_group")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("Window "), p.take(3000))
+  }
+
+  test("q104 join-size estimate joins counter tables, never the fact rows") {
+    val df = SparkEntry.queries("q104_join_size_estimate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the <= depth*width counter tables meet in broadcast joins after AQE
+    // sees their size; the events rows themselves never meet in a join
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q105 KS drift has no join: tagged union into one bounded aggregation") {
+    val p = plan(SparkEntry.queries("q105_ks_drift")(spark, sf))
+    assert(p.contains("Union"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q106 pruning audit broadcasts the probe boxes over the tile table") {
+    val df = SparkEntry.queries("q106_pruning_audit")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
 }
