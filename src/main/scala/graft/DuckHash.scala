@@ -130,13 +130,16 @@ private[graft] object DuckHash {
 
   // ---- SplitMix64 ----
 
-  /** CTE chain `mx1..mx4` computing `mh` = splitmix64 finalizer of column
-    * `xCol` (u64). Prefix with a CTE named `mx0`. */
-  def mix64Ctes(xCol: String): String =
-    s"""mx1 AS (SELECT *, ${wadd(xCol, m(Golden))} AS z0 FROM mx0),
-       |mx2 AS (SELECT *, ${wmul(wxor("z0", shr("z0", 30)), m(Mix1))} AS z1 FROM mx1),
-       |mx3 AS (SELECT *, ${wmul(wxor("z1", shr("z1", 27)), m(Mix2))} AS z2 FROM mx2),
-       |mx4 AS (SELECT *, ${wxor("z2", shr("z2", 31))} AS mh FROM mx3)""".stripMargin
+  /** CTE chain `<p>1..<p>4` computing `mh` = splitmix64 finalizer of column
+    * `xCol` (u64). Prefix with a CTE named `<p>0`. The prefix parameter
+    * exists because a query can need TWO mix chains (e.g. q109 hashes both
+    * the cluster unit and the raw doc id) — or compose with fragments like
+    * the LSH banding CTEs that already burn the default `mx` names. */
+  def mix64Ctes(xCol: String, p: String = "mx"): String =
+    s"""${p}1 AS (SELECT *, ${wadd(xCol, m(Golden))} AS ${p}z0 FROM ${p}0),
+       |${p}2 AS (SELECT *, ${wmul(wxor(s"${p}z0", shr(s"${p}z0", 30)), m(Mix1))} AS ${p}z1 FROM ${p}1),
+       |${p}3 AS (SELECT *, ${wmul(wxor(s"${p}z1", shr(s"${p}z1", 27)), m(Mix2))} AS ${p}z2 FROM ${p}2),
+       |${p}4 AS (SELECT *, ${wxor(s"${p}z2", shr(s"${p}z2", 31))} AS mh FROM ${p}3)""".stripMargin
 
   /** Inline (non-staged) splitmix64 of a SHORT u64 expression — ~32 textual
     * copies of `x`, so only use where `x` is a column reference or a tiny

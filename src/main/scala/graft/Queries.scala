@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Layout, Packing, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Funnel, Importance, Layout, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -2626,31 +2626,23 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q83
-  // Sequential conversion funnel: users who viewed, then clicked AFTER the
-  // first view, then purchased AFTER that click — the classic ordered
-  // event-sequence analytic. Every stage joins and aggregates on user_id,
-  // the key the events table is already spread on, so the whole funnel
-  // reuses ONE partitioning; stage counts are a 3-row union.
-  private val q83: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .join(views, "user_id")
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .join(clicks, "user_id")
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    views.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
-      .unionByName(
-        clicks.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
-      .unionByName(
-        purchases.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
-      .select(col("stage"), col("n_users"))
+  // Sequential conversion funnel (Funnel.userSteps): users who viewed,
+  // then clicked AFTER the first view, then purchased AFTER that click —
+  // the classic ordered event-sequence analytic, first-touch attribution.
+  // Every stage joins and aggregates on user_id, the key the events table
+  // is already spread on, so the whole funnel reuses ONE partitioning;
+  // stage counts explode out of a single global count row.
+  private val q83: Q = (s, dir) =>
+    Funnel.userSteps(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_click").as("stage"), col("n2").as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("n3").as("n_users")))).as("r"))
+      .select(col("r.stage"), col("r.n_users"))
       .orderBy("stage")
-  }
 
   private val q83Sql =
     """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
@@ -2667,25 +2659,16 @@ object Queries {
       |ORDER BY stage""".stripMargin
 
   // ---------------------------------------------------------------- q84
-  // Weekly retention cohorts: users grouped by first-seen week, counted in
-  // each later week they stay active — the standard engagement matrix.
-  // Activity dedups to (user, week) FIRST (shuffle = distinct pairs, not
-  // events), cohorts join on the user_id partitioning the table already
-  // has; week offsets are exact integer day arithmetic in both engines.
-  private val q84: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    val cohorts = ev.groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-    val activity = ev
-      .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
-      .distinct()
-    activity.join(cohorts, "user_id")
-      .withColumn("week_offset",
-        (datediff(col("active_week"), col("cohort_week")) / lit(7)).cast("long"))
-      .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
+  // Weekly retention cohorts (Retention.cohortMatrix): users grouped by
+  // first-seen week, counted in each later week they stay active — the
+  // standard engagement matrix. Activity dedups to (user, week) FIRST
+  // (shuffle = distinct pairs, not events), cohorts join on the user_id
+  // partitioning the table already has; week offsets are exact integer
+  // day arithmetic in both engines. Retention.weeklyCohorts adds the
+  // share-of-cohort column (FunnelSpec-covered).
+  private val q84: Q = (s, dir) =>
+    Retention.cohortMatrix(Tables.events(s, dir), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
-  }
 
   private val q84Sql =
     """WITH cohorts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -3557,6 +3540,206 @@ object Queries {
        |GROUP BY box_id ORDER BY box_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q107
+  // Quality-aware dedup survivor selection: q61's pipeline (MinHash-LSH →
+  // connected components) but each duplicate cluster keeps its BEST
+  // document — argmax quality score, doc_id ASC on ties — instead of the
+  // min id. The Lee-et-al.-style curation rule ("when near-dups differ,
+  // keep the cleanest"): exact-dup clusters tie on score and fall back to
+  // min id (= q61), near-dup clusters can elect a different survivor.
+  // The election is a TopKAgg k=1 bounded aggregate (exchange carries one
+  // (score, id) pair per cluster, no row_number window); cluster tables
+  // are cluster-count-sized and broadcast into the anti-joins.
+  private val q107: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      k = 3, numHashes = 16, rowsPerBand = 2)
+    val comp = ConnectedComponents.components(pairs, "doc_a", "doc_b")
+    val scored = d.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("__q"))
+    val losers = Dedup.bestSurvivorLosers(comp, scored, "doc_id", "__q")
+    d.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  private val q107Sql =
+    s"""WITH RECURSIVE $lshBandedCtes,
+       |$lshCandCte,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS node, least(min(d), s) AS cluster FROM reach GROUP BY s),
+       |sc AS (SELECT doc_id, $duckQualityScore AS q FROM documents),
+       |best AS (SELECT doc_id FROM (
+       |    SELECT l.cluster, s.doc_id,
+       |      row_number() OVER (PARTITION BY l.cluster ORDER BY s.q DESC, s.doc_id ASC) AS rn
+       |    FROM lbl l JOIN sc s ON l.node = s.doc_id) WHERE rn = 1),
+       |keep AS (SELECT doc_id, lang, source,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents
+       |  WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node NOT IN (SELECT doc_id FROM best)))
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM keep GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  // DSIR-style importance selection (Importance.enrichmentScores): pick
+  // corpus documents whose token mass concentrates in hashed-unigram
+  // buckets over-represented in a target corpus (here: the English
+  // documents) — the Xie-et-al. data-selection recipe with the per-bucket
+  // log-ratio reduced to an exact integer cross-multiply, so verdicts and
+  // counts hash identically across engines. Bucket counts map-side-combine
+  // to ≤1024 rows per side, the verdict table broadcasts back onto the
+  // token scan, per-doc scoring shuffles one row per document; two corpus
+  // scans total (learn distributions, then score) — the DSIR minimum.
+  private val q108: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Importance.enrichmentScores(d, d.filter(col("lang") === "en"), "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .withColumn("__sel", Importance.selected(1L, 2L))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_enriched")).as("enriched_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  private val q108Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |hx0 AS (SELECT DISTINCT term FROM ex),
+       |${DuckHash.xxhash64Ctes("term")},
+       |bt AS (SELECT term, h & 1023 AS b FROM hx12),
+       |exb AS (SELECT e.doc_id, bt.b FROM ex e JOIN bt USING (term)),
+       |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |cr AS (SELECT b, count(*) AS cr FROM exb GROUP BY b),
+       |ct AS (SELECT b, count(*) AS ct FROM exb JOIN tgt USING (doc_id) GROUP BY b),
+       |tot AS (SELECT (SELECT sum(cr) FROM cr) AS nr,
+       |               (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+       |enb AS (SELECT cr.b,
+       |    CAST(coalesce(ct.ct, 0) AS HUGEINT) * nr > CAST(cr.cr AS HUGEINT) * nt AS enriched
+       |  FROM cr LEFT JOIN ct USING (b), tot),
+       |de AS (SELECT e.doc_id, count(*) AS ne
+       |  FROM exb e JOIN enb ON e.b = enb.b AND enb.enriched GROUP BY e.doc_id),
+       |per AS (SELECT d.doc_id, d.lang, d.source,
+       |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS ntok,
+       |    coalesce(de.ne, 0) AS ne
+       |  FROM documents d LEFT JOIN de USING (doc_id))
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ntok > 0 AND 2 * ne >= ntok THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       |  CAST(sum(ne) AS BIGINT) AS enriched_tokens
+       |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  // Leakage-safe train/val/test split (Sampling.leakageSafeSplit): the
+  // split unit is the near-dup CLUSTER (MinHash-LSH → connected
+  // components), not the document — q70's per-doc hash split lets
+  // near-duplicate pairs straddle the train/eval boundary (benchmark
+  // contamination); hashing by cluster id makes a straddling pair
+  // impossible by construction. The output proves it: every LSH candidate
+  // pair is checked against both assignments — cross_pairs_cluster is 0
+  // BY CONSTRUCTION while cross_pairs_doclevel counts the leaks the naive
+  // split would have shipped. Straddle audit joins are id-keyed and
+  // candidate-pair-sized; the two scalar counts broadcast back.
+  private val q109Salt = 31L
+  private val q109: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      k = 3, numHashes = 16, rowsPerBand = 2)
+    val comp = ConnectedComponents.components(pairs, "doc_a", "doc_b")
+    val db = Sampling.hashBucket(col("doc_id"), q109Salt)
+    val sp = Sampling.leakageSafeSplit(d, "doc_id", comp, q109Salt,
+        trainFrac = 0.8, valFrac = 0.1)
+      .withColumn("__dsplit",
+        when(db < 800000L, "train").when(db < 900000L, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("__dsplit"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+    val a = sp.select(col("doc_id").as("doc_a"),
+      col("split").as("__sa"), col("__dsplit").as("__da"))
+    val b = sp.select(col("doc_id").as("doc_b"),
+      col("split").as("__sb"), col("__dsplit").as("__db"))
+    val straddle = pairs.join(a, "doc_a").join(b, "doc_b")
+      .agg(
+        coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)), lit(0L))
+          .as("cross_pairs_cluster"),
+        coalesce(sum(when(col("__da") =!= col("__db"), 1L).otherwise(0L)), lit(0L))
+          .as("cross_pairs_doclevel"))
+    sp.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+      .crossJoin(broadcast(straddle))
+      .orderBy("split")
+  }
+
+  private val q109Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q109Salt) * Golden).mod(BigInt(1) << 64).toString
+    val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
+    val du = mix64Inline(wadd("CAST(doc_id AS UBIGINT)", saltG))
+    val dbucket = s"(((${signed(du)}) % 1000000 + 1000000) % 1000000)"
+    s"""WITH RECURSIVE $lshBandedCtes,
+       |$lshCandCte,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+       |          UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS node, least(min(d), s) AS cluster FROM reach GROUP BY s),
+       |un AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS unit,
+       |    CAST($duckNTokens AS BIGINT) AS nt
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node),
+       |sm0 AS (SELECT doc_id, nt, ${wadd("CAST(unit AS UBIGINT)", saltG)} AS sx FROM un),
+       |${mix64Ctes("sx", "sm")},
+       |spl AS (SELECT doc_id, nt,
+       |    CASE WHEN $bucket < 800000 THEN 'train'
+       |         WHEN $bucket < 900000 THEN 'val' ELSE 'test' END AS split,
+       |    CASE WHEN $dbucket < 800000 THEN 'train'
+       |         WHEN $dbucket < 900000 THEN 'val' ELSE 'test' END AS dsplit
+       |  FROM sm4),
+       |cp AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS cross_pairs_cluster,
+       |    CAST(coalesce(sum(CASE WHEN a.dsplit <> b.dsplit THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS cross_pairs_doclevel
+       |  FROM cand c JOIN spl a ON c.doc_a = a.doc_id JOIN spl b ON c.doc_b = b.doc_id),
+       |g AS (SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+       |      FROM spl GROUP BY split)
+       |SELECT g.split, g.n_docs, g.total_tokens, cp.cross_pairs_cluster, cp.cross_pairs_doclevel
+       |FROM g, cp ORDER BY g.split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q112
+  // Event-transition matrix (Funnel.transitions): the Markov-chain view of
+  // user journeys - adjacent (from -> to) event pairs per user in
+  // (ts, event_id) order, with each edge's share of transitions leaving
+  // its source. One user-keyed shuffle + sort-within-partition window (the
+  // unavoidable sequence cost - the engine's only window over raw events);
+  // everything after the lead() is |types|^2-sized, and per-source totals
+  // broadcast back. The event_id tiebreak makes equal-timestamp runs
+  // deterministic on both engines.
+  private val q112: Q = (s, dir) =>
+    Funnel.transitions(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+
+  private val q112Sql =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, sum(n_transitions) AS tot FROM t GROUP BY from_type)
+      |SELECT t.from_type, t.to_type, t.n_transitions,
+      |  CAST(t.n_transitions AS DOUBLE)/CAST(f.tot AS DOUBLE) AS share
+      |FROM t JOIN f USING (from_type) ORDER BY from_type, to_type""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3665,7 +3848,11 @@ object Queries {
     "q103_budget_per_group" -> q103,
     "q104_join_size_estimate" -> q104,
     "q105_ks_drift" -> q105,
-    "q106_pruning_audit" -> q106
+    "q106_pruning_audit" -> q106,
+    "q107_best_survivor_dedup" -> q107,
+    "q108_importance_selection" -> q108,
+    "q109_leakage_safe_split" -> q109,
+    "q112_transition_matrix" -> q112
   )
 
   val oracles: Map[String, String] = Map(
@@ -3774,6 +3961,10 @@ object Queries {
     "q103_budget_per_group" -> q103Sql,
     "q104_join_size_estimate" -> q104Sql,
     "q105_ks_drift" -> q105Sql,
-    "q106_pruning_audit" -> q106Sql
+    "q106_pruning_audit" -> q106Sql,
+    "q107_best_survivor_dedup" -> q107Sql,
+    "q108_importance_selection" -> q108Sql,
+    "q109_leakage_safe_split" -> q109Sql,
+    "q112_transition_matrix" -> q112Sql
   )
 }

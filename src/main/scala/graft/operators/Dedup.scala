@@ -487,4 +487,31 @@ object Dedup {
         (count(lit(1)) + lit(w - 1)).cast("long").as("span_tokens"))
       .drop("__grp")
   }
+
+  /** Quality-aware survivor election: given a `components` table
+    * `(node, cluster)` (from [[ConnectedComponents.components]]) and a
+    * `scored` table `(idCol, scoreCol)`, return the LOSERS — every cluster
+    * member except its best document (max score, min id on ties). Anti-join
+    * the result against the corpus to keep the cleanest representative of
+    * each duplicate cluster (Lee et al.'s "keep the best" curation rule;
+    * min-id survivorship falls out when all scores tie, e.g. exact dups).
+    *
+    * The election is a [[graft.plans.TopKAgg]] k=1 bounded aggregate: the
+    * exchange carries ONE (score, id) pair per cluster — no row_number
+    * window, no sort of the membership. Output is loser-count-sized
+    * (duplicates only), broadcastable at any realistic dup rate. */
+  def bestSurvivorLosers(
+      components: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val members = components
+      .join(scored, components("node") === scored(idCol), "inner")
+      .select(col("cluster"), col(idCol), col(scoreCol).cast("double").as("__s"))
+    val best = members.groupBy(col("cluster"))
+      .agg(graft.plans.GraftFunctions.topK(col("__s"), col(idCol).cast("long"), 1).as("__t"))
+      .select(explode(col("__t")).as("__w"))
+      .select(col("__w.id").as(idCol))
+    members.select(idCol).join(best, Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel over an event log: how many users performed step 1,
+  * then step 2 STRICTLY AFTER their first step 1, then step 3 strictly
+  * after that first qualifying step 2, … — the conversion question every
+  * event-analytics dashboard asks (view → click → purchase).
+  *
+  * Semantics: a user converts at step i+1 if any step-i+1 event falls
+  * strictly after their EARLIEST qualifying step-i time (first-touch
+  * attribution, the standard funnel definition). Each stage keeps the
+  * earliest qualifying time, so conversion windows compose transitively.
+  *
+  * Scale shape: no per-user event buffering, no windows, no driver state.
+  * Stage i is `filter(step_i) → user-keyed min-aggregate → user-keyed join
+  * with stage i−1` — every aggregate and join keys on the user column, so
+  * the first exchange's hash partitioning is REUSED by every later stage
+  * (one shuffle of each step's filtered slice, step predicates pushed to
+  * the scan). Stage frames shrink monotonically: stage i+1 joins a
+  * user-count-sized frame, never the raw log.
+  */
+object Funnel {
+
+  /** Per-user earliest qualifying time of each reached step: one row per
+    * user who completed step 1, with `t1..tN` (later steps null once the
+    * user drops out). `steps` are matched against `typeCol` in order. */
+  def userSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      val tPrev = s"t$i"
+      val tCur = s"t${i + 1}"
+      val next = events.filter(col(typeCol) === step)
+        .join(prev.select(col(userCol), col(tPrev)), Seq(userCol))
+        .filter(col(tsCol) > col(tPrev))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as(tCur))
+      prev.join(next.select(col(userCol), col(tCur)), Seq(userCol), "left")
+    }
+  }
+
+  /** The funnel report: one row per step with the user count that reached
+    * it and the conversion share relative to step 1. */
+  def report(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    val per = userSteps(events, userCol, typeCol, tsCol, steps)
+    // One global count row (n1..nN), then N tiny struct rows exploded out
+    // of it — conversion shares divide inside the single row, no window.
+    val counts = per.agg(
+      count(col("t1")).as("n1"),
+      steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
+    val stepRows = steps.zipWithIndex.map { case (step, i) =>
+      struct(
+        lit(i + 1).cast("long").as("step"),
+        lit(step).as("step_name"),
+        col(s"n${i + 1}").as("n_users"),
+        when(col("n1") === 0L, lit(0.0))
+          .otherwise(col(s"n${i + 1}").cast("double") / col("n1").cast("double"))
+          .as("conversion"))
+    }
+    counts
+      .select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"), col("r.conversion"))
+  }
+
+  /** Event-transition matrix ("top paths"): for each adjacent pair of
+    * events per user in time order, count (from_type → to_type) and its
+    * share of all transitions leaving `from_type` — the Markov-chain view
+    * of user journeys.
+    *
+    * `tieCol` must make (tsCol, tieCol) unique per user (e.g. the event
+    * id): equal timestamps would otherwise leave the successor — and the
+    * whole matrix — partition-order-dependent.
+    *
+    * Scale shape: ONE shuffle of the log (hash on `userCol`) feeding a
+    * sort-within-partition window — the unavoidable cost of sequence
+    * semantics, and the only place this engine uses a window over raw
+    * events. Everything after the `lead` is matrix-sized (|types|² rows);
+    * the per-source totals broadcast back for the share.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val matrix = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = matrix.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("__tot"))
+    matrix.join(broadcast(totals), Seq("from_type"))
+      .withColumn("share",
+        col("n_transitions").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
+}

@@ -30,6 +30,43 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 0L): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < lit(math.round(fraction * Buckets)))
 
+  /** Leakage-safe train/val/test assignment: the split UNIT is the
+    * duplicate cluster, not the document. Hashing each doc id
+    * independently (q70's split) lets near-duplicate pairs straddle the
+    * train/eval boundary — the classic benchmark-contamination leak; here
+    * every member of a connected near-dup cluster hashes by its CLUSTER id
+    * (singletons by their own id), so a duplicate pair crossing splits is
+    * impossible by construction, not by audit.
+    *
+    * `components` is [[ConnectedComponents.components]] output
+    * `(node, cluster)`. Adds a `split` column ("train"/"val"/"test" at
+    * `trainFrac`/`valFrac`/remainder). The left join is id-keyed and
+    * hash-partitionable; the cluster table is dup-count-sized, so AQE
+    * broadcasts it whenever the dup rate lets it fit.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      salt: Long,
+      trainFrac: Double,
+      valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      "fractions must leave room for a test split")
+    val b = hashBucket(col("__unit"), salt)
+    // components' columns land under reserved names so a `cluster` column
+    // already on `df` can't be captured by the coalesce
+    val units = components.select(col("node").as(idCol), col("cluster").as("__lss_cluster"))
+    df.join(units, Seq(idCol), "left")
+      .withColumn("__unit", coalesce(col("__lss_cluster"), col(idCol)))
+      .withColumn(
+        "split",
+        when(b < lit(math.round(trainFrac * Buckets)), "train")
+          .when(b < lit(math.round((trainFrac + valFrac) * Buckets)), "val")
+          .otherwise("test"))
+      .drop("__lss_cluster", "__unit")
+  }
+
   /** Stratified sample: per-stratum rates from `fractions` (strata absent
     * from the map fall back to `default`). The standard corpus-rebalancing
     * shape — e.g. downsample an over-represented language while keeping the

@@ -163,4 +163,17 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated")))
     assert(out.toSeq == Seq((1L, 3L, true), (2L, 0L, false), (3L, 0L, false)))
   }
+
+  test("bestSurvivorLosers keeps each cluster's highest score, min id on ties") {
+    // clusters: {1,2,3} (scores 0.2, 0.9, 0.5 → keep 2) and
+    // {10,11} (tied scores → keep min id 10); doc 20 is in no cluster
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7), (20L, 0.1)
+    ).toDF("doc_id", "score")
+    val losers = Dedup.bestSurvivorLosers(comp, scored, "doc_id", "score")
+      .as[Long].collect().toSet
+    assert(losers == Set(1L, 3L, 11L))
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Funnel, Retention}
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // u1 completes the whole funnel in order; u2 clicks BEFORE its first
+  // view (click must not count) and never purchases; u3 views only;
+  // u4 purchases before clicking (purchase must not count).
+  private def events = Seq(
+    (1L, "view", ts("2024-01-01 10:00:00")),
+    (1L, "click", ts("2024-01-01 11:00:00")),
+    (1L, "purchase", ts("2024-01-01 12:00:00")),
+    (2L, "click", ts("2024-01-02 09:00:00")),
+    (2L, "view", ts("2024-01-02 10:00:00")),
+    (3L, "view", ts("2024-01-03 10:00:00")),
+    (4L, "view", ts("2024-01-04 10:00:00")),
+    (4L, "purchase", ts("2024-01-04 11:00:00")),
+    (4L, "click", ts("2024-01-04 12:00:00"))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnel counts strictly-ordered first-touch conversions") {
+    val out = Funnel.report(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("step_name"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("conversion")))
+    assert(out.toSeq == Seq(
+      (1L, "view", 4L, 1.0),
+      (2L, "click", 2L, 0.5), // u1 and u4 (u2's click precedes its view)
+      (3L, "purchase", 1L, 0.25))) // only u1 (u4 purchased before clicking)
+  }
+
+  test("funnel with zero step-1 users yields zero conversions, not NaN") {
+    val out = Funnel.report(events.filter($"event_type" =!= "view"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(0L, 0L, 0L))
+    assert(out.map(_.getAs[Double]("conversion")).toSeq == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("transitions count adjacent pairs in (ts, tie) order with shares") {
+    // u1: view→click→purchase; u2 has two same-timestamp events where the
+    // event_id tiebreak fixes the order: view(id 5) → click(id 6) → view
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 12:00:00")),
+      (5L, 2L, "view", ts("2024-01-02 10:00:00")),
+      (6L, 2L, "click", ts("2024-01-02 10:00:00")),
+      (7L, 2L, "view", ts("2024-01-02 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Funnel.transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n_transitions"), r.getAs[Double]("share")))
+    assert(out.toSeq == Seq(
+      ("click", "purchase", 1L, 0.5),
+      ("click", "view", 1L, 0.5),
+      ("view", "click", 2L, 1.0)))
+  }
+
+  test("weekly cohorts: offset-0 diagonal is 1.0 and returners count once") {
+    // 2024-01-01 and 2024-01-08 are Mondays. u1 active weeks 0 and 1
+    // (twice in week 1 — counts once); u2 week 0 only; u3 starts week 1.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Retention.weeklyCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("cohort_week").toString.take(10),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("retention")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 0.5),
+      ("2024-01-08", 0L, 1L, 1.0)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Importance
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Tokens "alpha" and "beta" land in distinct xxhash64 buckets at 1024
+  // (deterministic — the hash is seeded, not random).
+  private def corpus = Seq(
+    (1L, "alpha alpha alpha alpha"),
+    (2L, "beta beta beta beta"),
+    (3L, "alpha beta alpha beta"),
+    (4L, "   ")
+  ).toDF("doc_id", "text")
+
+  test("enrichmentScores marks target-heavy buckets and scores per doc") {
+    val target = corpus.filter($"doc_id" === 1L)
+    // cnt(alpha): corpus 6, target 4; cnt(beta): corpus 6, target 0;
+    // totals R=12, T=4 → alpha: 4*12 > 6*4 enriched; beta: 0 > 24 no.
+    val out = Importance.enrichmentScores(corpus, target, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_enriched"), r.getAs[Double]("enrich_frac")))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 4L, 1.0),
+      (2L, 4L, 0L, 0.0),
+      (3L, 4L, 2L, 0.5),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("selected applies the exact rational threshold, excludes empty docs") {
+    val target = corpus.filter($"doc_id" === 1L)
+    val kept = Importance.enrichmentScores(corpus, target, "doc_id", "text")
+      .filter(Importance.selected(1L, 2L)) // enrich_frac >= 1/2
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("empty target enriches nothing") {
+    val target = corpus.filter($"doc_id" === -1L)
+    val out = Importance.enrichmentScores(corpus, target, "doc_id", "text")
+    assert(out.filter($"n_enriched" > 0L).count() == 0L)
+  }
+}

@@ -222,4 +222,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
+
+  test("q107 survivor election is the bounded topk aggregate, not a window") {
+    val p = plan(SparkEntry.queries("q107_best_survivor_dedup")(spark, sf))
+    assert(p.contains("graft_topk"), p.take(4000))
+    // a row_number election would sort every cluster's membership; the
+    // k=1 heap carries one (score, id) pair per cluster through the
+    // exchange instead
+    assert(!p.contains("row_number"), p.take(4000))
+  }
+
+  test("q108 importance scoring broadcasts the bucket verdict table") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val df = graft.operators.Importance
+      .enrichmentScores(docs, docs.filter($"doc_id" === 1L), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the ≤numBuckets verdict table must come back onto the token scan as
+    // a broadcast, never a shuffled join of the token stream
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
 }

@@ -109,4 +109,28 @@ class SamplingSpec extends SparkSpec {
       Seq(("g", 1L, 100L)).toDF("grp", "id", "cost"), "grp", "id", col("cost"), budget = 60L)
     assert(one.count() == 0)
   }
+
+  test("leakageSafeSplit assigns a whole dup cluster to one split") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters: {1,2,3} labeled 1 and {10,11} labeled 10
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster")
+    val sp = Sampling.leakageSafeSplit(docs, "doc_id", comp, salt = 7L,
+        trainFrac = 0.8, valFrac = 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sp.size == 200 && sp.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(sp(1L) == sp(2L) && sp(2L) == sp(3L))
+    assert(sp(10L) == sp(11L))
+    // cluster members follow the CLUSTER id's hash: doc 2 and 3 land where
+    // standalone doc 1 (= the cluster label) lands
+    assert(sp(2L) == sp(1L))
+    // singletons follow their own id's hash — same assignment the plain
+    // hash split would give, so the split stays ~80/10/10 overall
+    val singleton = docs.filter(col("doc_id") === 50L)
+      .withColumn("b", Sampling.hashBucket(col("doc_id"), 7L))
+      .select("b").as[Long].head()
+    val expected =
+      if (singleton < 800000L) "train" else if (singleton < 900000L) "val" else "test"
+    assert(sp(50L) == expected)
+  }
 }
