@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Funnel, Importance, Layout, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -3740,6 +3740,44 @@ object Queries {
       |  CAST(t.n_transitions AS DOUBLE)/CAST(f.tot AS DOUBLE) AS share
       |FROM t JOIN f USING (from_type) ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  // Snapshot diff audit (Merge.snapshotDiff): what changed between two
+  // versions of a keyed table — here the per-user activity snapshot at
+  // mid-month vs month-end (new users = added, users with later events =
+  // changed, first-half-only users = unchanged; removals can't occur in an
+  // append-only log, and the 0 proves it). Column-wise null-safe equality,
+  // not row hashing — exact and engine-portable. One hash shuffle per side
+  // into the full outer join; status is row-local; the report aggregates
+  // to 4 rows. The CDC-audit twin of q78's upsert.
+  private val q113: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    def snap(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).as("total_value"))
+    Merge.snapshotDiff(
+        snap(ev.filter(col("ts") < split)), snap(ev),
+        Seq("user_id"), Seq("n_events", "total_value"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("status")
+  }
+
+  private val q113Sql =
+    """WITH base AS (SELECT user_id, count(*) AS n, sum(CAST("value" AS DECIMAL(38,4))) AS tv
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+      |rev AS (SELECT user_id, count(*) AS n, sum(CAST("value" AS DECIMAL(38,4))) AS tv
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT coalesce(b.user_id, r.user_id) AS user_id,
+      |    CASE WHEN b.user_id IS NULL THEN 'added'
+      |         WHEN r.user_id IS NULL THEN 'removed'
+      |         WHEN b.n IS NOT DISTINCT FROM r.n AND b.tv IS NOT DISTINCT FROM r.tv
+      |           THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM base b FULL OUTER JOIN rev r ON b.user_id = r.user_id)
+      |SELECT status, count(*) AS n_users FROM d GROUP BY status ORDER BY status""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3852,7 +3890,8 @@ object Queries {
     "q107_best_survivor_dedup" -> q107,
     "q108_importance_selection" -> q108,
     "q109_leakage_safe_split" -> q109,
-    "q112_transition_matrix" -> q112
+    "q112_transition_matrix" -> q112,
+    "q113_snapshot_diff" -> q113
   )
 
   val oracles: Map[String, String] = Map(
@@ -3965,6 +4004,7 @@ object Queries {
     "q107_best_survivor_dedup" -> q107Sql,
     "q108_importance_selection" -> q108Sql,
     "q109_leakage_safe_split" -> q109Sql,
-    "q112_transition_matrix" -> q112Sql
+    "q112_transition_matrix" -> q112Sql,
+    "q113_snapshot_diff" -> q113Sql
   )
 }

@@ -45,4 +45,41 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** Keyed snapshot diff — the audit twin of [[upsertLatest]]: what changed
+    * between two versions of a table. One row per key present in either
+    * snapshot, tagged `added` (revised only), `removed` (base only),
+    * `changed` (both sides, some `compareCols` differ), or `unchanged`.
+    * Comparisons are null-safe (`<=>`): a null→value transition is a
+    * change, null→null is not.
+    *
+    * Scale shape: one hash shuffle per side on `keys` feeding the full
+    * outer join, status computed row-locally after it — no collect, no
+    * row-fingerprint hashing (column-wise null-safe equality is exact and
+    * engine-portable where a serialized-row hash is not). Pair with a
+    * status-keyed aggregate for the dashboard row counts; keep the row
+    * stream for writing an audit table.
+    */
+  def snapshotDiff(
+      base: DataFrame,
+      revised: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val b = base.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__b", lit(1))
+    val r = revised.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"__r_$c").toMap)
+      .withColumn("__r", lit(1))
+    val same = compareCols
+      .map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    b.join(r, keys, "full_outer")
+      .withColumn("status",
+        when(col("__b").isNull, "added")
+          .when(col("__r").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .select(keys.map(col) :+ col("status"): _*)
+  }
 }

@@ -232,6 +232,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("row_number"), p.take(4000))
   }
 
+  test("q112 transition matrix: one window over events, totals broadcast back") {
+    val df = SparkEntry.queries("q112_transition_matrix")(spark, sf)
+    df.collect()
+    // AQE's toString repeats the tree (final + initial sections) — count
+    // nodes in the final section only
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    // exactly one Window node (the lead over the user-keyed sort) — a
+    // second window would mean the share is computed by re-sorting the
+    // matrix instead of the broadcast totals join
+    assert(p.split("\\bWindow \\[").length - 1 == 1, p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
   test("q108 importance scoring broadcasts the bucket verdict table") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")

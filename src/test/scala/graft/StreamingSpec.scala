@@ -216,4 +216,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed._1 == batchEst)
     } finally q.stop()
   }
+
+  test("streaming transition edges accumulate to the batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTransitions.Event
+    val input = MemoryStream[Event]
+    val edges = graft.streaming.StreamingTransitions.edges(
+      input.toDS().withWatermark("ts", "1 hour").as[Event])
+    val q = edges.writeStream
+      .format("memory")
+      .queryName("transitions_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // same fixture as FunnelSpec's transitions test, delivered in
+      // event-time order across two micro-batches (u2's same-timestamp
+      // pair arrives inside ONE batch so the event_id tiebreak decides)
+      input.addData(
+        Event(1L, 1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+        Event(1L, 2L, "click", Timestamp.valueOf("2024-01-01 11:00:00")),
+        Event(2L, 6L, "click", Timestamp.valueOf("2024-01-02 10:00:00")),
+        Event(2L, 5L, "view", Timestamp.valueOf("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      input.addData(
+        Event(1L, 3L, "purchase", Timestamp.valueOf("2024-01-01 12:00:00")),
+        Event(2L, 7L, "view", Timestamp.valueOf("2024-01-02 11:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("transitions_test")
+        .groupBy("from_type", "to_type").count()
+        .collect()
+        .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+          r.getAs[Long]("count"))).toMap
+      val batchEv = Seq(
+        (1L, 1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, 1L, "click", Timestamp.valueOf("2024-01-01 11:00:00")),
+        (3L, 1L, "purchase", Timestamp.valueOf("2024-01-01 12:00:00")),
+        (5L, 2L, "view", Timestamp.valueOf("2024-01-02 10:00:00")),
+        (6L, 2L, "click", Timestamp.valueOf("2024-01-02 10:00:00")),
+        (7L, 2L, "view", Timestamp.valueOf("2024-01-02 11:00:00"))
+      ).toDF("event_id", "user_id", "event_type", "ts")
+      val batch = graft.operators.Funnel
+        .transitions(batchEv, "user_id", "event_type", "ts", "event_id")
+        .collect()
+        .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+          r.getAs[Long]("n_transitions"))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
