@@ -3778,6 +3778,45 @@ object Queries {
       |  FROM base b FULL OUTER JOIN rev r ON b.user_id = r.user_id)
       |SELECT status, count(*) AS n_users FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  // Per-language quality gate (Sampling.quantileThresholds): "drop each
+  // language's bottom quartile by quality" — the grouped-threshold curation
+  // step between a global cutoff (unfair to low-resource languages) and
+  // exact per-group percentiles (billion-row sort buffers). Thresholds
+  // come from a deterministic ~25% id-hash sample (both engines select the
+  // IDENTICAL rows, so the sample-exact quantile is bit-reproducible); the
+  // group-count-sized threshold table broadcasts into the gating pass.
+  private val q114Salt = 37L
+  private val q114: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    val thr = Sampling.quantileThresholds(d, "doc_id", "lang", "q",
+      q = 0.25, salt = q114Salt)
+    d.join(broadcast(thr), Seq("lang"))
+      .groupBy(col("lang"), col("threshold"), col("n_sample"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        col("threshold"), col("n_sample"))
+      .orderBy("lang")
+  }
+
+  private val q114Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q114Salt) * Golden).mod(BigInt(1) << 64).toString
+    val mh = mix64Inline(wadd("CAST(doc_id AS UBIGINT)", saltG))
+    s"""WITH sc AS (SELECT doc_id, lang, $duckQualityScore AS q FROM documents),
+       |thr AS (SELECT lang, quantile_cont(q, 0.25) AS threshold, count(*) AS n_sample
+       |  FROM sc WHERE (($mh) & 1023) < 256 GROUP BY lang)
+       |SELECT s.lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN s.q >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  t.threshold, t.n_sample
+       |FROM sc s JOIN thr t USING (lang)
+       |GROUP BY s.lang, t.threshold, t.n_sample ORDER BY s.lang""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3891,7 +3930,8 @@ object Queries {
     "q108_importance_selection" -> q108,
     "q109_leakage_safe_split" -> q109,
     "q112_transition_matrix" -> q112,
-    "q113_snapshot_diff" -> q113
+    "q113_snapshot_diff" -> q113,
+    "q114_quality_gate" -> q114
   )
 
   val oracles: Map[String, String] = Map(
@@ -4005,6 +4045,7 @@ object Queries {
     "q108_importance_selection" -> q108Sql,
     "q109_leakage_safe_split" -> q109Sql,
     "q112_transition_matrix" -> q112Sql,
-    "q113_snapshot_diff" -> q113Sql
+    "q113_snapshot_diff" -> q113Sql,
+    "q114_quality_gate" -> q114Sql
   )
 }

@@ -56,44 +56,73 @@ object Importance {
       target: DataFrame,
       idCol: String,
       textCol: String,
-      numBuckets: Int = 1024): DataFrame = {
+      numBuckets: Int = 1024): DataFrame =
+    applyVerdicts(corpus,
+      bucketVerdicts(corpus, target, idCol, textCol, numBuckets),
+      idCol, textCol, numBuckets)
+
+  private def bucketed(
+      df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two, got $numBuckets")
-    val mask = (numBuckets - 1).toLong
-
-    def bucketed(df: DataFrame): DataFrame = df
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
-      .withColumn("__b", xxhash64(col("__tok")).bitwiseAND(lit(mask)))
+    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .withColumn("bucket", xxhash64(col("__tok")).bitwiseAND(lit((numBuckets - 1).toLong)))
       .drop("__tok")
+  }
 
-    val corpusToks = bucketed(corpus)
-    val cntR = corpusToks.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
-    val cntT = bucketed(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+  /** The learned artifact: `(bucket, enriched)` — ≤ numBuckets rows,
+    * persistable and reusable, so a NEW crawl batch can be scored by
+    * [[applyVerdicts]] without rescanning the corpus that trained it (the
+    * incremental pattern the cross-corpus dedup band table uses). */
+  def bucketVerdicts(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    val cntR = bucketed(corpus, idCol, textCol, numBuckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__cr"))
+    val cntT = bucketed(target, idCol, textCol, numBuckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__ct"))
     // Token-mass totals: two 1-row frames, broadcast as a scalar join. The
     // empty-target coalesce makes "no target" degrade to "nothing
     // enriched" instead of null-poisoning the inequality.
     val totals = cntR.agg(sum(col("__cr")).as("__nr"))
       .crossJoin(cntT.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt")))
-    // Bucket verdicts: ≤ numBuckets rows. decimal(38,0) cross-multiply —
-    // cnt × total reaches ~1e25 on a 1e12-token corpus, far past 2^63.
-    val verdicts = cntR
-      .join(cntT, Seq("__b"), "left")
+    // decimal(38,0) cross-multiply — cnt × total reaches ~1e25 on a
+    // 1e12-token corpus, far past 2^63.
+    cntR
+      .join(cntT, Seq("bucket"), "left")
       .na.fill(0L, Seq("__ct"))
       .crossJoin(broadcast(totals))
       .select(
-        col("__b"),
+        col("bucket"),
         (col("__ct").cast("decimal(38,0)") * col("__nr").cast("decimal(38,0)") >
           col("__cr").cast("decimal(38,0)") * col("__nt").cast("decimal(38,0)"))
-          .as("__enriched"))
-    val perDoc = corpusToks
-      .join(broadcast(verdicts), Seq("__b"))
+          .as("enriched"))
+  }
+
+  /** Score any document batch against a [[bucketVerdicts]] table: the
+    * verdicts broadcast onto the token scan (map-only over the batch), one
+    * idCol-keyed aggregation shuffles a single row per document. Buckets
+    * absent from the verdict table (tokens never seen at training time)
+    * count as not enriched. */
+  def applyVerdicts(
+      docs: DataFrame,
+      verdicts: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    val perDoc = bucketed(docs, idCol, textCol, numBuckets)
+      .join(broadcast(verdicts), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(when(col("__enriched"), 1L).otherwise(0L)).as("n_enriched"))
+        sum(when(coalesce(col("enriched"), lit(false)), 1L).otherwise(0L))
+          .as("n_enriched"))
     // Left join back: zero-token documents have no exploded rows but must
     // still score (0, 0, 0.0).
-    corpus.select(col(idCol))
+    docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(
         col(idCol),

@@ -30,6 +30,34 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 0L): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < lit(math.round(fraction * Buckets)))
 
+  /** Per-group quantile thresholds from a deterministic hash sample — the
+    * scale tier for "drop each language's bottom quartile by quality":
+    * exact per-group percentiles sort the whole group (billion-row buffer
+    * cliffs), sketches are engine-specific; a SplitMix64 id-sample (low 10
+    * bits < `sampleBits`/1024) cuts the sorted buffer while both engines
+    * select the IDENTICAL rows, so the quantile — exact on the sample — is
+    * bit-reproducible. The sample predicate rides the scan; the output is
+    * group-count-sized, broadcast it into the gating filter.
+    */
+  def quantileThresholds(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      q: Double,
+      salt: Long,
+      sampleBits: Long = 256L): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    require(sampleBits > 0 && sampleBits <= 1024, "sampleBits is out of 1024")
+    df.filter(
+        HashFunctions.seeded(col(idCol).cast("long"), lit(salt))
+          .bitwiseAND(lit(1023L)) < lit(sampleBits))
+      .groupBy(col(groupCol))
+      .agg(
+        percentile(col(valueCol), lit(q)).as("threshold"),
+        count(lit(1)).as("n_sample"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split UNIT is the
     * duplicate cluster, not the document. Hashing each doc id
     * independently (q70's split) lets near-duplicate pairs straddle the

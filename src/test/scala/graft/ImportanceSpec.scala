@@ -38,6 +38,23 @@ class ImportanceSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("persisted verdicts score a new batch without the training corpus") {
+    val target = corpus.filter($"doc_id" === 1L)
+    val verdicts = Importance.bucketVerdicts(corpus, target, "doc_id", "text")
+    // new crawl batch: alpha-heavy doc selects, unseen-token doc does not
+    // (buckets absent from the verdict table count as not enriched)
+    val batch = Seq(
+      (100L, "alpha alpha"),
+      (101L, "omega omega omega")
+    ).toDF("doc_id", "text")
+    val out = Importance.applyVerdicts(batch, verdicts, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_enriched")))
+    assert(out.toSeq == Seq((100L, 2L, 2L), (101L, 3L, 0L)))
+  }
+
   test("empty target enriches nothing") {
     val target = corpus.filter($"doc_id" === -1L)
     val out = Importance.enrichmentScores(corpus, target, "doc_id", "text")

@@ -121,4 +121,34 @@ class PropertySpec extends SparkSpec {
     val flagged = BloomPrefilter.prefilter(kdf, col("id"), table)
     assert(flagged.filter(!col("bloom_pass")).count() == 0) // no false negatives, ever
   }
+
+  test("snapshotDiff of upsertLatest agrees with the change batch (randomized)") {
+    import graft.operators.Merge
+    val rnd = new scala.util.Random(42)
+    // base: keys 0..199 at version 1; updates: random keys, half overlapping
+    // (some with SAME value → unchanged), half brand-new at version 2
+    val base = (0L until 200L).map(k => (k, 1L, k * 10.0, k)).toDF("id", "ver", "v", "tie")
+    val updates = (0 until 120).map { i =>
+      val k = rnd.nextInt(300).toLong
+      val sameValue = k < 200 && rnd.nextBoolean()
+      (k, if (sameValue) 1L else 2L, if (sameValue) k * 10.0 else k * 10.0 + 1.0, 1000L + i)
+    }.toDF("id", "ver", "v", "tie")
+    val upserted = Merge.upsertLatest(base, updates, Seq("id"), "ver", "tie")
+    val diff = Merge.snapshotDiff(base, upserted, Seq("id"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    val baseKeys = (0L until 200L).toSet
+    val valueChanging = updates.filter(col("ver") === 2L)
+      .select("id").as[Long].collect().toSet
+    // every key the upsert could add is 'added'; value-changing updates of
+    // existing keys are 'changed'; everything else is 'unchanged'; an
+    // upsert can never remove
+    diff.foreach { case (k, status) =>
+      val expected =
+        if (!baseKeys.contains(k)) "added"
+        else if (valueChanging.contains(k)) "changed"
+        else "unchanged"
+      assert(status == expected, s"key $k: $status != $expected")
+    }
+    assert(!diff.values.exists(_ == "removed"))
+  }
 }

@@ -110,6 +110,27 @@ class SamplingSpec extends SparkSpec {
     assert(one.count() == 0)
   }
 
+  test("quantileThresholds at full sample is the exact group percentile") {
+    val df = ((1L to 5L).map(i => (i, "a", i.toDouble)) ++
+      (6L to 7L).map(i => (i, "b", i.toDouble))).toDF("id", "grp", "v")
+    val thr = Sampling.quantileThresholds(df, "id", "grp", "v",
+        q = 0.25, salt = 1L, sampleBits = 1024L)
+      .orderBy("grp")
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Double]("threshold"), r.getAs[Long]("n_sample")))
+    // a: values 1..5, p25 = 2.0; b: values 6,7, p25 = 6.25
+    assert(thr.toSeq == Seq(("a", 2.0, 5L), ("b", 6.25, 2L)))
+  }
+
+  test("quantileThresholds sampling predicate actually thins the input") {
+    val df = (1L to 1000L).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "v")
+    val n = Sampling.quantileThresholds(df, "id", "grp", "v",
+        q = 0.5, salt = 3L)
+      .select("n_sample").as[Long].head()
+    // ~25% of 1000 with binomial spread
+    assert(n > 150 && n < 350, s"sample size $n")
+  }
+
   test("leakageSafeSplit assigns a whole dup cluster to one split") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two clusters: {1,2,3} labeled 1 and {10,11} labeled 10
