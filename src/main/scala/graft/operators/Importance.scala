@@ -133,6 +133,47 @@ object Importance {
           .otherwise(col("n_enriched").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Collect a [[bucketVerdicts]] table into the bitmap
+    * [[applyVerdictsFused]] wants: numBuckets/64 longs (16 at the default
+    * 1024) — the same justified driver pull as an IVF centroid table. */
+  def verdictBits(verdicts: DataFrame, numBuckets: Int = 1024): Array[Long] = {
+    require(numBuckets >= 64 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two >= 64, got $numBuckets")
+    val bits = new Array[Long](numBuckets / 64)
+    verdicts.filter(col("enriched")).select(col("bucket")).collect().foreach { r =>
+      val b = r.getLong(0).toInt
+      bits(b >>> 6) |= 1L << (b & 63)
+    }
+    bits
+  }
+
+  /** The hot scoring path: one codegen pass per document against the
+    * in-memory verdict bitmap ([[graft.plans.EnrichedTokenCount]]) — no
+    * explode, no join, the token stream never leaves the scan stage; the
+    * only shuffle left is whatever the caller aggregates afterwards.
+    * Bit-equivalent to [[applyVerdicts]] (ExpressionSpec pins it); use the
+    * DataFrame form instead when the verdict table should stay
+    * distributed. */
+  def applyVerdictsFused(
+      docs: DataFrame,
+      bits: Array[Long],
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val packed = graft.plans.GraftFunctions
+      .enrichedCount(TextFunctions.tokens(col(textCol)), bits)
+    val carried = keepCols.map(col)
+    docs
+      .select(col(idCol) +: carried :+ packed.as("__p"): _*)
+      .select(
+        col(idCol) +: carried :+
+          shiftright(col("__p"), 32).as("n_tokens") :+
+          col("__p").bitwiseAND(lit(0xffffffffL)).as("n_enriched"): _*)
+      .withColumn("enrich_frac",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_enriched").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** The keep/drop rule on [[enrichmentScores]] output: at least
     * `num/den` of the document's tokens in enriched buckets, evaluated as
     * the exact integer inequality `n_enriched · den ≥ n_tokens · num`

@@ -51,7 +51,9 @@ object Merge {
     * snapshot, tagged `added` (revised only), `removed` (base only),
     * `changed` (both sides, some `compareCols` differ), or `unchanged`.
     * Comparisons are null-safe (`<=>`): a null→value transition is a
-    * change, null→null is not.
+    * change, null→null is not. `keys` must be unique within each snapshot
+    * (it is a KEYED snapshot — run [[upsertLatest]] or an aggregate first
+    * if not); duplicate keys would multiply through the outer join.
     *
     * Scale shape: one hash shuffle per side on `keys` feeding the full
     * outer join, status computed row-locally after it — no collect, no

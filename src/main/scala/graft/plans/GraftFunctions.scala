@@ -46,6 +46,13 @@ object GraftFunctions {
   private[plans] val minhashInfo =
     new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
 
+  /** Fused importance-scoring kernel (see [[EnrichedTokenCount]]): packed
+    * `(n_tokens << 32) | n_enriched` of `tokens` against the verdict
+    * bitmap. Column-API only — the bitmap is a driver-side array, not a
+    * SQL literal. */
+  def enrichedCount(tokens: Column, bits: Array[Long]): Column =
+    ColumnBridge.column(EnrichedTokenCount(ColumnBridge.expression(tokens), bits))
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfcNormalize(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))

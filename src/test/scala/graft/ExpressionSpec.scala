@@ -103,4 +103,74 @@ class ExpressionSpec extends SparkSpec {
     val v = e.eval(null).asInstanceOf[Double]
     assert(math.abs(v - 1.0) < 1e-12)
   }
+
+  test("EnrichedTokenCount matches the explode + xxhash64 composition") {
+    import graft.functions.TextFunctions
+    // adversarial corpus: multi-byte CJK, empty/whitespace-only text,
+    // repeated tokens — the bucket mask and hash must agree with the
+    // built-in xxhash64 on every token
+    val docs = Seq(
+      (0L, "the quick brown fox the fox"),
+      (1L, "电信 数据 管道 电信"),
+      (2L, "   "),
+      (3L, "solo")
+    ).toDF("id", "text")
+    val numBuckets = 1024
+    // enrich the buckets of 'fox' and '电信' via the composition itself
+    val enrichedTokens = Seq("fox", "电信")
+    val bitRows = docs.sparkSession.createDataset(enrichedTokens)(
+        org.apache.spark.sql.Encoders.STRING)
+      .select((xxhash64(col("value")).bitwiseAND(lit((numBuckets - 1).toLong))).as("b"))
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](numBuckets / 64)
+    bitRows.foreach(b => bits((b >>> 6).toInt) |= 1L << (b & 63))
+    val packed = graft.plans.GraftFunctions
+      .enrichedCount(TextFunctions.tokens($"text"), bits)
+    val fused = docs
+      .select($"id", shiftright(packed, 32).as("nt"),
+        packed.bitwiseAND(lit(0xffffffffL)).as("ne"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // composition: explode tokens, hash with the BUILT-IN xxhash64, test
+    // membership of the enriched bucket set
+    val bucketSet = bitRows.toSet
+    val composed = docs
+      .select($"id", explode_outer(TextFunctions.tokens($"text")).as("tok"))
+      .select($"id",
+        when($"tok".isNull, 0L).otherwise(1L).as("t"),
+        when($"tok".isNotNull &&
+          xxhash64($"tok").bitwiseAND(lit((numBuckets - 1).toLong))
+            .isInCollection(bucketSet), 1L).otherwise(0L).as("e"))
+      .groupBy($"id").agg(sum($"t").as("nt"), sum($"e").as("ne"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fused.toSeq == composed.toSeq)
+    assert(fused.find(_._1 == 0L).get == (0L, 6L, 2L)) // 'fox' twice
+    assert(fused.find(_._1 == 1L).get == (1L, 4L, 2L)) // '电信' twice
+    assert(fused.find(_._1 == 2L).get == (2L, 0L, 0L))
+  }
+
+  test("EnrichedTokenCount interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val bits = new Array[Long](16)
+    // set the bucket of "fox" computed through the SAME hash the kernel uses
+    val fox = (org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(UTF8String.fromString("fox"), 42L) & 1023L).toInt
+    bits(fox >>> 6) |= 1L << (fox & 63)
+    val e = graft.plans.EnrichedTokenCount(
+      BoundReference(0, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType), nullable = true), bits)
+    val row = InternalRow(new GenericArrayData(Array[Any](
+      UTF8String.fromString("fox"), UTF8String.fromString("dog"), null)))
+    val packed = e.eval(row).asInstanceOf[Long]
+    assert((packed >> 32) == 2L && (packed & 0xffffffffL) == 1L)
+    // codegen agreement comes from the DataFrame test above (WSCG path);
+    // also pin that the kernel stays inside codegen
+    val docs = Seq(Tuple1("fox dog")).toDF("text")
+    val plan = docs.select(graft.plans.GraftFunctions.enrichedCount(
+        graft.functions.TextFunctions.tokens($"text"), bits))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+  }
 }
