@@ -3803,11 +3803,16 @@ object Queries {
         TextFunctions.qualityScore(col("text")).as("q"))
     val thr = Sampling.quantileThresholds(d, "doc_id", "lang", "q",
       q = 0.25, salt = q114Salt)
-    d.join(broadcast(thr), Seq("lang"))
-      .groupBy(col("lang"), col("threshold"), col("n_sample"))
+    // LEFT join + ungated fallback: a language whose ids all hash outside
+    // the sample has no threshold row — it must stay in the report (and
+    // pass the gate) rather than vanish through an inner join
+    d.join(broadcast(thr), Seq("lang"), "left")
+      .groupBy(col("lang"), col("threshold"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("q") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+        sum(when(col("threshold").isNull || col("q") >= col("threshold"), 1L)
+          .otherwise(0L)).as("n_kept"))
       .select(col("lang"), col("n_docs"), col("n_kept"),
         col("threshold"), col("n_sample"))
       .orderBy("lang")
@@ -3821,10 +3826,11 @@ object Queries {
        |thr AS (SELECT lang, quantile_cont(q, 0.25) AS threshold, count(*) AS n_sample
        |  FROM sc WHERE (($mh) & 1023) < 256 GROUP BY lang)
        |SELECT s.lang, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN s.q >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  t.threshold, t.n_sample
-       |FROM sc s JOIN thr t USING (lang)
-       |GROUP BY s.lang, t.threshold, t.n_sample ORDER BY s.lang""".stripMargin
+       |  CAST(sum(CASE WHEN t.threshold IS NULL OR s.q >= t.threshold
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  t.threshold, CAST(coalesce(t.n_sample, 0) AS BIGINT) AS n_sample
+       |FROM sc s LEFT JOIN thr t USING (lang)
+       |GROUP BY s.lang, t.threshold, coalesce(t.n_sample, 0) ORDER BY s.lang""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -499,19 +499,36 @@ object Dedup {
     * The election is a [[graft.plans.TopKAgg]] k=1 bounded aggregate: the
     * exchange carries ONE (score, id) pair per cluster — no row_number
     * window, no sort of the membership. Output is loser-count-sized
-    * (duplicates only), broadcastable at any realistic dup rate. */
+    * (duplicates only), broadcastable at any realistic dup rate.
+    *
+    * A cluster whose election is EMPTY (every member's score null — TopKAgg
+    * skips null rows) produces no losers: the conservative outcome is
+    * keeping the whole cluster, never deleting it. Ids must be integral
+    * (TopKAgg's id leg is bigint) — required loudly, the same silent-cast
+    * footgun [[ConnectedComponents.components]] guards against. */
   def bestSurvivorLosers(
       components: DataFrame,
       scored: DataFrame,
       idCol: String,
       scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"bestSurvivorLosers needs an integral id column; $idCol is $idType " +
+        "(cast('long') of other types silently nulls — map ids first)")
     val members = components
       .join(scored, components("node") === scored(idCol), "inner")
       .select(col("cluster"), col(idCol), col(scoreCol).cast("double").as("__s"))
+    // best keeps its cluster id: losers are members of clusters WITH a
+    // winner, minus the winner — a cluster with no elected best (all-null
+    // scores) contributes no losers instead of losing every member
     val best = members.groupBy(col("cluster"))
       .agg(graft.plans.GraftFunctions.topK(col("__s"), col(idCol).cast("long"), 1).as("__t"))
-      .select(explode(col("__t")).as("__w"))
-      .select(col("__w.id").as(idCol))
-    members.select(idCol).join(best, Seq(idCol), "left_anti")
+      .select(col("cluster"), explode(col("__t")).as("__w"))
+      .select(col("cluster"), col("__w.id").as("__best"))
+    members
+      .join(best, Seq("cluster"))
+      .filter(col(idCol).cast("long") =!= col("__best"))
+      .select(idCol)
   }
 }

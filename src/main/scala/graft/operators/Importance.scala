@@ -90,10 +90,13 @@ object Importance {
     val totals = cntR.agg(sum(col("__cr")).as("__nr"))
       .crossJoin(cntT.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt")))
     // decimal(38,0) cross-multiply — cnt × total reaches ~1e25 on a
-    // 1e12-token corpus, far past 2^63.
+    // 1e12-token corpus, far past 2^63. FULL outer: a bucket present only
+    // in the target (cntR = 0, cntT > 0) is maximally enriched by the
+    // inequality — a left join from the corpus side would silently drop
+    // exactly the buckets most characteristic of a disjoint target.
     cntR
-      .join(cntT, Seq("bucket"), "left")
-      .na.fill(0L, Seq("__ct"))
+      .join(cntT, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("__cr", "__ct"))
       .crossJoin(broadcast(totals))
       .select(
         col("bucket"),

@@ -68,6 +68,12 @@ object Merge {
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
+    require(keys.intersect(compareCols).isEmpty,
+      s"keys and compareCols must be disjoint; both contain ${keys.intersect(compareCols).mkString(",")}")
+    val reserved = (keys ++ compareCols).filter(c =>
+      c == "__b" || c == "__r" || c.startsWith("__r_") || c == "status")
+    require(reserved.isEmpty,
+      s"column names collide with snapshotDiff internals: ${reserved.mkString(",")}")
     val b = base.select((keys ++ compareCols).map(col): _*)
       .withColumn("__b", lit(1))
     val r = revised.select((keys ++ compareCols).map(col): _*)

@@ -26,6 +26,17 @@ object Sampling {
   def hashBucket(id: Column, salt: Long): Column =
     pmod(HashFunctions.seeded(id.cast("long"), lit(salt)), lit(Buckets))
 
+  /** Loud guard against the silent `cast("long")` null-out of non-integral
+    * ids (the footgun [[ConnectedComponents.components]] documents): a
+    * string/UUID id hashed through [[hashBucket]] yields null, which fails
+    * every predicate and silently corrupts samples and splits. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op needs an integral id column; $idCol is $t (map ids to long first)")
+  }
+
   /** Bernoulli sample at `fraction`, deterministic in (`idCol`, `salt`). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 0L): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < lit(math.round(fraction * Buckets)))
@@ -38,6 +49,12 @@ object Sampling {
     * select the IDENTICAL rows, so the quantile — exact on the sample — is
     * bit-reproducible. The sample predicate rides the scan; the output is
     * group-count-sized, broadcast it into the gating filter.
+    *
+    * A group whose ids ALL hash outside the sample emits no row — LEFT
+    * join the thresholds and treat a missing threshold as "keep all"
+    * (ungated): an inner join would silently delete the whole group, the
+    * worst outcome for exactly the low-resource groups the per-group gate
+    * exists to protect.
     */
   def quantileThresholds(
       df: DataFrame,
@@ -49,6 +66,7 @@ object Sampling {
       sampleBits: Long = 256L): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
     require(sampleBits > 0 && sampleBits <= 1024, "sampleBits is out of 1024")
+    requireIntegralId(df, idCol, "quantileThresholds")
     df.filter(
         HashFunctions.seeded(col(idCol).cast("long"), lit(salt))
           .bitwiseAND(lit(1023L)) < lit(sampleBits))
@@ -81,6 +99,7 @@ object Sampling {
       valFrac: Double): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
       "fractions must leave room for a test split")
+    requireIntegralId(df, idCol, "leakageSafeSplit")
     val b = hashBucket(col("__unit"), salt)
     // components' columns land under reserved names so a `cluster` column
     // already on `df` can't be captured by the coalesce

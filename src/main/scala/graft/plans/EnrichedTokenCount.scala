@@ -31,12 +31,16 @@ import org.apache.spark.sql.types._
   * `bits.length` must be a power of two (bucket masking); null tokens are
   * skipped; a null array yields null.
   */
-case class EnrichedTokenCount(child: Expression, bits: Array[Long])
+case class EnrichedTokenCount(child: Expression, bits: IndexedSeq[Long])
     extends UnaryExpression {
 
   require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
     s"bits.length must be a power of two, got ${bits.length}")
 
+  // IndexedSeq in the case-class signature gives structural equality (an
+  // Array field compares by reference, defeating semanticEquals /
+  // subexpression elimination); the hot loop runs over the primitive copy
+  @transient private lazy val bitsArr: Array[Long] = bits.toArray
   private val mask: Long = bits.length.toLong * 64L - 1L
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -62,7 +66,7 @@ case class EnrichedTokenCount(child: Expression, bits: Array[Long])
         val t = toks.getUTF8String(j)
         tokens += 1L
         val b = (XXH64.hashUTF8String(t, 42L) & mask).toInt
-        if ((bits(b >>> 6) & (1L << (b & 63))) != 0L) enriched += 1L
+        if ((bitsArr(b >>> 6) & (1L << (b & 63))) != 0L) enriched += 1L
       }
       j += 1
     }
@@ -71,7 +75,7 @@ case class EnrichedTokenCount(child: Expression, bits: Array[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val bitsRef = ctx.addReferenceObj("enrichedBits", bits, "long[]")
+      val bitsRef = ctx.addReferenceObj("enrichedBits", bitsArr, "long[]")
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
       val t = ctx.freshName("t")

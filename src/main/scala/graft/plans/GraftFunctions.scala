@@ -51,7 +51,8 @@ object GraftFunctions {
     * bitmap. Column-API only — the bitmap is a driver-side array, not a
     * SQL literal. */
   def enrichedCount(tokens: Column, bits: Array[Long]): Column =
-    ColumnBridge.column(EnrichedTokenCount(ColumnBridge.expression(tokens), bits))
+    ColumnBridge.column(
+      EnrichedTokenCount(ColumnBridge.expression(tokens), bits.toIndexedSeq))
 
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfcNormalize(s: Column): Column =

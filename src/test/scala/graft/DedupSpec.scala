@@ -176,4 +176,25 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(losers == Set(1L, 3L, 11L))
   }
+
+  test("bestSurvivorLosers keeps a cluster whole when every score is null") {
+    val comp = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("node", "cluster")
+    val scored = Seq(
+      (1L, None: Option[Double]), (2L, None), // cluster 1: no electable best
+      (10L, Some(0.9)), (11L, Some(0.1))
+    ).toDF("doc_id", "score")
+    val losers = Dedup.bestSurvivorLosers(comp, scored, "doc_id", "score")
+      .as[Long].collect().toSet
+    // conservative: cluster 1 loses nobody; cluster 10 elects 10, loses 11
+    assert(losers == Set(11L))
+  }
+
+  test("bestSurvivorLosers rejects non-integral ids loudly") {
+    val comp = Seq(("a", "a")).toDF("node", "cluster")
+    val scored = Seq(("a", 1.0)).toDF("doc_id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bestSurvivorLosers(comp, scored, "doc_id", "score")
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
 }

@@ -160,7 +160,7 @@ class ExpressionSpec extends SparkSpec {
     bits(fox >>> 6) |= 1L << (fox & 63)
     val e = graft.plans.EnrichedTokenCount(
       BoundReference(0, org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType), nullable = true), bits)
+        org.apache.spark.sql.types.StringType), nullable = true), bits.toIndexedSeq)
     val row = InternalRow(new GenericArrayData(Array[Any](
       UTF8String.fromString("fox"), UTF8String.fromString("dog"), null)))
     val packed = e.eval(row).asInstanceOf[Long]

@@ -55,6 +55,24 @@ class ImportanceSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 2L, 2L), (101L, 3L, 0L)))
   }
 
+  test("a target-only bucket is enriched (disjoint target)") {
+    // target tokens never appear in the scored corpus: cntR=0, cntT>0 ⇒
+    // maximally enriched by the cross-multiply — a left join from the
+    // corpus side would silently drop exactly these buckets
+    val trainCorpus = Seq((1L, "alpha alpha"), (2L, "beta beta")).toDF("doc_id", "text")
+    val target = Seq((9L, "omega omega")).toDF("doc_id", "text")
+    val verdicts = Importance.bucketVerdicts(trainCorpus, target, "doc_id", "text")
+    val batch = Seq((100L, "omega omega omega")).toDF("doc_id", "text")
+    val out = Importance.applyVerdicts(batch, verdicts, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_enriched")))
+    assert(out.toSeq == Seq((3L, 3L)))
+    // fused path agrees
+    val bits = Importance.verdictBits(verdicts)
+    val fused = Importance.applyVerdictsFused(batch, bits, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_enriched")))
+    assert(fused.toSeq == Seq((3L, 3L)))
+  }
+
   test("empty target enriches nothing") {
     val target = corpus.filter($"doc_id" === -1L)
     val out = Importance.enrichmentScores(corpus, target, "doc_id", "text")

@@ -25,6 +25,19 @@ class MergeSpec extends SparkSpec {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("snapshotDiff rejects key/compare overlap and reserved names") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(df, df, Seq("id"), Seq("id", "v"))
+    }
+    assert(e1.getMessage.contains("disjoint"))
+    val bad = Seq((1L, 1.0)).toDF("id", "__b")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(bad, bad, Seq("id"), Seq("__b"))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("snapshotDiff of a snapshot against itself is all unchanged") {
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
     val st = Merge.snapshotDiff(df, df, Seq("id"), Seq("v"))

