@@ -3833,6 +3833,32 @@ object Queries {
        |GROUP BY s.lang, t.threshold, coalesce(t.n_sample, 0) ORDER BY s.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q115
+  // Per-language vocabulary (TfIdf.groupedVocabulary): q59's corpus vocab,
+  // grouped — the top-5 terms of EACH language, the per-language tokenizer
+  // table a multilingual pipeline ships. Token stream collapses to
+  // (lang, term) counts via map-side combine; the row_number ≤ k filter is
+  // the InferWindowGroupLimit idiom — a Partial WindowGroupLimitExec below
+  // the exchange caps the shuffle at groups × k per map partition
+  // (PlanSpec-pinned). Term-text tie-break keeps ranks deterministic.
+  private val q115: Q = (s, dir) =>
+    TfIdf.groupedVocabulary(Tables.documents(s, dir), "lang", "text", topK = 5)
+      .orderBy("lang", "rank")
+
+  private val q115Sql =
+    """WITH tk AS (SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |ex AS (SELECT lang, unnest(t) AS term FROM tk),
+      |c AS (SELECT lang, term, count(*) AS term_freq FROM ex GROUP BY lang, term),
+      |r AS (SELECT lang, term, term_freq,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY term_freq DESC, term)
+      |      AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT lang, term, term_freq, rank FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3947,7 +3973,8 @@ object Queries {
     "q109_leakage_safe_split" -> q109,
     "q112_transition_matrix" -> q112,
     "q113_snapshot_diff" -> q113,
-    "q114_quality_gate" -> q114
+    "q114_quality_gate" -> q114,
+    "q115_grouped_vocab" -> q115
   )
 
   val oracles: Map[String, String] = Map(
@@ -4062,6 +4089,7 @@ object Queries {
     "q109_leakage_safe_split" -> q109Sql,
     "q112_transition_matrix" -> q112Sql,
     "q113_snapshot_diff" -> q113Sql,
-    "q114_quality_gate" -> q114Sql
+    "q114_quality_gate" -> q114Sql,
+    "q115_grouped_vocab" -> q115Sql
   )
 }

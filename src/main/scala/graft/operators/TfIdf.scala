@@ -116,4 +116,33 @@ object TfIdf {
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
+
+  /** Per-group vocabulary: the `topK` most frequent terms WITHIN each
+    * group (a per-language tokenizer vocab), ranked by term count with the
+    * term text as tie-break — fully deterministic.
+    *
+    * Scale shape: the raw token stream collapses to (group, term) counts
+    * by map-side combine before the shuffle; the rank-and-filter is the
+    * `row_number ≤ k` idiom Spark 3.5+'s `InferWindowGroupLimit` rewrites
+    * to a Partial `WindowGroupLimitExec` BELOW the exchange, capping the
+    * shuffle at groups × topK per map partition (PlanSpec pins the node).
+    * The window route — not [[graft.plans.TopKAgg]] — because the ranked
+    * id here is the term STRING and the tie-break must be on its text;
+    * the bounded aggregate's id leg is bigint. */
+  def groupedVocabulary(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      topK: Int): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("term_freq"))
+    counts
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col(groupCol))
+            .orderBy(col("term_freq").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

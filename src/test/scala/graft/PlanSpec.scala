@@ -246,6 +246,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("q115 grouped vocab plans a WindowGroupLimit below the exchange") {
+    val p = plan(SparkEntry.queries("q115_grouped_vocab")(spark, sf))
+    // InferWindowGroupLimit must kick in: the row_number <= k filter
+    // becomes a Partial WindowGroupLimitExec on the map side, capping the
+    // shuffle at groups x k instead of the full (group, term) table
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
   test("q108 importance scoring broadcasts the bucket verdict table") {
     import spark.implicits._
     // pin the SCORING path in isolation: the learning side joins two

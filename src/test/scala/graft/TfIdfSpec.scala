@@ -69,4 +69,20 @@ class TfIdfSpec extends SparkSpec {
       .orderBy("rnk").select("term").as[String].collect().toSeq
     assert(terms == Seq("alpha", "zeta")) // tf=1, df=1 each → tie → lexicographic
   }
+
+  test("groupedVocabulary ranks each group's terms with text tie-break") {
+    val d = Seq(
+      (1L, "en", "cat cat dog"),
+      (2L, "en", "cat bird bird"),
+      (3L, "de", "hund hund katze")
+    ).toDF("doc_id", "lang", "text")
+    val out = TfIdf.groupedVocabulary(d, "lang", "text", topK = 2)
+      .orderBy("lang", "rank")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("term"),
+        r.getAs[Long]("term_freq"), r.getAs[Long]("rank")))
+    assert(out.toSeq == Seq(
+      ("de", "hund", 2L, 1L), ("de", "katze", 1L, 2L),
+      ("en", "cat", 3L, 1L), ("en", "bird", 2L, 2L)))
+  }
 }
