@@ -1515,11 +1515,15 @@ object Queries {
 
   // DuckDB tokenizer CTE body mirroring TextFunctions.tokens exactly
   // (empty trimmed text → empty list, else split on whitespace runs).
-  private val duckToksCte =
-    """tk AS (SELECT doc_id,
-      |  CASE WHEN length(trim(text)) = 0 THEN []
-      |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-      |  FROM documents)""".stripMargin
+  // Parameterized over the carried key column so every oracle shares ONE
+  // tokenizer mirror — a second hand copy could silently diverge from the
+  // Spark side if the mirror is ever adjusted.
+  private def duckToksCteFor(keyCol: String) =
+    s"""tk AS (SELECT $keyCol,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents)""".stripMargin
+  private val duckToksCte = duckToksCteFor("doc_id")
 
   // ---------------------------------------------------------------- q52
   // PII scrub audit (PiiFunctions): count + redact emails / NANP phones /
@@ -3846,10 +3850,7 @@ object Queries {
       .orderBy("lang", "rank")
 
   private val q115Sql =
-    """WITH tk AS (SELECT lang,
-      |    CASE WHEN length(trim(text)) = 0 THEN []
-      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-      |  FROM documents),
+    s"""WITH ${duckToksCteFor("lang")},
       |ex AS (SELECT lang, unnest(t) AS term FROM tk),
       |c AS (SELECT lang, term, count(*) AS term_freq FROM ex GROUP BY lang, term),
       |r AS (SELECT lang, term, term_freq,

@@ -134,10 +134,10 @@ object TfIdf {
       groupCol: String,
       textCol: String,
       topK: Int): DataFrame = {
-    val counts = docs
-      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy(col(groupCol), col("term"))
-      .agg(count(lit(1)).as("term_freq"))
+    // termCounts keyed by the GROUP instead of the document id — same
+    // tokenize-explode-aggregate shape, one definition
+    val counts = termCounts(docs, groupCol, textCol)
+      .withColumnRenamed("tf", "term_freq")
     counts
       .withColumn("rank",
         row_number().over(
