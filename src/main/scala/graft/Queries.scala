@@ -1381,18 +1381,23 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  private val q48Sql = {
-    // Quantize an element like VectorFunctions (double → DECIMAL(18,6));
-    // decimal distance like l2SqExact: diff re-bounded to (18,6), squared,
-    // summed exactly. Ordering ties break on the smaller cluster label —
-    // same contract as the Spark `least`-over-structs argmin.
-    def qz(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(18,6))"
-    def dsq(a: String, b: String) =
-      s"sum(CAST(CAST(${qz(a)} - ${qz(b)} AS DECIMAL(18,6)) * CAST(${qz(a)} - ${qz(b)} AS DECIMAL(18,6)) AS DECIMAL(36,12)))"
-    s"""WITH c0 AS (SELECT vec_id AS cluster, embedding AS cv FROM embeddings WHERE vec_id < 8),
+  // Quantize an element like VectorFunctions (double → DECIMAL(18,6));
+  // decimal distance like l2SqExact: diff re-bounded to (18,6), squared,
+  // summed exactly. Ordering ties break on the smaller cluster label —
+  // same contract as the Spark `least`-over-structs argmin.
+  private def duckQz(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(18,6))"
+  private def duckDsq(a: String, b: String) =
+    s"sum(CAST(CAST(${duckQz(a)} - ${duckQz(b)} AS DECIMAL(18,6)) * CAST(${duckQz(a)} - ${duckQz(b)} AS DECIMAL(18,6)) AS DECIMAL(36,12)))"
+
+  // Shared replay of Similarity.ivfTrain(k=8, iters=1) + ivfAssign over
+  // `embeddings`: CTE chain ending at `a1(vec_id, cluster)` — the final
+  // assignment. ONE copy serves every IVF-based oracle (q48 ANN, q116
+  // SemDeDup); a second hand copy could silently drift from the Spark side.
+  private val duckIvfA1Ctes: String =
+    s"""c0 AS (SELECT vec_id AS cluster, embedding AS cv FROM embeddings WHERE vec_id < 8),
        |p0 AS (SELECT e.vec_id, c.cluster, unnest(e.embedding) AS xe, unnest(c.cv) AS ce
        |       FROM embeddings e CROSS JOIN c0 c),
-       |d0 AS (SELECT vec_id, cluster, ${dsq("xe", "ce")} AS dist FROM p0 GROUP BY vec_id, cluster),
+       |d0 AS (SELECT vec_id, cluster, ${duckDsq("xe", "ce")} AS dist FROM p0 GROUP BY vec_id, cluster),
        |a0 AS (SELECT vec_id, cluster FROM (
        |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
        |        FROM d0) WHERE rn = 1),
@@ -1404,10 +1409,14 @@ object Queries {
        |c1 AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cluster),
        |p1 AS (SELECT e.vec_id, c.cluster, unnest(e.embedding) AS xe, unnest(c.cv) AS ce
        |       FROM embeddings e CROSS JOIN c1 c),
-       |d1 AS (SELECT vec_id, cluster, ${dsq("xe", "ce")} AS dist FROM p1 GROUP BY vec_id, cluster),
+       |d1 AS (SELECT vec_id, cluster, ${duckDsq("xe", "ce")} AS dist FROM p1 GROUP BY vec_id, cluster),
        |a1 AS (SELECT vec_id, cluster FROM (
        |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       |        FROM d1) WHERE rn = 1),
+       |        FROM d1) WHERE rn = 1)""".stripMargin
+
+  private val q48Sql = {
+    def qz(x: String) = duckQz(x)
+    s"""WITH $duckIvfA1Ctes,
        |probes AS (SELECT vec_id AS query_id, cluster FROM (
        |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
        |        FROM d1 WHERE vec_id < 5) WHERE rn <= 2),
@@ -3860,6 +3869,45 @@ object Queries {
       |SELECT lang, term, term_freq, rank FROM r WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  // SemDeDup (Similarity.semDedup — Abbas et al. 2023): semantic pruning
+  // by clustering embeddings first (the IVF coarse quantizer q48 trains)
+  // and comparing pairs only WITHIN clusters — Σ n_c² instead of n², the
+  // paper's reason to cluster. A vector drops when a lower-id neighbor in
+  // its cluster scores ≥ τ by exact-decimal cosine (min-id survivor,
+  // deterministic). τ = 0.35 is fixture-tuned (the synthetic embeddings'
+  // near-dups sit near cosine 0.5; real corpora use ~0.95+) — same move as
+  // q43's banding parameters. The oracle replays quantizer, assignment,
+  // and pairwise verdicts exactly.
+  private val q116: Q = (s, dir) =>
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35, kClusters = 8, iters = 1)
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("cluster")
+
+  private val q116Sql = {
+    def qz(x: String) = duckQz(x)
+    s"""WITH $duckIvfA1Ctes,
+       |pp AS (SELECT x.vec_id AS ia, y.vec_id AS ib FROM a1 x JOIN a1 y
+       |       ON x.cluster = y.cluster AND x.vec_id > y.vec_id),
+       |pe AS (SELECT pp.ia, pp.ib, unnest(a.embedding) AS ae, unnest(b.embedding) AS be
+       |       FROM pp JOIN embeddings a ON a.vec_id = pp.ia
+       |                JOIN embeddings b ON b.vec_id = pp.ib),
+       |sc AS (SELECT ia, ib,
+       |        CAST(sum(CAST(${qz("ae")} * ${qz("be")} AS DECIMAL(36,12))) AS DOUBLE) AS dot,
+       |        CAST(sum(CAST(${qz("ae")} * ${qz("ae")} AS DECIMAL(36,12))) AS DOUBLE) AS na,
+       |        CAST(sum(CAST(${qz("be")} * ${qz("be")} AS DECIMAL(36,12))) AS DOUBLE) AS nb
+       |       FROM pe GROUP BY ia, ib),
+       |dr AS (SELECT DISTINCT ia AS vec_id FROM sc WHERE dot/sqrt(na*nb) >= 0.35)
+       |SELECT a1.cluster, count(*) AS n_vectors,
+       |  CAST(sum(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM a1 LEFT JOIN dr USING (vec_id)
+       |GROUP BY a1.cluster ORDER BY a1.cluster""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3975,7 +4023,8 @@ object Queries {
     "q112_transition_matrix" -> q112,
     "q113_snapshot_diff" -> q113,
     "q114_quality_gate" -> q114,
-    "q115_grouped_vocab" -> q115
+    "q115_grouped_vocab" -> q115,
+    "q116_semdedup" -> q116
   )
 
   val oracles: Map[String, String] = Map(
@@ -4091,6 +4140,7 @@ object Queries {
     "q112_transition_matrix" -> q112Sql,
     "q113_snapshot_diff" -> q113Sql,
     "q114_quality_gate" -> q114Sql,
-    "q115_grouped_vocab" -> q115Sql
+    "q115_grouped_vocab" -> q115Sql,
+    "q116_semdedup" -> q116Sql
   )
 }

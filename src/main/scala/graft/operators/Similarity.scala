@@ -319,4 +319,47 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup: data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster embeddings with the IVF coarse quantizer, then WITHIN each
+    * cluster drop every vector that has a near-identical lower-id neighbor
+    * (exact-decimal cosine ≥ `threshold`) — the greedy min-id-survivor
+    * simplification of the paper's rule, fully deterministic.
+    *
+    * Scale shape: this is the reason SemDeDup clusters first — the
+    * pairwise comparison is bucket-bounded (Σ n_c² instead of n², a
+    * kClusters-fold cut for balanced clusters), and the self-join keys on
+    * `cluster`, so each bucket's pairs stay in its partition. Assignment
+    * is map-side (centroids broadcast, see [[ivfTrain]]).
+    *
+    * Returns one row per corpus vector: `(cluster, idCol, dropped)` —
+    * aggregate for the audit, anti-join the dropped ids for the pruned
+    * corpus. */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      kClusters: Int = 8,
+      iters: Int = 1): DataFrame = {
+    val assigned = ivfAssign(
+        corpus, vecCol, ivfTrain(corpus, idCol, vecCol, kClusters, iters))
+      .select(col("cluster"), col(idCol), col(vecCol))
+    val a = assigned.select(col("cluster"), col(idCol).as("__ia"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__ib"), col(vecCol).as("__vb"))
+    // ordered within-cluster pairs: x is dropped iff a LOWER-id y in the
+    // same cluster scores >= threshold (the min-id chain representative
+    // survives)
+    val dropped = a
+      .join(b, Seq("cluster"))
+      .filter(col("__ia") > col("__ib"))
+      .filter(VectorFunctions.cosineExact(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ia").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col("cluster"), col(idCol),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+  }
 }

@@ -150,4 +150,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out("a") == Seq(2.0, 4.0))
     assert(out("b") == Seq(10.0, 0.0))
   }
+
+  test("semDedup drops the higher-id member of a near-identical pair, within clusters only") {
+    // ids 0,1 seed two clusters: {0,2,3} near (1,0) and {1,4} near (0,1).
+    // 2 is near-identical to 0 (drop 2, keep 0); 3 is distinct enough to
+    // survive; 4 is near-identical to 1 (drop 4).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.8f, 0.6f)),
+      (4L, Array(0.01f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, kClusters = 2, iters = 1)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
 }
