@@ -254,6 +254,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(4000))
   }
 
+  test("q116 semdedup pairs join on the cluster key, never a cross product") {
+    val df = SparkEntry.queries("q116_semdedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the within-cluster self-join must be keyed (hash/sort on cluster) —
+    // a BroadcastNestedLoop/Cartesian here would be the n² plan SemDeDup
+    // exists to avoid
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q108 importance scoring broadcasts the bucket verdict table") {
     import spark.implicits._
     // pin the SCORING path in isolation: the learning side joins two
