@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -3908,6 +3908,396 @@ object Queries {
        |GROUP BY a1.cluster ORDER BY a1.cluster""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q117
+  // Hourly volume anomalies per event type (Diagnostics.countAnomalies):
+  // the monitoring-dashboard "traffic spike" signal as a query — flag
+  // hours where |c − μ| > 2σ against the type's own hourly distribution.
+  // The z-test is cross-multiplied into pure integer arithmetic
+  // ((n·c − s)² > 4·(n·ss − s²)), so the verdict is bit-reproducible in
+  // any engine — no stddev double ever enters the comparison. Shuffle is
+  // bounded by types × hours; the per-type stats table broadcasts back.
+  private val q117: Q = (s, dir) =>
+    Diagnostics.countAnomalies(Tables.events(s, dir), Seq("event_type"),
+        date_trunc("hour", col("ts")), z = 2)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n_rows")).as("n_events"),
+        max(col("n_rows")).as("peak_hour_rows"),
+        sum(when(col("is_anomalous"), 1L).otherwise(0L)).as("n_anomalous"))
+      .orderBy("event_type")
+
+  private val q117Sql =
+    """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c*c) AS ss
+      |  FROM hc GROUP BY 1)
+      |SELECT hc.event_type,
+      |  CAST(st.n AS BIGINT) AS n_hours,
+      |  CAST(st.s AS BIGINT) AS n_events,
+      |  CAST(max(hc.c) AS BIGINT) AS peak_hour_rows,
+      |  CAST(sum(CASE WHEN (st.n*hc.c - st.s)*(st.n*hc.c - st.s)
+      |                     > 4*(st.n*st.ss - st.s*st.s)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+      |FROM hc JOIN st USING (event_type)
+      |GROUP BY hc.event_type, st.n, st.s, st.ss
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  // Bigram collocations by PMI (TfIdf.bigramAssociations): top-20 adjacent
+  // token pairs by c_xy·N/(c_x·c_y) in ppm — integral division, so the
+  // score hash-matches cross-engine where ln-PMI could not (ln ranks
+  // identically but isn't bit-reproducible). Pair stream collapses by
+  // map-side combine; the vocab-sized unigram table joins back twice
+  // (AQE-broadcast); top-k is TakeOrdered, never a global sort.
+  private val q118: Q = (s, dir) =>
+    TfIdf.bigramAssociations(Tables.documents(s, dir), "text",
+      minCount = 5, topK = 20)
+
+  private val q118Sql =
+    s"""WITH $duckToksCte,
+      |bg0 AS (SELECT list_transform(range(1, len(t)), i -> [t[i], t[i+1]]) AS bl
+      |  FROM tk WHERE len(t) >= 2),
+      |bg AS (SELECT unnest(bl) AS p FROM bg0),
+      |pc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS pair_freq FROM bg GROUP BY 1, 2),
+      |tot AS (SELECT sum(pair_freq) AS n FROM pc),
+      |un AS (SELECT unnest(t) AS term FROM tk),
+      |uc AS (SELECT term, count(*) AS freq FROM un GROUP BY 1)
+      |SELECT pc.w1, pc.w2, CAST(pc.pair_freq AS BIGINT) AS pair_freq,
+      |  CAST(u1.freq AS BIGINT) AS w1_freq, CAST(u2.freq AS BIGINT) AS w2_freq,
+      |  CAST((CAST(pc.pair_freq AS HUGEINT) * CAST(tot.n AS HUGEINT) * 1000000)
+      |       // (CAST(u1.freq AS HUGEINT) * CAST(u2.freq AS HUGEINT)) AS BIGINT)
+      |    AS assoc_ppm
+      |FROM pc
+      |JOIN uc u1 ON u1.term = pc.w1
+      |JOIN uc u2 ON u2.term = pc.w2
+      |CROSS JOIN tot
+      |WHERE pc.pair_freq >= 5
+      |ORDER BY assoc_ppm DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  // Embedding dimension health audit (Diagnostics.embeddingDimStats):
+  // per-dimension count / zero-count / exact sum / exact variance
+  // numerator in integer units of 1e-6 (the dotExact quantization) — the
+  // dead-dimension check before trusting a vector column. Output is
+  // dim-sized; the only shuffle carries ≤ dim rows after partial agg.
+  private val q119: Q = (s, dir) =>
+    Diagnostics.embeddingDimStats(Tables.embeddings(s, dir), "embedding")
+      .orderBy("dim")
+
+  private val q119Sql =
+    """WITH e0 AS (SELECT list_transform(range(1, len(embedding) + 1),
+      |    i -> [CAST(i AS DOUBLE), CAST(embedding[i] AS DOUBLE)]) AS pl
+      |  FROM embeddings),
+      |ex AS (SELECT unnest(pl) AS p FROM e0),
+      |q AS (SELECT CAST(p[1] AS BIGINT) - 1 AS dim,
+      |  CAST(CAST(CAST(p[2] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS u
+      |  FROM ex)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(u) AS DECIMAL(38,0)) AS sum_u,
+      |  CAST(count(*) * sum(u*u) - sum(u)*sum(u) AS DECIMAL(38,0)) AS var_num
+      |FROM q GROUP BY dim ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  // Content-defined chunk dedup audit (Chunking.contentDefinedChunks):
+  // gear-hash chunking (LBFS-style — boundaries from token content, so
+  // chunk identity survives inserts/deletes that shift offsets) followed
+  // by a fingerprint-keyed occurrence rollup: how much of the corpus is
+  // chunk-level duplicated, and what a chunk store would save. Chunking is
+  // map-only (array expressions, no shuffle); the rollup shuffles
+  // fixed-width fingerprints with map-side combine, then a 1-row summary.
+  private val q120: Q = (s, dir) => {
+    val ch = Chunking.contentDefinedChunks(Tables.documents(s, dir), "doc_id", "text")
+    ch.groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("__occ"), max(col("n_chunk_tokens")).as("__toks"))
+      .agg(
+        sum(col("__occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("__occ") * col("__toks")).as("total_tokens"),
+        sum(col("__toks")).as("unique_tokens"),
+        sum(when(col("__occ") >= 2, col("__occ")).otherwise(0L)).as("dup_occurrences"))
+  }
+
+  private val q120Sql =
+    s"""WITH $duckToksCte,
+      |nz AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+      |st AS (SELECT doc_id, t,
+      |  list_concat([1], list_filter(range(2, len(t) + 1),
+      |    p -> substr(md5(t[p]), 32, 1) = '0')) AS ss
+      |  FROM nz),
+      |c0 AS (SELECT doc_id, t, ss, unnest(range(1, len(ss) + 1)) AS ci FROM st),
+      |c1 AS (SELECT
+      |  md5(array_to_string(list_slice(t, ss[ci],
+      |    (CASE WHEN ci < len(ss) THEN ss[ci+1] ELSE len(t) + 1 END) - 1), ' ')) AS fp,
+      |  (CASE WHEN ci < len(ss) THEN ss[ci+1] ELSE len(t) + 1 END) - ss[ci] AS ntk
+      |  FROM c0),
+      |pf AS (SELECT fp, count(*) AS occ, max(ntk) AS toks FROM c1 GROUP BY fp)
+      |SELECT CAST(sum(occ) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(sum(occ * toks) AS BIGINT) AS total_tokens,
+      |  CAST(sum(toks) AS BIGINT) AS unique_tokens,
+      |  CAST(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS BIGINT) AS dup_occurrences
+      |FROM pf""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+  // Cross-source duplication matrix: which sources copy from which —
+  // q43's LSH candidate pairs rolled up by the (source, source) pair, the
+  // provenance-level dedup report a curation pipeline publishes before
+  // deciding which feed to drop. Same banding parameters as q43, so the
+  // oracle replays the identical signature/band/bucket pipeline (one
+  // shared CTE chain). The pair table is collision-sized — both source
+  // lookups broadcast it; the matrix is ≤ sources² rows.
+  private val q121: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val src = d.select(col("doc_id"), col("source"))
+    Dedup
+      .minHashLshPairs(d, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("__sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("__sb")), Seq("doc_b"))
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("source_x"),
+        greatest(col("__sa"), col("__sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  private val q121Sql =
+    s"""WITH $lshBandedCtes,
+       |$lshCandCte,
+       |sp AS (SELECT da.source AS sa, db.source AS sb
+       |  FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+       |              JOIN documents db ON db.doc_id = c.doc_b)
+       |SELECT least(sa, sb) AS source_x, greatest(sa, sb) AS source_y,
+       |  count(*) AS n_pairs
+       |FROM sp GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  // ANN recall audit: IVF-Flat (q48's exact-tier search, same quantizer)
+  // scored against brute-force exact top-k (q28's) — recall@5 per query,
+  // the quality gate that decides whether nProbe/kClusters are safe to
+  // ship. Both legs are deterministic (exact-decimal cosine, id
+  // tie-breaks), so even the RECALL of the approximate index is
+  // value-checkable cross-engine — not just bounded. The exact leg is the
+  // audit cost you pay on a query SAMPLE, not the corpus.
+  private val q122: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .knnExact(e, qs, "vec_id", "embedding", k = 5, exact = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity
+      .knnIvf(e, qs, "vec_id", "embedding",
+        k = 5, kClusters = 8, nProbe = 2, iters = 1, exact = true)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("k"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val q122Sql = {
+    def qz(x: String) = duckQz(x)
+    def cosSums(src: String) =
+      s"""CAST(sum(CAST(${qz("qe")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS dot,
+         |        CAST(sum(CAST(${qz("qe")} * ${qz("qe")} AS DECIMAL(36,12))) AS DOUBLE) AS nq,
+         |        CAST(sum(CAST(${qz("ne")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS nn
+         |       FROM $src GROUP BY query_id, neighbor_id""".stripMargin
+    s"""WITH $duckIvfA1Ctes,
+       |probes AS (SELECT vec_id AS query_id, cluster FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |        FROM d1 WHERE vec_id < 10) WHERE rn <= 2),
+       |acand AS (SELECT p.query_id, a1.vec_id AS neighbor_id
+       |         FROM probes p JOIN a1 ON a1.cluster = p.cluster AND a1.vec_id <> p.query_id),
+       |apr AS (SELECT c.query_id, c.neighbor_id, unnest(q.embedding) AS qe, unnest(n.embedding) AS ne
+       |       FROM acand c JOIN embeddings q ON q.vec_id = c.query_id
+       |                    JOIN embeddings n ON n.vec_id = c.neighbor_id),
+       |asums AS (SELECT query_id, neighbor_id,
+       |        ${cosSums("apr")}),
+       |arnk AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dot/sqrt(nq*nn) DESC, neighbor_id) AS rnk
+       |      FROM asums),
+       |ivf AS (SELECT query_id, neighbor_id FROM arnk WHERE rnk <= 5),
+       |epr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        unnest(q.embedding) AS qe, unnest(c.embedding) AS ne
+       |       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 10),
+       |esums AS (SELECT query_id, neighbor_id,
+       |        ${cosSums("epr")}),
+       |ernk AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dot/sqrt(nq*nn) DESC, neighbor_id) AS rnk
+       |      FROM esums),
+       |ex AS (SELECT query_id, neighbor_id FROM ernk WHERE rnk <= 5)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN ivf ON ivf.query_id = ex.query_id AND ivf.neighbor_id = ex.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q123
+  // Padding-waste audit (Packing.paddingWaste): per source, what a
+  // pad-to-512 loader burns versus the true token count — the number that
+  // justifies sequence packing (q53) per corpus slice. Exact integer
+  // `div` arithmetic; one map-combined aggregation, shuffle ≤ sources.
+  private val q123: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Packing
+      .paddingWaste(d, "source",
+        size(TextFunctions.tokens(col("text"))), seqLen = 512)
+      .orderBy("source")
+  }
+
+  private val q123Sql =
+    s"""WITH ${duckToksCteFor("source")},
+       |n AS (SELECT source, len(t) AS n FROM tk),
+       |p AS (SELECT source, n, ((n + 511) // 512) * 512 AS padded FROM n)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS total_tokens,
+       |  CAST(sum(padded) AS BIGINT) AS padded_tokens,
+       |  CASE WHEN sum(padded) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(sum(padded) - sum(n) AS DOUBLE) / CAST(sum(padded) AS DOUBLE)
+       |  END AS waste_frac
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  // Vocabulary-growth curve (Heaps'-law audit): per 100-doc bucket of the
+  // corpus in id order, the token count and the number of FIRST-SEEN
+  // terms, cumulated — the curve that says when more data stops buying
+  // vocabulary (and whether a crawl slice is repetitive boilerplate: flat
+  // curve) before committing to training on it. First occurrence is a
+  // per-term min(doc_id) — one vocab-keyed aggregation; both rollups are
+  // map-side combined and the cumulative window runs over the tiny
+  // bucket-count table. Never a corpus-wide sort.
+  private val q124: Q = (s, dir) => {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val toks = ex.groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val novel = ex.groupBy(col("term")).agg(min(col("doc_id")).as("__fd"))
+      .groupBy(expr("__fd div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(novel, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("vocab_size", sum(col("n_new_terms")).over(w))
+      .orderBy("bucket")
+  }
+
+  private val q124Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |tb AS (SELECT doc_id // 100 AS bucket, count(*) AS n_tokens FROM ex GROUP BY 1),
+       |fs AS (SELECT term, min(doc_id) AS fd FROM ex GROUP BY term),
+       |nv AS (SELECT fd // 100 AS bucket, count(*) AS n_new_terms FROM fs GROUP BY 1)
+       |SELECT tb.bucket, CAST(tb.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(nv.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+       |  CAST(sum(tb.n_tokens) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(coalesce(nv.n_new_terms, 0)) OVER (ORDER BY tb.bucket) AS BIGINT) AS vocab_size
+       |FROM tb LEFT JOIN nv USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q125
+  // Rule-based taxonomy classification (TextFunctions.ruleCategory): the
+  // keyword-priority domain classifier — first matching rule wins, codegen
+  // CASE chain, no join — rolled up to the per-(source, category) mixture
+  // report a curation run publishes. Map-only until the groups-sized
+  // aggregation.
+  private val q125Rules = Seq(
+    "stream" -> "streaming", "vector" -> "ml", "join" -> "relational")
+  private val q125: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.ruleCategory(
+          TextFunctions.tokens(col("text")), q125Rules, "other").as("category"))
+      .groupBy(col("source"), col("category"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "category")
+
+  private val q125Sql =
+    s"""WITH ${duckToksCteFor("source")},
+       |c AS (SELECT source,
+       |  CASE WHEN list_contains(t, 'stream') THEN 'streaming'
+       |       WHEN list_contains(t, 'vector') THEN 'ml'
+       |       WHEN list_contains(t, 'join') THEN 'relational'
+       |       ELSE 'other' END AS category
+       |  FROM tk)
+       |SELECT source, category, count(*) AS n_docs
+       |FROM c GROUP BY 1, 2 ORDER BY source, category""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  // MinHash calibration audit: for q43's LSH candidates, the signature-
+  // match count (the MinHash similarity ESTIMATE, est_matches/16) bucketed
+  // against the mean EXACT shingle Jaccard — the table that tells you
+  // whether the sketch's similarity estimates can be trusted before wiring
+  // thresholds to them. Everything is deterministic (signatures replayed
+  // by the shared DuckHash chain; exact Jaccard in integer ppm), so even
+  // the calibration of the sketch is value-checked cross-engine. Pair
+  // work is candidate-sized, never corpus²; output ≤ 17 rows.
+  private val q126: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val sigs = d
+      .filter(size(TextFunctions.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        Dedup.minHashSignature(col("text"), 3, 16).as("__sig"),
+        TextFunctions.distinctShingles(col("text"), 3).as("__sh"))
+    Dedup
+      .minHashLshPairs(d, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("__sig").as("__siga"), col("__sh").as("__sha")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("__sig").as("__sigb"), col("__sh").as("__shb")), Seq("doc_b"))
+      .select(
+        aggregate(
+          zip_with(col("__siga"), col("__sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("est_matches"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("__inter"),
+        (size(col("__sha")) + size(col("__shb"))).cast("long").as("__sz"))
+      .select(col("est_matches"),
+        expr("CAST((__inter * 1000000L) div (__sz - __inter) AS BIGINT)").as("__jppm"))
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__jppm")).as("__sum"))
+      .select(
+        col("est_matches"),
+        (col("est_matches") * 62500L).as("est_sim_ppm"), // ×1e6/16, exact
+        col("n_pairs"),
+        (col("__sum").cast("double") / col("n_pairs").cast("double"))
+          .as("mean_jaccard_ppm"))
+      .orderBy("est_matches")
+  }
+
+  private val q126Sql =
+    s"""WITH $lshBandedCtes,
+       |$lshCandCte,
+       |pairsig AS (SELECT c.doc_a, c.doc_b,
+       |    sa.sigu AS ga, sb.sigu AS gb, ha.shingles AS sha, hb.shingles AS shb
+       |  FROM cand c
+       |  JOIN sigl sa ON sa.doc_id = c.doc_a JOIN sigl sb ON sb.doc_id = c.doc_b
+       |  JOIN shg ha ON ha.doc_id = c.doc_a JOIN shg hb ON hb.doc_id = c.doc_b),
+       |sc AS (SELECT doc_a, doc_b,
+       |  CAST(list_sum(list_transform(range(1, 17),
+       |    i -> CASE WHEN ga[i] = gb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS est_matches,
+       |  len(list_intersect(sha, shb)) AS inter, len(sha) + len(shb) AS sz
+       |  FROM pairsig),
+       |pj AS (SELECT est_matches,
+       |  CAST((CAST(inter AS HUGEINT) * 1000000) // (sz - inter) AS BIGINT) AS jppm
+       |  FROM sc)
+       |SELECT est_matches, CAST(est_matches * 62500 AS BIGINT) AS est_sim_ppm,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(jppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_jaccard_ppm
+       |FROM pj GROUP BY est_matches ORDER BY est_matches""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4024,7 +4414,17 @@ object Queries {
     "q113_snapshot_diff" -> q113,
     "q114_quality_gate" -> q114,
     "q115_grouped_vocab" -> q115,
-    "q116_semdedup" -> q116
+    "q116_semdedup" -> q116,
+    "q117_count_anomalies" -> q117,
+    "q118_bigram_pmi" -> q118,
+    "q119_dim_stats" -> q119,
+    "q120_cdc_chunks" -> q120,
+    "q121_cross_source_dups" -> q121,
+    "q122_ann_recall" -> q122,
+    "q123_padding_waste" -> q123,
+    "q124_vocab_growth" -> q124,
+    "q125_rule_taxonomy" -> q125,
+    "q126_minhash_calibration" -> q126
   )
 
   val oracles: Map[String, String] = Map(
@@ -4141,6 +4541,16 @@ object Queries {
     "q113_snapshot_diff" -> q113Sql,
     "q114_quality_gate" -> q114Sql,
     "q115_grouped_vocab" -> q115Sql,
-    "q116_semdedup" -> q116Sql
+    "q116_semdedup" -> q116Sql,
+    "q117_count_anomalies" -> q117Sql,
+    "q118_bigram_pmi" -> q118Sql,
+    "q119_dim_stats" -> q119Sql,
+    "q120_cdc_chunks" -> q120Sql,
+    "q121_cross_source_dups" -> q121Sql,
+    "q122_ann_recall" -> q122Sql,
+    "q123_padding_waste" -> q123Sql,
+    "q124_vocab_growth" -> q124Sql,
+    "q125_rule_taxonomy" -> q125Sql,
+    "q126_minhash_calibration" -> q126Sql
   )
 }

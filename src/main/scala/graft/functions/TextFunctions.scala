@@ -206,4 +206,18 @@ object TextFunctions {
     )
     when(cjkCharCount(text) * 2 > length(text), lit("zh")).otherwise(best.getField("l"))
   }
+
+  /** First-match-wins keyword taxonomy: the category of the FIRST rule
+    * (in declaration order) whose keyword appears among `toks`, else
+    * `default` — the rule-based domain classifier a curation pipeline runs
+    * before any learned model exists (and keeps as the auditable
+    * fallback). Rules compile to a nested `when` chain — a per-row codegen
+    * expression, no join, no shuffle: at 100 TB the classifier rides the
+    * scan. For rule tables too large to inline (thousands of keywords),
+    * switch to a broadcast join on an exploded keyword column; below ~100
+    * rules the literal CASE is both faster and plan-transparent. */
+  def ruleCategory(toks: Column, rules: Seq[(String, String)], default: String): Column =
+    rules.foldRight(lit(default)) { case ((kw, cat), acc) =>
+      when(array_contains(toks, kw), lit(cat)).otherwise(acc)
+    }
 }

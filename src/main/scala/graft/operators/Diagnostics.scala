@@ -57,6 +57,89 @@ object Diagnostics {
     * Groups present on only one side are dropped (KS against an empty
     * sample is undefined); emits `(groupCols*, n_a, n_b, ks_num, ks_stat)`.
     */
+  /** Per-bucket volume anomalies within each group — the "did traffic in
+    * some hour spike" audit (the reference's monitoring surface tracks
+    * exactly this class of signal on its dashboards; here it is a query
+    * over the event stream instead of a sidecar system). For every
+    * `(group, bucket)` count `c`, flags the bucket when `|c − μ_g| > z·σ_g`
+    * with μ/σ the group's own bucket-count mean and population stddev.
+    *
+    * The test is kept EXACT by cross-multiplying out both divisions:
+    * with `n` buckets, `s = Σc`, `ss = Σc²`, the flag is
+    * `(n·c − s)² > z²·(n·ss − s²)` — pure integer arithmetic
+    * (decimal(38,0): at 100 TB the products pass 2^63), so two engines and
+    * any partitioning agree bit-for-bit; no double ever enters the verdict.
+    *
+    * Scale shape: one map-side-combined aggregation to `(group, bucket)`
+    * counts (shuffle carries ≤ groups × buckets rows regardless of input),
+    * one group-sized stats aggregation broadcast back onto the bucket
+    * table. Emits `(groupCols*, bucket, n_rows, is_anomalous)`.
+    */
+  def countAnomalies(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucket: Column,
+      z: Int): DataFrame = {
+    require(z > 0, s"z threshold must be positive, got $z")
+    val g = groupCols.map(col)
+    val counts = df
+      .groupBy(g :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val dec = col("n_rows").cast("decimal(38,0)")
+    val stats = counts
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(dec).as("__s"),
+        sum(dec * dec).as("__ss"))
+    val dev = col("__n") * dec - col("__s")
+    counts
+      .join(broadcast(stats), groupCols)
+      .withColumn("is_anomalous",
+        dev * dev > lit(z.toLong * z).cast("decimal(38,0)") *
+          (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .drop("__n", "__s", "__ss")
+  }
+
+  /** Per-dimension embedding health audit: for every vector dimension, the
+    * count, zero-count, exact sum and exact variance numerator of the
+    * quantized coordinate — the "dead / collapsed dimension" check a
+    * pipeline runs before trusting an embedding column for similarity
+    * work (a dimension with `var_num = 0` carries no information; a large
+    * `n_zero` fraction marks sparse or truncated encoders).
+    *
+    * Coordinates quantize to integer units of 1e-6
+    * (`CAST(v AS DECIMAL(18,6)) · 10⁶` — the same element quantization as
+    * [[graft.functions.VectorFunctions.dotExact]]), so `sum_u`, `ss` and
+    * the variance numerator `var_num = n·ss − s²` are EXACT integer
+    * arithmetic — order-independent, partitioning-independent, and
+    * bit-identical in an independent SQL engine. No double appears in the
+    * output; callers derive `var = var_num / (n²·10¹²)` when they want the
+    * float.
+    *
+    * Scale shape: posexplode is a plain generate over the stored array
+    * (stays in whole-stage codegen — no higher-order function feeds the
+    * explode), and the single aggregation shuffles ≤ `dim` rows per map
+    * partition after partial aggregation. Output is dim-sized.
+    */
+  def embeddingDimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val u = (col("__v").cast("double").cast("decimal(18,6)") * lit(1000000))
+      .cast("decimal(38,0)")
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim").cast("long").as("dim"), u.as("__u"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("__u") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("__u")).cast("decimal(38,0)").as("sum_u"),
+        sum(col("__u") * col("__u")).cast("decimal(38,0)").as("__ss"))
+      .select(
+        col("dim"), col("n_vecs"), col("n_zero"), col("sum_u"),
+        (col("n_vecs").cast("decimal(38,0)") * col("__ss") -
+          col("sum_u") * col("sum_u")).cast("decimal(38,0)").as("var_num"))
+  }
+
   def ksDrift(
       dfA: DataFrame,
       dfB: DataFrame,

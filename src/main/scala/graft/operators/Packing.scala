@@ -56,4 +56,37 @@ object Packing {
         expr(s"(start_tok + greatest(n_tokens - 1L, 0L)) div ${capacity}L"))
       .withColumn("spans_boundary", col("first_window") =!= col("last_window"))
   }
+
+  /** Padding-waste audit: per group, the token cost of the NAIVE
+    * one-document-per-window layout ([[packOffsets]]'s alternative) —
+    * each document padded up to the next multiple of `seqLen` — versus the
+    * real token count. `waste_frac = (padded − total) / padded` is the
+    * fraction of compute a pad-to-length loader burns on padding, the
+    * number that justifies packing per source. All counts are exact
+    * integer arithmetic (`div`, not float ceil — floor(double/) rounds
+    * above 2^53); the single final int/int double division is
+    * IEEE-identical cross-engine.
+    *
+    * Scale shape: token counting is a map-only scalar over the scan; one
+    * map-side-combined aggregation, shuffle ≤ groups rows.
+    */
+  def paddingWaste(
+      docs: DataFrame,
+      groupCol: String,
+      nTokens: org.apache.spark.sql.Column,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    docs
+      .select(col(groupCol), nTokens.cast("long").as("__n"))
+      .withColumn("__padded", expr(s"((__n + ${seqLen - 1}L) div ${seqLen}L) * ${seqLen}L"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        sum(col("__padded")).as("padded_tokens"))
+      .withColumn("waste_frac",
+        when(col("padded_tokens") === 0, lit(0.0))
+          .otherwise((col("padded_tokens") - col("total_tokens")).cast("double") /
+            col("padded_tokens").cast("double")))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,69 @@ object TfIdf {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  /** Top-k bigram associations — pointwise-mutual-information collocation
+    * mining over the corpus token stream ("New York"-style multiword units,
+    * the classic phrase-table / tokenizer-merge input). For each adjacent
+    * token pair, the association score is the PMI ratio
+    * `p(xy) / (p(x)·p(y)) = c_xy·N / (c_x·c_y)` reported in parts-per-
+    * million, truncated by INTEGRAL division — `ln` of the ratio would rank
+    * identically (ln is monotone) but is not cross-platform reproducible,
+    * while the ppm integer is exact in any engine. Pairs below `minCount`
+    * are dropped (PMI of hapax pairs is pure noise — standard practice).
+    *
+    * Scale shape: bigrams are generated by position-explode over the token
+    * array (a plain `sequence` feeds the generate, so it stays in
+    * whole-stage codegen; the pair is assembled AFTER the explode) and
+    * collapse to (w1, w2) counts with map-side combine — the raw pair
+    * stream never crosses the wire un-aggregated. The unigram table is
+    * vocab-sized; AQE broadcasts it back onto the filtered pair table for
+    * both legs. The grand total N rides a 1-row broadcast. Final top-k is
+    * TakeOrdered (per-partition heaps), never a global sort.
+    *
+    * `assoc_ppm` fits a BIGINT while `10⁶·N / minCount² < 2^63` — i.e. up
+    * to N ≈ 2e11 bigrams at minCount=5; past that raise `minCount` (the
+    * statistically sane move anyway) or rescale.
+    */
+  def bigramAssociations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "need minCount >= 1 and topK >= 1")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__toks"))
+    val pairs = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(
+        element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_freq"))
+    // N = total bigram count BEFORE the minCount filter (the probability
+    // denominator must see the whole stream), derived from the count table
+    // — vocab²-bounded — not by re-scanning the corpus.
+    val total = pairs.agg(sum(col("pair_freq")).as("__N"))
+    val uni = toks
+      .select(explode(col("__toks")).as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__f"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    pairs
+      .filter(col("pair_freq") >= minCount)
+      .join(uni.select(col("__t").as("w1"), col("__f").as("w1_freq")), Seq("w1"))
+      .join(uni.select(col("__t").as("w2"), col("__f").as("w2_freq")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("assoc_ppm",
+        call_function("div",
+          dec(col("pair_freq")) * dec(col("__N")) * lit(1000000L).cast("decimal(38,0)"),
+          dec(col("w1_freq")) * dec(col("w2_freq"))).cast("long"))
+      .select(col("w1"), col("w2"), col("pair_freq"),
+        col("w1_freq"), col("w2_freq"), col("assoc_ppm"))
+      .orderBy(col("assoc_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
   }
 
   /** Per-group vocabulary: the `topK` most frequent terms WITHIN each

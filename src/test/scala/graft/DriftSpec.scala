@@ -54,4 +54,61 @@ class DriftSpec extends SparkSpec {
       .select("n_a", "n_b").as[(Long, Long)].head()
     assert(out == ((2L, 2L)))
   }
+
+  // rows with `count` copies of each (group, bucket)
+  private def events(counts: Seq[(String, Int, Int)]) =
+    counts.flatMap { case (g, b, n) => Seq.fill(n)((g, b)) }.toDF("g", "b")
+
+  test("countAnomalies flags a spike and leaves uniform buckets clean") {
+    // 9 buckets of 1 plus one bucket of 5: dev² = 81(x−1)² vs z²-side
+    // 36(x−1)² → flagged for any outlier; uniform group never flags.
+    val d = events(
+      ((1 to 9).map(i => ("spiky", i, 1)) :+ (("spiky", 10, 5))) ++
+        (1 to 4).map(i => ("flat", i, 3)))
+    val out = Diagnostics.countAnomalies(d, Seq("g"), col("b"), z = 2)
+    val spiky = out.filter(col("g") === "spiky" && col("is_anomalous"))
+      .select("bucket", "n_rows").as[(Int, Long)].collect().toSeq
+    assert(spiky == Seq((10, 5L)))
+    assert(out.filter(col("g") === "flat" && col("is_anomalous")).count() == 0)
+  }
+
+  test("countAnomalies boundary is strict: a point at exactly z·σ is clean") {
+    // one outlier among n=5 buckets sits at exactly z²=4 — with counts
+    // [1,1,1,1,x], dev² = 16(x−1)² and 4·(n·ss−s²) = 16(x−1)² for ANY x:
+    // exact integer arithmetic keeps the strict > stable where a
+    // stddev-double comparison would flip on rounding.
+    val d = events((1 to 4).map(i => ("g", i, 1)) :+ (("g", 5, 42)))
+    assert(Diagnostics.countAnomalies(d, Seq("g"), col("b"), z = 2)
+      .filter(col("is_anomalous")).count() == 0)
+  }
+
+  test("countAnomalies verdicts are partition-layout independent") {
+    val d = events(
+      (1 to 9).map(i => ("spiky", i, 1)) :+ (("spiky", 10, 5)))
+    val a = Diagnostics.countAnomalies(d, Seq("g"), col("b"), z = 2)
+      .orderBy("bucket").collect().toSeq
+    val b = Diagnostics.countAnomalies(d.repartition(7, col("b")), Seq("g"), col("b"), z = 2)
+      .orderBy("bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("embeddingDimStats: exact integer-unit sums, zeros, variance numerator") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.5f)),
+      (2L, Seq(3.0f, 0.0f, 2.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Diagnostics.embeddingDimStats(d, "embedding")
+      .orderBy("dim")
+      .collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_zero"),
+        r.getAs[java.math.BigDecimal]("sum_u").longValueExact,
+        r.getAs[java.math.BigDecimal]("var_num").longValueExact))
+    // dim0: u = 1e6, 3e6 → sum 4e6, var_num = 2·(1e12+9e12) − 16e12 = 4e12
+    // dim1: all-zero → n_zero 2, var 0 ; dim2: constant → var 0
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, 4000000L, 4000000000000L),
+      (1L, 2L, 2L, 0L, 0L),
+      (2L, 2L, 0L, 5000000L, 0L)))
+  }
 }

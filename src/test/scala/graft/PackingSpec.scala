@@ -75,4 +75,89 @@ class PackingSpec extends SparkSpec {
       .select("chunk_fp").as[String].collect().toSeq
     assert(fps.distinct.size == 1)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("contentDefinedChunks: chunks tile the token stream contiguously") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val out = Chunking
+      .contentDefinedChunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.head._2 == 0L)
+    assert(out.map(_._3).sum == 200L)
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 == a._2 + a._3)
+      case _ =>
+    }
+    assert(out.map(_._1) == (1L to out.size.toLong))
+  }
+
+  test("contentDefinedChunks: boundaries and fingerprints replay the md5 gear") {
+    val toks = (1 to 100).map(i => s"w$i")
+    val expStarts = 1 +: (2 to 100).filter(p => md5hex(toks(p - 1)).last == '0')
+    // the fixed token set MUST exercise at least one content boundary for
+    // the replay to be meaningful (it does: gear rate is 1/16 per token)
+    assert(expStarts.size > 1)
+    val expFps = expStarts.zipWithIndex.map { case (s0, i) =>
+      val e = if (i + 1 < expStarts.size) expStarts(i + 1) else 101
+      md5hex(toks.slice(s0 - 1, e - 1).mkString(" "))
+    }
+    val got = Chunking
+      .contentDefinedChunks(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx")
+      .select("start_tok", "chunk_fp").as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) == expStarts.map(s0 => (s0 - 1).toLong))
+    assert(got.map(_._2) == expFps)
+  }
+
+  test("contentDefinedChunks: chunk identity survives a prefix edit") {
+    // the CDC property fixed windows lack: inserting tokens at the front
+    // shifts every offset, but only the position-1-anchored head chunk can
+    // change identity — every gear-anchored chunk reappears bit-identical
+    val base = (1 to 120).map(i => s"s$i").mkString(" ")
+    def fps(text: String): Seq[String] = Chunking
+      .contentDefinedChunks(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx").select("chunk_fp").as[String].collect().toSeq
+    val fa = fps(base)
+    val fb = fps("pre1 pre2 pre3 " + base)
+    assert(fa.size > 1) // the fixture must have a gear boundary to test anything
+    assert(fa.toSet.diff(fb.toSet).subsetOf(Set(fa.head)))
+    assert(fa.tail.forall(fb.contains))
+  }
+
+  test("paddingWaste: exact pad-to-seqLen accounting, zero-token docs cost nothing") {
+    val d = Seq(
+      ("web", 100L), ("web", 512L), ("web", 513L), // pads: 512, 512, 1024
+      ("books", 0L), ("books", 1L)                 // pads: 0, 512
+    ).toDF("source", "n")
+    val out = graft.operators.Packing.paddingWaste(d, "source", col("n"), seqLen = 512)
+      .orderBy("source")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Double]("waste_frac")))
+    assert(out.toSeq == Seq(
+      ("books", 2L, 1L, 512L, 511.0 / 512.0),
+      ("web", 3L, 1125L, 2048L, 923.0 / 2048.0)))
+  }
+
+  test("paddingWaste: an all-empty group reports zero waste, not NaN") {
+    val d = Seq(("empty", 0L)).toDF("source", "n")
+    val out = graft.operators.Packing.paddingWaste(d, "source", col("n"), seqLen = 512)
+      .select("waste_frac").as[Double].head()
+    assert(out == 0.0)
+  }
+
+  test("contentDefinedChunks: empty docs yield no chunks") {
+    val out = Chunking
+      .contentDefinedChunks(Seq((1L, "   "), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .count()
+    assert(out == 0L)
+  }
 }

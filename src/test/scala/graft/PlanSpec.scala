@@ -265,6 +265,92 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q117 anomaly stats broadcast back onto the bucket table") {
+    val p = plan(SparkEntry.queries("q117_count_anomalies")(spark, sf))
+    // the per-type stats table is groups-sized — it must broadcast, and
+    // the verdict must be pure integer arithmetic (no stddev in the plan)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("stddev"), p.take(3000))
+  }
+
+  test("q118 bigram PMI: TakeOrdered top-k, count-table joins never shuffle pair rows twice") {
+    val df = SparkEntry.queries("q118_bigram_pmi")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    // the unigram legs are vocab-sized: AQE must land broadcast joins,
+    // never a cartesian (and the pair stream partial-aggregates map-side)
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(4000))
+  }
+
+  test("q119 dim stats is one bounded aggregation: partial combine, single group shuffle") {
+    val p = plan(SparkEntry.queries("q119_dim_stats")(spark, sf))
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size -
+      "rangepartitioning".r.findAllIn(p).size // final orderBy, not a group shuffle
+    assert(exchanges == 1, s"expected exactly one group shuffle, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q120 CDC chunking is map-only into fingerprint aggregation: no join, no window") {
+    val p = plan(SparkEntry.queries("q120_cdc_chunks")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+  }
+
+  test("q121 cross-source matrix: band-keyed candidate join, never a cross product") {
+    val df = SparkEntry.queries("q121_cross_source_dups")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q122 recall audit broadcasts the query side on both legs") {
+    val df = SparkEntry.queries("q122_ann_recall")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // exact leg: broadcast query block over the corpus scan; IVF leg:
+    // broadcast probe table on the cluster key — the corpus never shuffles
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q123 padding waste is one map-combined aggregation, no join") {
+    val p = plan(SparkEntry.queries("q123_padding_waste")(spark, sf))
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size -
+      "rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one group shuffle, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q124 vocab growth: both rollups partial-aggregate; window runs on the bucket table") {
+    val p = plan(SparkEntry.queries("q124_vocab_growth")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q125 rule taxonomy is a codegen CASE chain — no join anywhere") {
+    val p = plan(SparkEntry.queries("q125_rule_taxonomy")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).size -
+      "rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one group shuffle, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("q126 calibration joins candidates to signatures keyed — never a cross product") {
+    val df = SparkEntry.queries("q126_minhash_calibration")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q108 importance scoring broadcasts the bucket verdict table") {
     import spark.implicits._
     // pin the SCORING path in isolation: the learning side joins two

@@ -64,4 +64,26 @@ class TextSpec extends SparkSpec {
     val empty = Seq("").toDF("t").select(TextFunctions.tokenCountBpeIsh($"t")).as[Int].collect()(0)
     assert(empty == 0)
   }
+
+  test("ruleCategory: first matching rule wins in declaration order, else default") {
+    val rules = Seq("stream" -> "streaming", "vector" -> "ml", "join" -> "relational")
+    val out = Seq(
+      "join stream data",   // both match → first rule (stream) wins
+      "vector join",        // vector outranks join
+      "plain join text",    // only the last rule
+      "nothing relevant"    // default
+    ).toDF("t")
+      .select(TextFunctions.ruleCategory(TextFunctions.tokens($"t"), rules, "other"))
+      .as[String].collect().toSeq
+    assert(out == Seq("streaming", "ml", "relational", "other"))
+  }
+
+  test("ruleCategory matches whole tokens, never substrings") {
+    val rules = Seq("stream" -> "streaming")
+    val out = Seq("streaming data", "a stream here").toDF("t")
+      .select(TextFunctions.ruleCategory(TextFunctions.tokens($"t"), rules, "other"))
+      .as[String].collect().toSeq
+    // "streaming" the TOKEN does not match the keyword "stream"
+    assert(out == Seq("other", "streaming"))
+  }
 }

@@ -85,4 +85,35 @@ class TfIdfSpec extends SparkSpec {
       ("de", "hund", 2L, 1L), ("de", "katze", 1L, 2L),
       ("en", "cat", 3L, 1L), ("en", "bird", 2L, 2L)))
   }
+
+  test("bigramAssociations: exact ppm scores, minCount filter, truncation") {
+    // doc1 bigrams: ab ba ab bc ; doc2: ab bx → pairs ab:3 ba:1 bc:1 bx:1,
+    // N = 6 ; unigrams a:3 b:3 c:1 x:1
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val top = TfIdf.bigramAssociations(d, "text", minCount = 2, topK = 5)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("pair_freq"), r.getAs[Long]("w1_freq"),
+        r.getAs[Long]("w2_freq"), r.getAs[Long]("assoc_ppm")))
+    // only ab survives minCount=2: 3·6·1e6 / (3·3) = 2_000_000 exactly
+    assert(top.toSeq == Seq(("a", "b", 3L, 3L, 3L, 2000000L)))
+
+    val all = TfIdf.bigramAssociations(d, "text", minCount = 1, topK = 10)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Long]("assoc_ppm"))
+      .toMap
+    // ba: 1·6·1e6 / (3·3) = 666_666.67 → TRUNCATES to 666_666 (integral
+    // division, never rounds — the cross-engine-stable choice)
+    assert(all(("b", "a")) == 666666L)
+    // bc: 1·6·1e6 / (3·1) = 2_000_000 — a rare continuation outscores ba
+    assert(all(("b", "c")) == 2000000L)
+  }
+
+  test("bigramAssociations: deterministic tie-break and top-k limit") {
+    val d = Seq((1L, "m n"), (2L, "k l")).toDF("doc_id", "text")
+    // both pairs score identically (1·2·1e6/1): ties order by w1 asc
+    val out = TfIdf.bigramAssociations(d, "text", minCount = 1, topK = 1)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(out == Seq(("k", "l")))
+  }
 }
