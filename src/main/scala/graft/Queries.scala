@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -4298,6 +4298,159 @@ object Queries {
        |  CAST(sum(jppm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_jaccard_ppm
        |FROM pj GROUP BY est_matches ORDER BY est_matches""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  // Fuzzy entity blocking (Dedup.editOnePairs): every customer-name pair
+  // within Levenshtein distance 1, found by FastSS single-deletion keys —
+  // never an n² distance matrix — then rolled up to the neighbor-count
+  // histogram an entity-resolution run publishes (how tangled is this
+  // dimension's name space, including the untouched zero bucket). The
+  // key join shuffles rows × (len+1) short keys; hot keys are pruned at
+  // 1000 (none fire at this fixture); verification is row-local.
+  private val q127: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val pairs = Dedup.editOnePairs(cust, "c_custkey", "c_name")
+    val perEntity = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    cust.select(col("c_custkey").as("id"))
+      .join(perEntity, Seq("id"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("n_neighbors"))
+      .groupBy(col("n_neighbors"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy("n_neighbors")
+  }
+
+  private val q127Sql =
+    """WITH base AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      |keys AS (SELECT id, s,
+      |  unnest(list_prepend(s, list_transform(range(1, length(s)+1),
+      |    i -> substr(s, 1, i-1) || substr(s, i+1)))) AS k
+      |  FROM base),
+      |keep AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= 1000),
+      |pk AS (SELECT keys.id, keys.s, keys.k FROM keys JOIN keep USING (k)),
+      |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb
+      |  FROM pk a JOIN pk b ON a.k = b.k AND a.id < b.id),
+      |ver AS (SELECT ia, ib FROM cand WHERE levenshtein(sa, sb) <= 1),
+      |pe AS (SELECT id, count(*) AS n FROM
+      |  (SELECT ia AS id FROM ver UNION ALL SELECT ib FROM ver) GROUP BY id)
+      |SELECT coalesce(pe.n, 0) AS n_neighbors, count(*) AS n_entities
+      |FROM base LEFT JOIN pe USING (id)
+      |GROUP BY 1 ORDER BY n_neighbors""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+  // Keyword retrieval (TfIdf.keywordSearch): top-10 documents for a
+  // 3-term query under exact-integer tf·idf-ppm scoring — the inverted-
+  // index probe a corpus-curation stack runs to pull topic slices. The
+  // term filter lands on the token scan before any shuffle (postings
+  // exist only for the 3 queried terms), df is a 3-row broadcast, N a
+  // 1-row broadcast, top-k is TakeOrderedAndProject. Scores are integer
+  // ppm (no libm), so ranking AND scores value-check cross-engine; "dup"
+  // (df≈25) dominating "vector"/"stream" (df≈390) is the idf story.
+  private val q128Terms = Seq("dup", "vector", "stream")
+  private val q128: Q = (s, dir) =>
+    TfIdf.keywordSearch(Tables.documents(s, dir), "doc_id", "text", q128Terms, 10)
+
+  private val q128Sql =
+    s"""WITH $duckToksCte,
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       |m AS (SELECT doc_id, term, count(*) AS tf FROM ex
+       |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT m.doc_id, count(*) AS n_hit_terms,
+       |  CAST(sum(m.tf * ((n.n * 1000000) // dfreq.df)) AS BIGINT) AS score
+       |FROM m JOIN dfreq USING (term) CROSS JOIN n
+       |GROUP BY m.doc_id
+       |ORDER BY score DESC, m.doc_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+  // Duplication-hub centrality (Centrality.pageRank): integer-arithmetic
+  // PageRank over q43's LSH candidate-pair graph — which documents sit at
+  // the CENTER of a near-dup neighborhood (the template/boilerplate
+  // sources), vs q58's "which are connected at all". Ranks are exact
+  // fixed-point longs (floor-division contributions, associative integer
+  // sums), so all 5 iterations replay bit-for-bit in the oracle's chained
+  // CTEs — an ITERATIVE graph algorithm value-checked cross-engine, not
+  // just smoke-checked. Per-iteration shuffle ∝ edges; adjacency built
+  // once and checkpointed.
+  private val q129: Q = (s, dir) =>
+    Centrality.pageRank(
+      Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, numHashes = 16, rowsPerBand = 2),
+      "doc_a", "doc_b", iterations = 5)
+      .select(col("node").as("doc_id"), col("rank").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("doc_id"))
+
+  private val q129Sql = {
+    val base = 150000000000L // 1e12/100 × 15, the operator's exact base term
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT u.dst AS node,
+         |  $base + sum((r.rank * 85) // (100 * u.__deg)) AS rank
+         |  FROM adj u JOIN r${i - 1} r ON r.node = u.src GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshBandedCtes,
+       |$lshCandCte,
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg AS (SELECT src, count(*) AS __deg FROM und GROUP BY src),
+       |adj AS (SELECT und.src, und.dst, deg.__deg FROM und JOIN deg USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1000000000000 AS HUGEINT) AS rank FROM deg),
+       |$iters
+       |SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_e12 FROM r5
+       |ORDER BY rank_e12 DESC, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q130
+  // Event-type affinity matrix (Diagnostics.cooccurrenceAffinity): for
+  // every pair of event types, how many users do both and the exact
+  // Jaccard overlap in ppm — the "users who X also Y" co-occurrence audit
+  // feeding funnel design (q83) and the transition matrix (q112). One
+  // unit-keyed set aggregation, row-local pair expansion (items² bounded
+  // by the categorical domain, never a corpus self-join), totals
+  // broadcast back.
+  private val q130: Q = (s, dir) =>
+    Diagnostics.cooccurrenceAffinity(Tables.events(s, dir), "user_id", "event_type")
+      .orderBy("item_a", "item_b")
+
+  private val q130Sql =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |p AS (SELECT a.event_type AS ia, b.event_type AS ib FROM ut a
+      |  JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type),
+      |nb AS (SELECT ia, ib, count(*) AS n_both FROM p GROUP BY 1, 2),
+      |t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+      |SELECT nb.ia AS item_a, nb.ib AS item_b, ta.n AS n_a, tb.n AS n_b,
+      |  nb.n_both, (nb.n_both * 1000000) // (ta.n + tb.n - nb.n_both) AS jaccard_ppm
+      |FROM nb JOIN t ta ON ta.event_type = nb.ia JOIN t tb ON tb.event_type = nb.ib
+      |ORDER BY item_a, item_b""".stripMargin
+
+  // ---------------------------------------------------------------- q131
+  // Ingestion throttle audit (StreamingThrottle.throttleBatch): admit at
+  // most 20 events per user in (ts, event_id) order — the quota an
+  // ingestion edge enforces — reported per user as seen/kept/cutoff. The
+  // batch twin of the flatMapGroupsWithState throttle (StreamingSpec pins
+  // that ordered streaming delivery admits the identical set); the
+  // row_number window is the one genuinely ordered per-key pass.
+  private val q131: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val kept = graft.streaming.StreamingThrottle.throttleBatch(ev, 20)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_kept"), max(col("ts")).as("ts_cutoff"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_seen"))
+      .join(kept, Seq("user_id"))
+      .select(col("user_id"), col("n_seen"), col("n_kept"), col("ts_cutoff"))
+      .orderBy("user_id")
+  }
+
+  private val q131Sql =
+    """WITH r AS (SELECT user_id, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |k AS (SELECT user_id, count(*) AS n_kept, max(ts) AS ts_cutoff
+      |  FROM r WHERE rn <= 20 GROUP BY user_id),
+      |s AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY user_id)
+      |SELECT s.user_id, s.n_seen, k.n_kept, CAST(k.ts_cutoff AS TIMESTAMP) AS ts_cutoff
+      |FROM s JOIN k USING (user_id) ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4424,7 +4577,12 @@ object Queries {
     "q123_padding_waste" -> q123,
     "q124_vocab_growth" -> q124,
     "q125_rule_taxonomy" -> q125,
-    "q126_minhash_calibration" -> q126
+    "q126_minhash_calibration" -> q126,
+    "q127_edit_blocking" -> q127,
+    "q128_keyword_search" -> q128,
+    "q129_pagerank_hubs" -> q129,
+    "q130_type_affinity" -> q130,
+    "q131_throttle_audit" -> q131
   )
 
   val oracles: Map[String, String] = Map(
@@ -4551,6 +4709,11 @@ object Queries {
     "q123_padding_waste" -> q123Sql,
     "q124_vocab_growth" -> q124Sql,
     "q125_rule_taxonomy" -> q125Sql,
-    "q126_minhash_calibration" -> q126Sql
+    "q126_minhash_calibration" -> q126Sql,
+    "q127_edit_blocking" -> q127Sql,
+    "q128_keyword_search" -> q128Sql,
+    "q129_pagerank_hubs" -> q129Sql,
+    "q130_type_affinity" -> q130Sql,
+    "q131_throttle_audit" -> q131Sql
   )
 }

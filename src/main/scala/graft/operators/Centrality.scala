@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over candidate-pair graphs (near-dup LSH pairs,
+  * entity-blocking pairs): which documents are the HUBS of a duplication
+  * neighborhood — boilerplate templates, licence headers, mirrored feeds —
+  * as opposed to [[ConnectedComponents]]' "which documents are connected
+  * at all". A curation pipeline ranks clusters by hub centrality to find
+  * the template sources worth a human look.
+  *
+  * PageRank in pure INTEGER arithmetic: ranks carry in fixed-point units
+  * of `1/scale` (default 1e-12) and each out-contribution is the integral
+  * division `(rank · dampPct) div (100 · degree)` — floor division of
+  * non-negative longs, associative sums, so the result is bit-identical
+  * across partitionings, retries, and engines, where the textbook
+  * double-arithmetic PageRank depends on partition merge order. Mass is
+  * not exactly conserved (each division floors, dangling mass drops) —
+  * irrelevant for RANKING, which is what the operator is for.
+  *
+  * Scale shape: the adjacency (mirrored edges + degree) is built once —
+  * one edge-keyed aggregation and one self-keyed join — and checkpointed,
+  * so every iteration is ONE join of the rank table against the adjacency
+  * on `src` plus one `dst`-keyed sum: shuffle ∝ edges per round, never
+  * edges². Rank tables are node-sized. `localCheckpoint` per round keeps
+  * the plan from growing superlinearly with iterations (the
+  * [[ConnectedComponents]] hygiene rule; on a cluster use
+  * reliable checkpointing instead).
+  */
+object Centrality {
+
+  /** PageRank over an UNDIRECTED graph given as distinct (srcCol, dstCol)
+    * pairs (each pair listed once, e.g. `doc_a < doc_b`; the mirror
+    * direction is added internally). Every node of the graph appears in
+    * the output with its fixed-point rank (`rank` ≈ stationary share ×
+    * scale × nodes). Overflow bound: a node's rank stays below
+    * Long.Max/dampPct as long as total graph mass (nodes × scale) does —
+    * at 1e9+ nodes lower `scale` accordingly. */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      dampPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val adj = und.join(deg, Seq("src")).localCheckpoint()
+    val base = scale / 100L * (100L - dampPct)
+    var r = deg.select(col("src").as("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      r = adj.join(r, adj("src") === r("node"))
+        .select(col("dst"),
+          expr(s"(rank * $dampPct) div (100 * __deg)").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__s"))
+        .select(col("dst").as("node"), (lit(base) + col("__s")).as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
+}

@@ -506,6 +506,66 @@ object Dedup {
     * keeping the whole cluster, never deleting it. Ids must be integral
     * (TopKAgg's id leg is bigint) — required loudly, the same silent-cast
     * footgun [[ConnectedComponents.components]] guards against. */
+  /** FastSS/SymSpell-style fuzzy blocking: all pairs of rows whose string
+    * values are within Levenshtein distance 1, found via single-character
+    * DELETION-NEIGHBORHOOD keys instead of an all-pairs distance matrix.
+    * Two strings at distance ≤ 1 (one substitution, insertion, or
+    * deletion) always share a key in {s} ∪ {s minus char i}, so a hash
+    * join on those keys finds every true pair; a row-local `levenshtein`
+    * verify then removes the false candidates the key join admits (e.g.
+    * "ab"/"ba" share keys "a" and "b" but sit at distance 2). The
+    * entity-resolution blocking primitive: name/SKU/id-field variant
+    * detection without n² comparisons.
+    *
+    * Scale shape: the key table is rows × (len+1) — len is entity-name
+    * sized, not document sized — and the self-join shuffles on the key
+    * string (short; hashing it buys nothing here, unlike document
+    * shingles). Hot keys (short strings, heavy shared prefixes) blow the
+    * join up quadratically per bucket, so keys occurring more often than
+    * `maxKeyFreq` are dropped first — the stop-shingle prune of
+    * [[ngramJaccardPairs]], with the same recall caveat (a pair ONLY
+    * reachable through a pruned key is lost; `maxKeyFreq <= 0` disables).
+    * Key frequency counts row-occurrences, not distinct ids ("aa" emits
+    * key "a" twice and both count) — the oracle replays the same rule.
+    *
+    * Output: (id_a, id_b, str_a, str_b, dist) with id_a < id_b, dist ∈
+    * {0, 1} — distance-0 pairs are distinct ids carrying identical
+    * strings, the exact-dup tier's finding, kept here so the blocking
+    * report is complete. */
+  def editOnePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxKeyFreq: Long = 1000L): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val keys = base
+      .select(col("__id"), col("__s"),
+        explode(sequence(lit(0), length(col("__s")))).as("__i"))
+      .select(col("__id"), col("__s"),
+        when(col("__i") === 0, col("__s"))
+          .otherwise(concat(
+            col("__s").substr(lit(1), col("__i") - 1),
+            col("__s").substr(col("__i") + 1, length(col("__s")))))
+          .as("__k"))
+    val pruned =
+      if (maxKeyFreq <= 0) keys
+      else {
+        val keep = keys.groupBy(col("__k"))
+          .agg(count(lit(1)).as("__kf"))
+          .filter(col("__kf") <= maxKeyFreq)
+          .select(col("__k"))
+        keys.join(keep, Seq("__k"), "left_semi")
+      }
+    val a = pruned.select(col("__k"), col("__id").as("id_a"), col("__s").as("str_a"))
+    val b = pruned.select(col("__k"), col("__id").as("id_b"), col("__s").as("str_b"))
+    a.join(b, Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= 1)
+  }
+
   def bestSurvivorLosers(
       components: DataFrame,
       scored: DataFrame,

@@ -180,4 +180,40 @@ object Diagnostics {
       .withColumn("ks_stat",
         col("ks_num").cast("double") / (col("n_a").cast("double") * col("n_b").cast("double")))
   }
+
+  /** Item-affinity matrix: for every pair of items, how many UNITS (users,
+    * documents, sessions) carry both, with the exact Jaccard overlap in
+    * integer ppm — the "users who do X also do Y" / label-co-occurrence
+    * audit. Output is |items|²-bounded, tiny for categorical item domains.
+    *
+    * Scale shape: (unit, item) pairs collapse to distinct per-unit item
+    * SETS in one unit-keyed aggregation (`collect_set` is safe here
+    * because the item domain — not the unit count — bounds the set);
+    * ordered pairs expand ROW-LOCALLY from each sorted set (never a
+    * corpus self-join on unit), and the per-item totals join back
+    * broadcast. A high-cardinality item domain needs the self-join form
+    * instead — this operator is for categorical domains and says so. */
+  def cooccurrenceAffinity(
+      df: DataFrame,
+      unitCol: String,
+      itemCol: String): DataFrame = {
+    val sets = df.groupBy(col(unitCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    val pairs = sets
+      .select(explode(flatten(transform(col("__items"), x =>
+        transform(filter(col("__items"), y => y > x), y =>
+          struct(x.as("item_a"), y.as("item_b")))))).as("__p"))
+      .select(col("__p.item_a"), col("__p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val totals = df.select(col(unitCol), col(itemCol)).distinct()
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("__n"))
+    pairs
+      .join(broadcast(totals.select(col(itemCol).as("item_a"), col("__n").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(totals.select(col(itemCol).as("item_b"), col("__n").as("n_b"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("(n_both * 1000000) div (n_a + n_b - n_both)").as("jaccard_ppm"))
+  }
 }

@@ -208,4 +208,43 @@ object TfIdf {
             .orderBy(col("term_freq").desc, col("term").asc)).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Keyword retrieval: top-k documents for a bag of query terms, scored
+    * by exact-integer tf·idf — `score = Σ tf(t,d) · ((N·1e6) div df(t))`.
+    * Integral idf-ppm instead of the classic ln(N/df): same ranking
+    * monotonicity per term, but bit-reproducible across engines (no libm),
+    * so even the retrieval SCORES are oracle-checkable, not just the hit
+    * set. Ties break by ascending document id.
+    *
+    * Scale shape: the query-term filter lands row-local on the token scan
+    * BEFORE any shuffle (postings are built only for the ≤|terms| queried
+    * terms, never the full vocabulary), the per-(doc, term) counts
+    * map-side combine, the df table is ≤|terms| rows (AQE-broadcast back
+    * onto the postings), N rides a 1-row broadcast, and top-k is
+    * TakeOrderedAndProject — the corpus is scanned once and never
+    * globally sorted. */
+  def keywordSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one query term")
+    val postings = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    postings
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        expr("__tf * ((__n * 1000000) div __df)").as("__sc"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__sc")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Centrality
+
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent single-threaded replay of the operator's integer
+    * recurrence — plain Scala folds, no Spark — so the distributed result
+    * is checked against a second implementation, not against itself. */
+  private def replay(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000000000L }
+    for (_ <- 1 to iters) {
+      r = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> (150000000000L +
+          es.map { case (src, _) => r(src) * 85L / (100L * deg(src)) }.sum)
+      }
+    }
+    r
+  }
+
+  private def run(pairs: Seq[(Long, Long)], parts: Int = 1): Map[Long, Long] =
+    Centrality.pageRank(
+      pairs.toDF("a", "b").repartition(parts), "a", "b", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+
+  test("star graph: hub dominates, leaves tie, values match the replay exactly") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = run(star)
+    assert(got(0L) > got(1L))
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got == replay(star, 5))
+  }
+
+  test("asymmetric graph matches the replay and is partition-invariant") {
+    // triangle 0-1-2 with a tail 2-3-4: strictly ordered centralities
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val one = run(g, parts = 1)
+    assert(one == replay(g, 5))
+    assert(run(g, parts = 7) == one) // integer sums are order-independent
+    assert(one(2L) > one(3L) && one(3L) > one(4L))
+  }
+
+  test("iteration count and damping validation") {
+    val e = Seq((0L, 1L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(e, "a", "b", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(e, "a", "b", dampPct = 120)
+    }
+  }
+}

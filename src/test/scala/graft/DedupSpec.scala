@@ -33,6 +33,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L)) // unrelated doc shares < 2 shingles
   }
 
+  test("editOnePairs finds sub/ins/del variants, rejects distance-2, keeps dist-0") {
+    val names = Seq(
+      (0L, "acme corp"),   // base
+      (1L, "acme korp"),   // substitution → dist 1
+      (2L, "acme corps"),  // insertion → dist 1
+      (3L, "acme cor"),    // deletion → dist 1
+      (4L, "acme corp"),   // identical string, distinct id → dist 0
+      (5L, "ab"),          // "ab"/"ba" share deletion keys but dist 2
+      (6L, "ba"),
+      (7L, "unrelated co") // no neighbor
+    ).toDF("id", "name")
+    val got = Dedup.editOnePairs(names, "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((0L, 1L, 1)) && got.contains((0L, 2L, 1)) &&
+      got.contains((0L, 3L, 1)) && got.contains((0L, 4L, 0)))
+    assert(!got.exists(p => p._1 == 5L && p._2 == 6L)) // verify kills ab/ba
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    // dist-1 variants of EACH OTHER via the shared base ("acme korp" vs
+    // "acme corps" is dist 2 — must be absent even though both pair with 0)
+    assert(!got.contains((1L, 2L, 1)) && !got.contains((1L, 2L, 2)))
+  }
+
+  test("editOnePairs hot-key prune drops pairs only reachable through pruned keys") {
+    val rows = (0L to 9L).map(i => (i, s"x$i")).toDF("id", "name")
+    // every "x<d>" emits deletion key "x": freq 10 → pruned at maxKeyFreq=5,
+    // and the single-char key "<d>" survives but matches nothing
+    val pruned = Dedup.editOnePairs(rows, "id", "name", maxKeyFreq = 5L).count()
+    assert(pruned == 0L)
+    val unpruned = Dedup.editOnePairs(rows, "id", "name", maxKeyFreq = 0L).count()
+    assert(unpruned == 45L) // all C(10,2) pairs are substitutions at pos 2
+  }
+
   test("minhash signatures are identical for identical texts, close for near-dups") {
     val sig = docs.select(col("doc_id"), Dedup.minHashSignature(col("text"), 3, 64).as("sig"))
     val est = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))

@@ -92,6 +92,23 @@ class DriftSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cooccurrenceAffinity: exact jaccard ppm, ordered pairs, no self-pairs") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // duplicate (1,x) must not inflate
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z")
+    ).toDF("unit", "item")
+    val got = Diagnostics.cooccurrenceAffinity(df, "unit", "item")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // x: 3 units, y: 2, z: 1; x∩y = 2 → 2/3; x∩z = 1 → 1/3
+    assert(got(("x", "y")) == (3L, 2L, 2L, 666666L))
+    assert(got(("x", "z")) == (3L, 1L, 1L, 333333L))
+    assert(!got.contains(("y", "z"))) // never co-occur → absent, not zero
+    assert(got.keys.forall { case (a, b) => a < b }) // ordered, no self-pairs
+  }
+
   test("embeddingDimStats: exact integer-unit sums, zeros, variance numerator") {
     val d = Seq(
       (1L, Seq(1.0f, 0.0f, 2.5f)),

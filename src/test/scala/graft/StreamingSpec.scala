@@ -263,4 +263,66 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming throttle admits the batch twin's set under ordered delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingThrottle.Event
+    val input = MemoryStream[Event]
+    val out = graft.streaming.StreamingThrottle.throttled(input.toDS(), limit = 2)
+    val q = out.writeStream
+      .format("memory")
+      .queryName("throttle_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // u1 over quota across batches; u2's same-ts pair decided by event_id
+      input.addData(
+        Event(1L, 1L, "a", Timestamp.valueOf("2024-01-01 10:00:00")),
+        Event(1L, 2L, "b", Timestamp.valueOf("2024-01-01 11:00:00")),
+        Event(2L, 6L, "a", Timestamp.valueOf("2024-01-02 10:00:00")),
+        Event(2L, 5L, "b", Timestamp.valueOf("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      input.addData(
+        Event(1L, 3L, "c", Timestamp.valueOf("2024-01-01 12:00:00")), // over quota
+        Event(2L, 7L, "c", Timestamp.valueOf("2024-01-02 11:00:00"))) // over quota
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_test")
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == Set(1L, 2L, 5L, 6L))
+      val batchEv = Seq(
+        (1L, 1L, "a", Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, 1L, "b", Timestamp.valueOf("2024-01-01 11:00:00")),
+        (3L, 1L, "c", Timestamp.valueOf("2024-01-01 12:00:00")),
+        (5L, 2L, "b", Timestamp.valueOf("2024-01-02 10:00:00")),
+        (6L, 2L, "a", Timestamp.valueOf("2024-01-02 10:00:00")),
+        (7L, 2L, "c", Timestamp.valueOf("2024-01-02 11:00:00"))
+      ).toDF("event_id", "user_id", "event_type", "ts")
+      val batch = graft.streaming.StreamingThrottle.throttleBatch(batchEv, 2)
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming throttle quota does not re-open once exhausted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingThrottle.Event
+    val input = MemoryStream[Event]
+    val out = graft.streaming.StreamingThrottle.throttled(input.toDS(), limit = 1)
+    val q = out.writeStream
+      .format("memory")
+      .queryName("throttle_reopen_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1L, 1L, "a", Timestamp.valueOf("2024-01-01 10:00:00")),
+        Event(1L, 2L, "b", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(Event(1L, 3L, "c", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_reopen_test")
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == Set(1L))
+    } finally q.stop()
+  }
 }

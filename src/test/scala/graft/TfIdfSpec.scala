@@ -19,6 +19,23 @@ class TfIdfSpec extends SparkSpec {
     assert(tc((1L, "common", 1L)))
   }
 
+  test("keywordSearch: exact idf-ppm scores, rare term dominates, ties by id") {
+    // N=3; query {apple, common}: df(apple)=1 → idf 3_000_000,
+    // df(common)=3 → idf 1_000_000
+    val hits = TfIdf.keywordSearch(docs, "doc_id", "text", Seq("apple", "common"), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: tf(apple)=2·3M + tf(common)=1·1M = 7M; docs 2,3: 1M each, id order
+    assert(hits == Seq((1L, 2L, 7000000L), (2L, 1L, 1000000L), (3L, 1L, 1000000L)))
+    // k truncates after the deterministic (score desc, id asc) order
+    val top2 = TfIdf.keywordSearch(docs, "doc_id", "text", Seq("apple", "common"), 2)
+      .as[(Long, Long, Long)].collect().map(_._1).toSeq
+    assert(top2 == Seq(1L, 2L))
+    // a query term absent from the corpus contributes nothing (no null df)
+    val ghost = TfIdf.keywordSearch(docs, "doc_id", "text", Seq("zzz", "apple"), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ghost == Seq((1L, 1L, 6000000L)))
+  }
+
   test("tokenRarity: exact mean corpus probability, empty docs report 0") {
     val d = Seq(
       (1L, "apple apple banana common"),
