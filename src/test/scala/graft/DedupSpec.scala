@@ -55,6 +55,27 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 2L, 1)) && !got.contains((1L, 2L, 2)))
   }
 
+  test("editOnePairs position trick agrees with true Levenshtein on random strings") {
+    // independent DP edit distance, driver-side
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val strs = (0L until 80L).map(i =>
+      (i, (0 until rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString))
+    val expected = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val got = Dedup.editOnePairs(strs.toDF("id", "name"), "id", "name", maxKeyFreq = 0L)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
   test("editOnePairs hot-key prune drops pairs only reachable through pruned keys") {
     val rows = (0L to 9L).map(i => (i, s"x$i")).toDF("id", "name")
     // every "x<d>" emits deletion key "x": freq 10 → pruned at maxKeyFreq=5,

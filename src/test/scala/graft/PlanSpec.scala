@@ -366,4 +366,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
+
+  test("q127 edit blocking: key-equi joins only, no distance DP in the plan") {
+    val df = SparkEntry.queries("q127_edit_blocking")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // candidates come from the deletion-key join — any nested-loop node
+    // would be the n² distance matrix the operator exists to avoid, and
+    // the position trick means NO levenshtein expression anywhere
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.toLowerCase.contains("levenshtein"), p.take(4000))
+  }
+
+  test("q128 keyword search: term filter below the aggregation, TakeOrdered top-k") {
+    val p = plan(SparkEntry.queries("q128_keyword_search")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // df and N tables are terms-sized/1-row — broadcast, never sort-merge
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q130 affinity: row-local pair expansion, no corpus self-join") {
+    val p = plan(SparkEntry.queries("q130_type_affinity")(spark, sf))
+    // pairs explode from per-unit sets; totals broadcast back — the only
+    // joins are broadcast, and nothing nested-loops
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
