@@ -4451,6 +4451,73 @@ object Queries {
       |SELECT s.user_id, s.n_seen, k.n_kept, CAST(k.ts_cutoff AS TIMESTAMP) AS ts_cutoff
       |FROM s JOIN k USING (user_id) ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  // Top session journeys (Funnel.sessionPaths): sessionize on q33's
+  // 30-minute gap, render each session's first 5 event types as a path
+  // string, count sessions per path, top-20 — the path-analysis view
+  // whose first-order approximation is q112's transition matrix. One
+  // user-keyed shuffle+sort serves gap detection, session ids, AND the
+  // per-session fold; the rollup is path-cardinality-sized.
+  private val q132: Q = (s, dir) =>
+    Funnel.sessionPaths(Tables.events(s, dir),
+      "user_id", "event_type", "ts", "event_id", gapMinutes = 30, maxSteps = 5)
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
+  private val q132Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM t),
+      |p AS (SELECT user_id, sid,
+      |    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  // Feature correlation matrix (Diagnostics.correlationMatrix): pairwise
+  // Pearson correlation of lineitem's four numeric measures with all
+  // moment sums in exact decimal(38,0) over 1e-2 integer units (the
+  // columns' literal precision, so quantization is lossless) — only the
+  // final corr divides through correctly-rounded IEEE doubles, so every
+  // cell value-checks cross-engine. One map-combined single-row global
+  // aggregation; the pair table expands row-locally from it.
+  private val q133Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val q133: Q = (s, dir) =>
+    Diagnostics.correlationMatrix(Tables.lineitem(s, dir), q133Cols, scale = 100L)
+      .orderBy("col_a", "col_b")
+
+  private val q133Sql = {
+    val qsel = q133Cols.map(c => s"CAST(round($c * 100) AS HUGEINT) AS $c").mkString(", ")
+    val moments = (Seq("CAST(count(*) AS HUGEINT) AS n") ++
+      q133Cols.flatMap(c => Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS ss_$c")) ++
+      (for { i <- q133Cols.indices; j <- q133Cols.indices if i < j }
+        yield s"sum(${q133Cols(i)} * ${q133Cols(j)}) AS p_${q133Cols(i)}_${q133Cols(j)}"))
+      .mkString(", ")
+    val rows = (for { i <- q133Cols.indices; j <- q133Cols.indices if i < j } yield {
+      val (a, b) = (q133Cols(i), q133Cols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |  CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE) AS num,
+         |  CAST(n * ss_$a - s_$a * s_$a AS DOUBLE) AS den_a,
+         |  CAST(n * ss_$b - s_$b * s_$b AS DOUBLE) AS den_b,
+         |  CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |    / (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE))
+         |       * sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) AS corr
+         |FROM m""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT $qsel FROM lineitem),
+       |m AS (SELECT $moments FROM q)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4582,7 +4649,9 @@ object Queries {
     "q128_keyword_search" -> q128,
     "q129_pagerank_hubs" -> q129,
     "q130_type_affinity" -> q130,
-    "q131_throttle_audit" -> q131
+    "q131_throttle_audit" -> q131,
+    "q132_session_paths" -> q132,
+    "q133_corr_matrix" -> q133
   )
 
   val oracles: Map[String, String] = Map(
@@ -4714,6 +4783,8 @@ object Queries {
     "q128_keyword_search" -> q128Sql,
     "q129_pagerank_hubs" -> q129Sql,
     "q130_type_affinity" -> q130Sql,
-    "q131_throttle_audit" -> q131Sql
+    "q131_throttle_audit" -> q131Sql,
+    "q132_session_paths" -> q132Sql,
+    "q133_corr_matrix" -> q133Sql
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Pre-flight diagnostics for 100 TB jobs — operators that answer "is this
   * join/aggregation about to blow up?" from the key distributions alone,
@@ -179,6 +180,54 @@ object Diagnostics {
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn("ks_stat",
         col("ks_num").cast("double") / (col("n_a").cast("double") * col("n_b").cast("double")))
+  }
+
+  /** Pairwise Pearson correlation of numeric columns in EXACT arithmetic —
+    * the feature-redundancy audit run before trusting columns into a
+    * model. Values quantize losslessly to integer units of `1/scale`
+    * (pick `scale` to cover the columns' literal decimal precision), all
+    * five moment sums (n, Σx, Σx², Σxy per pair) accumulate in
+    * decimal(38,0) — associative, order-independent, engine-portable —
+    * and only the final correlation divides through IEEE doubles
+    * (correctly-rounded sqrt/÷ of exactly-agreed integers, so even the
+    * doubles are bit-stable cross-engine).
+    *
+    * Scale shape: ONE map-side-combined global aggregation over the scan
+    * — k² agg buffers in a single row, zero shuffle beyond the 1-row
+    * final merge — then the pair table expands row-locally from that one
+    * row. The single-pass textbook formula n·Σxy − Σx·Σy is SAFE here
+    * because the sums are exact integers: catastrophic cancellation is a
+    * floating-point disease. */
+  def correlationMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Long = 100L): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val dec = DecimalType(19, 0)
+    val q = df.select(cols.map(c =>
+      expr(s"CAST(round($c * $scale) AS BIGINT)").cast(dec).as(s"__$c")): _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    val aggExprs =
+      (count(lit(1)).cast(dec).as("__n") +:
+        cols.flatMap(c => Seq(
+          sum(col(s"__$c")).as(s"__s_$c"),
+          sum(col(s"__$c") * col(s"__$c")).as(s"__ss_$c")))) ++
+        pairs.map { case (a, b) => sum(col(s"__$a") * col(s"__$b")).as(s"__p_${a}_$b") }
+    val one = q.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
+        (col("__n") * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+          .cast("double").as("num"),
+        (col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a"))
+          .cast("double").as("den_a"),
+        (col("__n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
+          .cast("double").as("den_b"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*"))
+      .withColumn("corr", col("num") / (sqrt(col("den_a")) * sqrt(col("den_b"))))
   }
 
   /** Item-affinity matrix: for every pair of items, how many UNITS (users,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-step funnel over an event log: how many users performed step 1,
@@ -111,5 +112,50 @@ object Funnel {
       .withColumn("share",
         col("n_transitions").cast("double") / col("__tot").cast("double"))
       .drop("__tot")
+  }
+
+  /** Frequent session journeys: sessionize each user's events on an
+    * inactivity gap, render each session's first `maxSteps` event types as
+    * a `a>b>c` path string, and count sessions per path — the "what are
+    * the top user journeys" report behind every path-analysis view, and
+    * the empirical sequence distribution [[transitions]]' first-order
+    * matrix approximates.
+    *
+    * Determinism: events order by (ts, tieCol) — a total order — and the
+    * head truncation at `maxSteps` bounds both the path string and the
+    * distinct-path cardinality (≤ |types|^maxSteps), which is what keeps
+    * the final rollup broadcast-sized regardless of corpus size.
+    *
+    * Scale shape: ONE user-keyed shuffle+sort serves the gap detection,
+    * the running session id, and (because hash(user) still clusters
+    * (user, session)) the per-session fold — no second shuffle until the
+    * path-sized rollup; top-k is TakeOrderedAndProject. */
+  def sessionPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapMinutes: Int = 30,
+      maxSteps: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gapUs = gapMinutes.toLong * 60000000L
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__new",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          (unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("__sid",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(concat_ws(">",
+        slice(
+          transform(
+            array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol)))),
+            e => e.getField(typeCol)),
+          1, maxSteps)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
   }
 }

@@ -92,6 +92,27 @@ class DriftSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("correlationMatrix: exact moments, perfect/anti correlation, quantization") {
+    // y = 2x (corr +1), z = -x + 4 (corr -1); x = 1,2,3 in 0.01 units
+    val df = Seq((0.01, 0.02, 0.03), (0.02, 0.04, 0.02), (0.03, 0.06, 0.01))
+      .toDF("x", "y", "z")
+    val got = Diagnostics.correlationMatrix(df, Seq("x", "y", "z"), scale = 100L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n"), r.getAs[Double]("num"), r.getAs[Double]("den_a"),
+          r.getAs[Double]("den_b"), r.getAs[Double]("corr")))).toMap
+    // exact integer moments: x units 1,2,3 → num=12, den_x=6, den_y=24
+    assert(got(("x", "y")) == ((3L, 12.0, 6.0, 24.0,
+      12.0 / (math.sqrt(6.0) * math.sqrt(24.0)))))
+    assert(math.abs(got(("x", "y"))._5 - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z"))._5 + 1.0) < 1e-12)
+    assert(math.abs(got(("y", "z"))._5 + 1.0) < 1e-12)
+    // partition-layout invariance of the exact moments
+    val re = Diagnostics.correlationMatrix(df.repartition(7), Seq("x", "y", "z"), 100L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Double]("num"))).toSet
+    assert(re == got.map { case ((a, b), v) => (a, b, v._2) }.toSet)
+  }
+
   test("cooccurrenceAffinity: exact jaccard ppm, ordered pairs, no self-pairs") {
     val df = Seq(
       (1L, "x"), (1L, "y"), (1L, "x"), // duplicate (1,x) must not inflate

@@ -67,6 +67,31 @@ class FunnelSpec extends SparkSpec {
       ("view", "click", 2L, 1.0)))
   }
 
+  test("sessionPaths: gap splits sessions, maxSteps truncates, tie order holds") {
+    val ev = Seq(
+      // u1: a,b inside one session; c after a 50-minute gap → own session
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 10:10:00")),
+      (3L, 1L, "c", ts("2024-01-01 11:00:00")),
+      // u2: six events in one session → path truncated to first 5
+      (11L, 2L, "a", ts("2024-01-02 10:00:00")),
+      (12L, 2L, "b", ts("2024-01-02 10:01:00")),
+      (13L, 2L, "c", ts("2024-01-02 10:02:00")),
+      (14L, 2L, "d", ts("2024-01-02 10:03:00")),
+      (15L, 2L, "e", ts("2024-01-02 10:04:00")),
+      (16L, 2L, "f", ts("2024-01-02 10:05:00")),
+      // u3: same-timestamp pair — event_id tiebreak fixes "a>b"
+      (22L, 3L, "b", ts("2024-01-03 10:00:00")),
+      (21L, 3L, "a", ts("2024-01-03 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Funnel
+      .sessionPaths(ev, "user_id", "event_type", "ts", "event_id",
+        gapMinutes = 30, maxSteps = 5)
+      .collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toMap
+    assert(got == Map("a>b" -> 2L, "c" -> 1L, "a>b>c>d>e" -> 1L))
+  }
+
   test("weekly cohorts: offset-0 diagonal is 1.0 and returners count once") {
     // 2024-01-01 and 2024-01-08 are Mondays. u1 active weeks 0 and 1
     // (twice in week 1 — counts once); u2 week 0 only; u3 starts week 1.
