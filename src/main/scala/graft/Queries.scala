@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -4518,6 +4518,58 @@ object Queries {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q134
+  // Daily audience accounting (Retention.dailyAudience): DAU, new vs
+  // returning, cumulative user base per day — the growth-dashboard spine.
+  // User-keyed map-combined aggregations; everything after the first-seen
+  // rollup is day-cardinality-sized, including the cumulative window.
+  private val q134: Q = (s, dir) =>
+    Retention.dailyAudience(Tables.events(s, dir), "user_id", "ts")
+      // day as ISO string: pandas folds DATE to midnight Timestamp, which
+      // would false-mismatch Spark's date32 in the compare
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day")
+
+  private val q134Sql =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |a AS (SELECT day, count(*) AS n_active FROM du GROUP BY day),
+      |fs AS (SELECT user_id, min(day) AS day FROM du GROUP BY user_id),
+      |nw AS (SELECT day, count(*) AS n_new FROM fs GROUP BY day)
+      |SELECT CAST(a.day AS VARCHAR) AS day, a.n_active, coalesce(nw.n_new, 0) AS n_new,
+      |  a.n_active - coalesce(nw.n_new, 0) AS n_returning,
+      |  CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY a.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM a LEFT JOIN nw USING (day)
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  // Leave-one-out target encoding audit (Encoding.looTargetEncode): each
+  // event's type encoded as the mean value of the type's OTHER events —
+  // exact integer division in 1e-6 units, the leakage-guarded form of
+  // mean encoding — audited per type (n, min/max/sum of the per-row
+  // encodings, all exact). Stats broadcast onto the scan; the encode is
+  // row-local; only the audit rollup shuffles, type-sized.
+  private val q135: Q = (s, dir) =>
+    Encoding.looTargetEncode(Tables.events(s, dir), "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("loo_enc")).as("min_enc"),
+        max(col("loo_enc")).as("max_enc"),
+        sum(col("loo_enc")).as("sum_enc"))
+      .orderBy("event_type")
+
+  private val q135Sql =
+    """WITH q AS (SELECT event_type,
+      |    CAST(floor("value" * 1000000) AS HUGEINT) AS v FROM events),
+      |st AS (SELECT event_type, sum(v) AS s, count(*) AS n FROM q GROUP BY event_type),
+      |e AS (SELECT q.event_type,
+      |    CASE WHEN st.n > 1 THEN (st.s - q.v) // (st.n - 1) END AS enc
+      |  FROM q JOIN st USING (event_type))
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(min(enc) AS BIGINT) AS min_enc, CAST(max(enc) AS BIGINT) AS max_enc,
+      |  CAST(sum(enc) AS BIGINT) AS sum_enc
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4651,7 +4703,9 @@ object Queries {
     "q130_type_affinity" -> q130,
     "q131_throttle_audit" -> q131,
     "q132_session_paths" -> q132,
-    "q133_corr_matrix" -> q133
+    "q133_corr_matrix" -> q133,
+    "q134_daily_audience" -> q134,
+    "q135_loo_encoding" -> q135
   )
 
   val oracles: Map[String, String] = Map(
@@ -4785,6 +4839,8 @@ object Queries {
     "q130_type_affinity" -> q130Sql,
     "q131_throttle_audit" -> q131Sql,
     "q132_session_paths" -> q132Sql,
-    "q133_corr_matrix" -> q133Sql
+    "q133_corr_matrix" -> q133Sql,
+    "q134_daily_audience" -> q134Sql,
+    "q135_loo_encoding" -> q135Sql
   )
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Categorical feature encoding against a numeric target — the
+  * target-encoding step of a tabular feature pipeline, in the exact
+  * integer arithmetic this engine uses everywhere a result must be
+  * bit-stable across engines and partitionings.
+  */
+object Encoding {
+
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows in its category —
+    * `enc = (Σ_cat − v_row) div (n_cat − 1)` in integer units of
+    * `1/scale` — the standard leakage guard (a row never sees its own
+    * target; naive mean encoding leaks the label and inflates CV scores).
+    * Singleton categories encode NULL (no "others" to average; impute
+    * downstream). Targets quantize by `floor`, and the formula requires
+    * them NON-NEGATIVE so truncating and flooring division agree — loudly
+    * required, since engines disagree on negative integer division.
+    *
+    * Scale shape: one category-keyed aggregation (map-side combined) into
+    * a |categories|-row stats table broadcast back onto the scan — the
+    * encode itself is row-local, the corpus never shuffles. */
+  def looTargetEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val q = df.withColumn("__v",
+      expr(s"CAST(floor($targetCol * $scale) AS BIGINT)"))
+    val stats = q.groupBy(col(catCol))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+    q.join(broadcast(stats), Seq(catCol))
+      .withColumn("loo_enc",
+        when(col("__n") > 1, expr("(__s - __v) div (__n - 1)")))
+      .drop("__v", "__s", "__n")
+  }
+}

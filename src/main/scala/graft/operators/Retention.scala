@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention over an event log: users grouped by the week of their
@@ -52,5 +53,33 @@ object Retention {
       .withColumn("retention",
         col("n_users").cast("double") / col("__cohort_size").cast("double"))
       .drop("__cohort_size")
+  }
+
+  /** Daily audience accounting: per calendar day, active users, NEW users
+    * (first-ever-seen that day), returning users, and the cumulative
+    * user base — the growth-dashboard spine (DAU / new-vs-returning /
+    * total-audience in one table).
+    *
+    * Scale shape: the (day, user) distinct and the per-user first-day
+    * aggregate each shuffle on user-sized keys with map-side combine;
+    * everything after is day-cardinality-sized, so the single-partition
+    * cumulative window is over a tiny frame by construction (the q124
+    * bucket-table pattern, not a corpus sort). */
+  def dailyAudience(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.select(to_date(col(tsCol)).as("day"), col(userCol))
+    val active = days.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val firstSeen = days.groupBy(col(userCol)).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
   }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Encoding
+
+class EncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("looTargetEncode: exact leave-one-out means, singleton yields null") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), // singleton → null encoding
+      ("c", 1.0), ("c", 2.0)
+    ).toDF("cat", "y")
+    val got = Encoding.looTargetEncode(df, "cat", "y")
+      .select("cat", "y", "loo_enc")
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(("a", 1.0)).contains(2500000L)) // mean(2,3) in 1e-6 units
+    assert(got(("a", 2.0)).contains(2000000L))
+    assert(got(("a", 3.0)).contains(1500000L))
+    assert(got(("b", 5.0)).isEmpty)
+    assert(got(("c", 1.0)).contains(2000000L))
+    assert(got(("c", 2.0)).contains(1000000L))
+  }
+
+  test("looTargetEncode: a row never sees its own target") {
+    // two rows with wildly different targets — each encodes to the OTHER's
+    // value, never a blend containing its own
+    val df = Seq(("g", 0.0), ("g", 100.0)).toDF("cat", "y")
+    val got = Encoding.looTargetEncode(df, "cat", "y")
+      .select("y", "loo_enc").as[(Double, Long)].collect().toMap
+    assert(got(0.0) == 100000000L && got(100.0) == 0L)
+  }
+
+  test("looTargetEncode: floor quantization at the scale unit") {
+    val df = Seq(("a", 0.0000019), ("a", 0.0000019)).toDF("cat", "y")
+    // floor(1.9 units) = 1 unit; each row's LOO mean is the other's 1 unit
+    val got = Encoding.looTargetEncode(df, "cat", "y")
+      .select("loo_enc").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L))
+  }
+}

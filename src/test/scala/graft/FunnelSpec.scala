@@ -92,6 +92,22 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map("a>b" -> 2L, "c" -> 1L, "a>b>c>d>e" -> 1L))
   }
 
+  test("dailyAudience: new vs returning split and cumulative base") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-01 10:00:00")), // same user+day counts once
+      (1L, ts("2024-01-02 09:00:00")),
+      (2L, ts("2024-01-02 09:30:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Retention.dailyAudience(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_returning"), r.getAs[Long]("cum_users")))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L, 1L, 0L, 1L),
+      ("2024-01-02", 2L, 1L, 1L, 2L)))
+  }
+
   test("weekly cohorts: offset-0 diagonal is 1.0 and returners count once") {
     // 2024-01-01 and 2024-01-08 are Mondays. u1 active weeks 0 and 1
     // (twice in week 1 — counts once); u2 week 0 only; u3 starts week 1.

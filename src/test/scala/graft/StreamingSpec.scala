@@ -303,6 +303,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel reaches the batch funnel's steps at the same times") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel.Event
+    val input = MemoryStream[Event]
+    val out = graft.streaming.StreamingFunnel.stepsReached(
+      input.toDS(), Seq("view", "click", "purchase"))
+    val q = out.writeStream
+      .format("memory")
+      .queryName("funnel_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // u1 converts fully; u2's click is NOT strictly after the view
+      // (same timestamp, id order) so conversion stops at step 1; u3
+      // clicks without ever viewing → reaches nothing
+      input.addData(
+        Event(1L, 1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+        Event(2L, 5L, "view", Timestamp.valueOf("2024-01-02 10:00:00")),
+        Event(2L, 6L, "click", Timestamp.valueOf("2024-01-02 10:00:00")),
+        Event(3L, 9L, "click", Timestamp.valueOf("2024-01-03 10:00:00")))
+      q.processAllAvailable()
+      input.addData(
+        Event(1L, 2L, "click", Timestamp.valueOf("2024-01-01 11:00:00")),
+        Event(1L, 3L, "purchase", Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_test")
+        .collect()
+        .map(r => ((r.getAs[Long]("user_id"), r.getAs[Int]("step")),
+          r.getAs[Timestamp]("ts"))).toMap
+      val batchEv = Seq(
+        (1L, 1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, 1L, "click", Timestamp.valueOf("2024-01-01 11:00:00")),
+        (3L, 1L, "purchase", Timestamp.valueOf("2024-01-01 12:00:00")),
+        (5L, 2L, "view", Timestamp.valueOf("2024-01-02 10:00:00")),
+        (6L, 2L, "click", Timestamp.valueOf("2024-01-02 10:00:00")),
+        (9L, 3L, "click", Timestamp.valueOf("2024-01-03 10:00:00"))
+      ).toDF("event_id", "user_id", "event_type", "ts")
+      val batch = graft.operators.Funnel
+        .userSteps(batchEv, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .collect()
+        .flatMap { r =>
+          val uid = r.getAs[Long]("user_id")
+          (1 to 3).flatMap(i =>
+            Option(r.getAs[Timestamp](s"t$i")).map(t => ((uid, i), t)))
+        }.toMap
+      assert(streamed == batch)
+      assert(!streamed.keySet.exists(_._1 == 3L)) // u3 reached nothing
+    } finally q.stop()
+  }
+
   test("streaming throttle quota does not re-open once exhausted") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingThrottle.Event
