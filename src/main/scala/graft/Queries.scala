@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Linkage, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -4570,6 +4570,57 @@ object Queries {
       |  CAST(sum(enc) AS BIGINT) AS sum_enc
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  // Record-linkage scoring (Linkage.score over Dedup.editOnePairs):
+  // q127's name-variant candidates upgraded to a full entity-resolution
+  // verdict — per-field agreement (name distance, nation, market
+  // segment, balance within 100.00) combined into one exact integer
+  // Fellegi-Sunter-style weight, reported as the score distribution a
+  // threshold is chosen from. Blocking keeps pairs collision-sized;
+  // attribute joins are id-keyed; scoring is row-local.
+  private val q136: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    def side(tag: String) = cust.select(
+      col("c_custkey").as(s"__id$tag"), col("c_nationkey").as(s"nat_$tag"),
+      col("c_mktsegment").as(s"seg_$tag"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as(s"bal_$tag"))
+    val pairs = Dedup.editOnePairs(cust, "c_custkey", "c_name")
+      .join(side("a"), col("id_a") === col("__ida")).drop("__ida")
+      .join(side("b"), col("id_b") === col("__idb")).drop("__idb")
+    Linkage.score(pairs, Seq(
+      Linkage.FieldRule("name", col("dist") === 0, 4000L, 2500L),
+      Linkage.FieldRule("nation", col("nat_a") === col("nat_b"), 1200L, -800L),
+      Linkage.FieldRule("segment", col("seg_a") === col("seg_b"), 600L, -400L),
+      Linkage.FieldRule("balance",
+        abs(col("bal_a") - col("bal_b")) <= 10000L, 500L, -300L)))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("score").desc)
+  }
+
+  private val q136Sql =
+    """WITH base AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      |keys AS (SELECT id, s, i,
+      |  CASE WHEN i = 0 THEN s ELSE substr(s, 1, i-1) || substr(s, i+1) END AS k
+      |  FROM base, unnest(range(0, length(s)+1)) AS t(i)),
+      |keep AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= 1000),
+      |pk AS (SELECT keys.id, keys.s, keys.i, keys.k FROM keys JOIN keep USING (k)),
+      |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    min(CASE WHEN a.i = 0 AND b.i = 0 THEN 0 ELSE 1 END) AS dist
+      |  FROM pk a JOIN pk b ON a.k = b.k AND a.id < b.id
+      |  WHERE a.i = b.i OR a.i = 0 OR b.i = 0
+      |  GROUP BY a.id, b.id),
+      |att AS (SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+      |sc AS (SELECT
+      |    (CASE WHEN c.dist = 0 THEN 4000 ELSE 2500 END)
+      |  + (CASE WHEN x.nat = y.nat THEN 1200 ELSE -800 END)
+      |  + (CASE WHEN x.seg = y.seg THEN 600 ELSE -400 END)
+      |  + (CASE WHEN abs(x.bal - y.bal) <= 10000 THEN 500 ELSE -300 END) AS score
+      |  FROM cand c JOIN att x ON x.id = c.id_a JOIN att y ON y.id = c.id_b)
+      |SELECT CAST(score AS BIGINT) AS score, count(*) AS n_pairs
+      |FROM sc GROUP BY score ORDER BY score DESC""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4705,7 +4756,8 @@ object Queries {
     "q132_session_paths" -> q132,
     "q133_corr_matrix" -> q133,
     "q134_daily_audience" -> q134,
-    "q135_loo_encoding" -> q135
+    "q135_loo_encoding" -> q135,
+    "q136_linkage_scores" -> q136
   )
 
   val oracles: Map[String, String] = Map(
@@ -4841,6 +4893,7 @@ object Queries {
     "q132_session_paths" -> q132Sql,
     "q133_corr_matrix" -> q133Sql,
     "q134_daily_audience" -> q134Sql,
-    "q135_loo_encoding" -> q135Sql
+    "q135_loo_encoding" -> q135Sql,
+    "q136_linkage_scores" -> q136Sql
   )
 }
