@@ -4621,6 +4621,32 @@ object Queries {
       |SELECT CAST(score AS BIGINT) AS score, count(*) AS n_pairs
       |FROM sc GROUP BY score ORDER BY score DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  // Exact 7-day sliding distinct users (Sketches.bitmapSlidingDistinct):
+  // the exact tier beside q89's HLL registers — per-day 64-bit bitmap
+  // words, window union = word-wise bit_or, count = popcount sum. The
+  // fan-out ships masks (≤ users/64 rows per day) × 7, never the
+  // (day, user) pairs the verdict-flagged count_distinct form shipped;
+  // no sketch error, bit-exact on both engines (63-bit words: DuckDB
+  // checks shift overflow at bit 63, so masks stay sign-free).
+  private val q137: Q = (s, dir) =>
+    Sketches.bitmapSlidingDistinct(Tables.events(s, dir), "ts", "user_id", 7)
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day")
+
+  private val q137Sql =
+    """WITH m AS (SELECT CAST(ts AS DATE) AS day, user_id // 63 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS mask
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT day + CAST(k AS INT) AS day, w, mask
+      |  FROM m, unnest(range(0, 7)) AS t(k)),
+      |pd AS (SELECT DISTINCT day FROM m),
+      |u AS (SELECT f.day, f.w, bit_or(f.mask) AS mm
+      |  FROM f JOIN pd USING (day) GROUP BY 1, 2)
+      |SELECT CAST(day AS VARCHAR) AS day,
+      |  CAST(sum(bit_count(mm)) AS BIGINT) AS n_exact
+      |FROM u GROUP BY day ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4757,7 +4783,8 @@ object Queries {
     "q133_corr_matrix" -> q133,
     "q134_daily_audience" -> q134,
     "q135_loo_encoding" -> q135,
-    "q136_linkage_scores" -> q136
+    "q136_linkage_scores" -> q136,
+    "q137_bitmap_distinct" -> q137
   )
 
   val oracles: Map[String, String] = Map(
@@ -4894,6 +4921,7 @@ object Queries {
     "q133_corr_matrix" -> q133Sql,
     "q134_daily_audience" -> q134Sql,
     "q135_loo_encoding" -> q135Sql,
-    "q136_linkage_scores" -> q136Sql
+    "q136_linkage_scores" -> q136Sql,
+    "q137_bitmap_distinct" -> q137Sql
   )
 }

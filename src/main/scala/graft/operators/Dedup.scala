@@ -144,15 +144,15 @@ object Dedup {
       .select(col("doc"), array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
   }
 
-  /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
-    * band; docs colliding on any (band, hash) are candidate pairs. Shuffle
-    * key is the band bucket — cardinality ~ docs × bands / collision-rate,
-    * never docs². */
-  /** (doc, band, bucket) LSH banding of MinHash signatures — the shared
-    * candidate-generation table behind self-dedup ([[minHashLshPairs]]) and
-    * incremental cross-corpus dedup ([[minHashLshPairsAgainst]]). In a
-    * production ingest the REFERENCE side of this table is persisted once
-    * and only the incoming batch recomputes. */
+  /** (doc, band, bucket) LSH banding of MinHash signatures: split the
+    * signature into bands of `rowsPerBand`, hash each band; docs colliding
+    * on any (band, bucket) are candidate pairs. Shuffle key is the band
+    * bucket — cardinality ~ docs × bands / collision-rate, never docs².
+    * The shared candidate-generation table behind self-dedup
+    * ([[minHashLshPairs]]) and incremental cross-corpus dedup
+    * ([[minHashLshPairsAgainst]]). In a production ingest the REFERENCE
+    * side of this table is persisted once and only the incoming batch
+    * recomputes. */
   def bandedBuckets(
       df: DataFrame,
       idCol: String,
@@ -488,24 +488,6 @@ object Dedup {
       .drop("__grp")
   }
 
-  /** Quality-aware survivor election: given a `components` table
-    * `(node, cluster)` (from [[ConnectedComponents.components]]) and a
-    * `scored` table `(idCol, scoreCol)`, return the LOSERS — every cluster
-    * member except its best document (max score, min id on ties). Anti-join
-    * the result against the corpus to keep the cleanest representative of
-    * each duplicate cluster (Lee et al.'s "keep the best" curation rule;
-    * min-id survivorship falls out when all scores tie, e.g. exact dups).
-    *
-    * The election is a [[graft.plans.TopKAgg]] k=1 bounded aggregate: the
-    * exchange carries ONE (score, id) pair per cluster — no row_number
-    * window, no sort of the membership. Output is loser-count-sized
-    * (duplicates only), broadcastable at any realistic dup rate.
-    *
-    * A cluster whose election is EMPTY (every member's score null — TopKAgg
-    * skips null rows) produces no losers: the conservative outcome is
-    * keeping the whole cluster, never deleting it. Ids must be integral
-    * (TopKAgg's id leg is bigint) — required loudly, the same silent-cast
-    * footgun [[ConnectedComponents.components]] guards against. */
   /** FastSS/SymSpell-style fuzzy blocking: all pairs of rows whose string
     * values are within Levenshtein distance 1, found via single-character
     * DELETION-NEIGHBORHOOD keys instead of an all-pairs distance matrix.
@@ -583,6 +565,24 @@ object Dedup {
       .agg(min(col("__d")).as("dist"))
   }
 
+  /** Quality-aware survivor election: given a `components` table
+    * `(node, cluster)` (from [[ConnectedComponents.components]]) and a
+    * `scored` table `(idCol, scoreCol)`, return the LOSERS — every cluster
+    * member except its best document (max score, min id on ties). Anti-join
+    * the result against the corpus to keep the cleanest representative of
+    * each duplicate cluster (Lee et al.'s "keep the best" curation rule;
+    * min-id survivorship falls out when all scores tie, e.g. exact dups).
+    *
+    * The election is a [[graft.plans.TopKAgg]] k=1 bounded aggregate: the
+    * exchange carries ONE (score, id) pair per cluster — no row_number
+    * window, no sort of the membership. Output is loser-count-sized
+    * (duplicates only), broadcastable at any realistic dup rate.
+    *
+    * A cluster whose election is EMPTY (every member's score null — TopKAgg
+    * skips null rows) produces no losers: the conservative outcome is
+    * keeping the whole cluster, never deleting it. Ids must be integral
+    * (TopKAgg's id leg is bigint) — required loudly, the same silent-cast
+    * footgun [[ConnectedComponents.components]] guards against. */
   def bestSurvivorLosers(
       components: DataFrame,
       scored: DataFrame,

@@ -185,12 +185,19 @@ object Diagnostics {
   /** Pairwise Pearson correlation of numeric columns in EXACT arithmetic —
     * the feature-redundancy audit run before trusting columns into a
     * model. Values quantize losslessly to integer units of `1/scale`
-    * (pick `scale` to cover the columns' literal decimal precision), all
-    * five moment sums (n, Σx, Σx², Σxy per pair) accumulate in
-    * decimal(38,0) — associative, order-independent, engine-portable —
-    * and only the final correlation divides through IEEE doubles
-    * (correctly-rounded sqrt/÷ of exactly-agreed integers, so even the
-    * doubles are bit-stable cross-engine).
+    * (pick `scale` to cover the columns' literal decimal precision); the
+    * moment sums accumulate in exact decimals (Σx as decimal(29,0),
+    * Σx²/Σxy as decimal(38,0)) — associative, order-independent,
+    * engine-portable — and only the final correlation divides through
+    * IEEE doubles (correctly-rounded sqrt/÷ of exactly-agreed integers,
+    * so even the doubles are bit-stable cross-engine).
+    *
+    * Precision budget: the n·Σxy − Σx·Σy cross-products must fit 38
+    * digits — |x·scale|² · rows ≲ 1e38, e.g. 1e12 rows of 1e7-unit
+    * values at the cap. Past it Spark's decimal arithmetic yields null
+    * (ANSI off), so every derived term is overflow-GUARDED: the query
+    * fails loudly telling you to reduce `scale`, never returns a silent
+    * null/NaN correlation.
     *
     * Scale shape: ONE map-side-combined global aggregation over the scan
     * — k² agg buffers in a single row, zero shuffle beyond the 1-row
@@ -204,8 +211,12 @@ object Diagnostics {
       scale: Long = 100L): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
     val dec = DecimalType(19, 0)
+    // listwise-complete: a row with ANY null column leaves every moment,
+    // so n and the sums stay mutually consistent (sum() would silently
+    // skip nulls while count() kept the row)
     val q = df.select(cols.map(c =>
       expr(s"CAST(round($c * $scale) AS BIGINT)").cast(dec).as(s"__$c")): _*)
+      .na.drop()
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
     val aggExprs =
       (count(lit(1)).cast(dec).as("__n") +:
@@ -214,15 +225,21 @@ object Diagnostics {
           sum(col(s"__$c") * col(s"__$c")).as(s"__ss_$c")))) ++
         pairs.map { case (a, b) => sum(col(s"__$a") * col(s"__$b")).as(s"__p_${a}_$b") }
     val one = q.agg(aggExprs.head, aggExprs.tail: _*)
+    // decimal overflow (past precision 38) nulls silently with ANSI off —
+    // surface it as a job failure instead of a null correlation
+    def guarded(c: Column): Column =
+      when(col("__n") === 0, lit(null).cast(DecimalType(38, 0)))
+        .otherwise(coalesce(c,
+          expr("CAST(raise_error('correlationMatrix: decimal overflow — reduce scale') AS DECIMAL(38,0))")))
     val rows = pairs.map { case (a, b) =>
       struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
         col("__n").cast("long").as("n"),
-        (col("__n") * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+        guarded(col("__n") * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
           .cast("double").as("num"),
-        (col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a"))
+        guarded(col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a"))
           .cast("double").as("den_a"),
-        (col("__n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
+        guarded(col("__n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))
           .cast("double").as("den_b"))
     }
     one.select(explode(array(rows: _*)).as("__r"))

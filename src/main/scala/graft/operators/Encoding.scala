@@ -17,8 +17,10 @@ object Encoding {
     * target; naive mean encoding leaks the label and inflates CV scores).
     * Singleton categories encode NULL (no "others" to average; impute
     * downstream). Targets quantize by `floor`, and the formula requires
-    * them NON-NEGATIVE so truncating and flooring division agree — loudly
-    * required, since engines disagree on negative integer division.
+    * them NON-NEGATIVE so truncating and flooring division agree (engines
+    * disagree on negative integer division) — ENFORCED at runtime: a
+    * negative target fails the job via `raise_error` on the scan rather
+    * than silently producing engine-divergent encodings.
     *
     * Scale shape: one category-keyed aggregation (map-side combined) into
     * a |categories|-row stats table broadcast back onto the scan — the
@@ -29,7 +31,9 @@ object Encoding {
       targetCol: String,
       scale: Long = 1000000L): DataFrame = {
     val q = df.withColumn("__v",
-      expr(s"CAST(floor($targetCol * $scale) AS BIGINT)"))
+      expr(s"""CAST(floor(CASE WHEN $targetCol < 0
+              |  THEN raise_error('looTargetEncode: negative target — truncating vs flooring division diverge')
+              |  ELSE $targetCol END * $scale) AS BIGINT)""".stripMargin))
     val stats = q.groupBy(col(catCol))
       .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
     q.join(broadcast(stats), Seq(catCol))

@@ -363,4 +363,50 @@ object Sketches {
         col("exact_pairs"),
         (col("est_pairs") >= col("exact_pairs")).as("overestimates"))
   }
+
+  /** EXACT sliding-window distinct ids via 64-bit bitmap words — the
+    * exact tier beside the HLL-register path (q89): each day's id set
+    * becomes `⌈ids/63⌉` (word, mask) rows (`bit_or` of `1 << id%63`), a
+    * window's union is the word-wise `bit_or` of its days, and the
+    * distinct count is the popcount sum. Roaring-bitmap semantics from
+    * two codegen'd integer builtins — no sketch error, no per-id state
+    * past the mask build.
+    *
+    * Scale shape: the per-day mask table is the persisted artifact
+    * (≤ id-universe/63 rows per day — for 1e9 dense user ids, 16M longs
+    * ≈ 128 MB/day, vs the raw event log's billions); the window fan-out
+    * shuffles masks × windowDays, never events × windowDays, and masks
+    * compose associatively so daily increments never reread history. Words pack
+    * 63 bits, not 64 — engines that CHECK shift overflow (DuckDB) reject
+    * `1 << 63`, and 63-bit packing keeps every mask value sign-free and
+    * portable. The id must be a non-negative integral —
+    * sparse huge id spaces want the HLL tier or an id-compaction pass
+    * first. */
+  def bitmapSlidingDistinct(
+      events: DataFrame,
+      tsCol: String,
+      idCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "window must span at least one day")
+    val masks = events
+      .select(to_date(col(tsCol)).as("day"),
+        expr(s"$idCol div 63").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($idCol % 63 AS INT))").as("__bit"))
+      .groupBy(col("day"), col("w"))
+      .agg(expr("bit_or(__bit)").as("mask"))
+    // each day's masks serve the windows ENDING on day .. day+windowDays-1;
+    // keep only end-days that exist in the data (trailing ghost windows
+    // would report partial ranges)
+    val fanned = masks
+      .select(col("day"), col("w"), col("mask"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__k"))
+      .select(expr("date_add(day, __k)").as("day"), col("w"), col("mask"))
+    val presentDays = masks.select(col("day")).distinct()
+    fanned
+      .join(presentDays, Seq("day"), "left_semi")
+      .groupBy(col("day"), col("w"))
+      .agg(expr("bit_or(mask)").as("__m"))
+      .groupBy(col("day"))
+      .agg(sum(expr("bit_count(__m)")).as("n_exact"))
+  }
 }

@@ -27,14 +27,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFunnel {
 
-  /** Input event. */
-  final case class Event(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
-
   /** Emitted the moment a user first reaches a step (1-based index). */
   final case class StepReached(user_id: Long, step: Int, ts: Timestamp)
-
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
   /** Funnel progress over a STREAMING Dataset[Event]. */
   def stepsReached(events: Dataset[Event], steps: Seq[String]): Dataset[StepReached] = {
@@ -51,9 +45,9 @@ object StreamingFunnel {
           // Long.MinValue = step not reached
           val t = state.getOption.getOrElse(Array.fill(steps.length)(Long.MinValue))
           val out = List.newBuilder[StepReached]
-          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          batch.toSeq.sortBy(e => (Event.micros(e.ts), e.event_id)).foreach { e =>
             stepIdx.get(e.event_type).foreach { i =>
-              val us = micros(e.ts)
+              val us = Event.micros(e.ts)
               val qualifies =
                 if (i == 0) t(0) == Long.MinValue
                 else t(i) == Long.MinValue &&

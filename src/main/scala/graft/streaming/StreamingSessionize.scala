@@ -28,9 +28,6 @@ object StreamingSessionize {
     * bounds that disagree with the source timestamps. */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
-
   private def toTs(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -68,11 +65,11 @@ object StreamingSessionize {
           } else {
             // fold this batch's events (in event-time order) into sessions;
             // gaps INSIDE the batch close sessions immediately
-            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.value))
+            val sorted = batch.toSeq.sortBy(e => (graft.streaming.Event.micros(e.ts), e.value))
             var open = state.getOption
             val closed = List.newBuilder[Session]
             sorted.foreach { e =>
-              val t = micros(e.ts)
+              val t = graft.streaming.Event.micros(e.ts)
               open match {
                 case Some(s) if t - s.last <= gapUs =>
                   open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))

@@ -24,12 +24,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingThrottle {
 
-  /** Input event (the engine's events-table shape). */
-  final case class Event(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
-
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
-
   /** Admit the first `limit` events per key from a STREAMING
     * Dataset[Event]; drop the rest. */
   def throttled(events: Dataset[Event], limit: Int): Dataset[Event] = {
@@ -40,7 +34,7 @@ object StreamingThrottle {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, batch: Iterator[Event], state: GroupState[Long]) => {
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (Event.micros(e.ts), e.event_id))
           var n = state.getOption.getOrElse(0L)
           val out = sorted.take(math.max(0L, limit.toLong - n).toInt)
           n += sorted.size // count ALL seen, so quota can't re-open

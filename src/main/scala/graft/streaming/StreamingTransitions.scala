@@ -23,18 +23,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingTransitions {
 
-  /** Input event. */
-  final case class Event(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
-
   /** Per-user carried state: the last event seen. */
   final case class LastEvent(tsUs: Long, event_id: Long, event_type: String)
 
   /** One journey edge. Aggregate downstream with
     * `groupBy(from_type, to_type).count()`. */
   final case class Edge(user_id: Long, from_type: String, to_type: String)
-
-  private def micros(t: Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
   /** Emit journey edges from a STREAMING Dataset[Event] (watermark applied
     * by the caller). State never times out by design: one record per
@@ -47,12 +41,12 @@ object StreamingTransitions {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[LastEvent]) => {
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (Event.micros(e.ts), e.event_id))
           var last = state.getOption
           val out = List.newBuilder[Edge]
           sorted.foreach { e =>
             last.foreach(l => out += Edge(userId, l.event_type, e.event_type))
-            last = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
+            last = Some(LastEvent(Event.micros(e.ts), e.event_id, e.event_type))
           }
           last.foreach(state.update)
           out.result().iterator

@@ -33,6 +33,16 @@ class EncodingSpec extends SparkSpec {
     assert(got(0.0) == 100000000L && got(100.0) == 0L)
   }
 
+  test("looTargetEncode: negative targets fail loudly instead of diverging") {
+    val df = Seq(("a", 1.0), ("a", -0.5)).toDF("cat", "y")
+    val e = intercept[Exception] {
+      Encoding.looTargetEncode(df, "cat", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative target")))
+  }
+
   test("looTargetEncode: floor quantization at the scale unit") {
     val df = Seq(("a", 0.0000019), ("a", 0.0000019)).toDF("cat", "y")
     // floor(1.9 units) = 1 unit; each row's LOO mean is the other's 1 unit

@@ -96,6 +96,34 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bitmapSlidingDistinct equals brute-force window distinct, incl. word edges") {
+    // ids straddle the 63-bit word boundaries: 0/62 share word 0, 63 opens
+    // word 1, 127 spans into word 2, 200 in word 3
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 0L),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 63L),
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 63L), // dup, same day
+      (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 64L),
+      (java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 0L),  // repeat across days
+      (java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 127L),
+      (java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), 200L) // day 1 falls out of its window
+    ).toDF("ts", "user_id")
+    val got = graft.operators.Sketches
+      .bitmapSlidingDistinct(ev, "ts", "user_id", windowDays = 3)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n_exact"))).toMap
+    // brute force over the same 3-day windows
+    assert(got == Map(
+      "2024-01-01" -> 2L, // {0,63}
+      "2024-01-02" -> 3L, // {0,63,64}
+      "2024-01-03" -> 3L, // {0,63,64} (0 repeats)
+      "2024-01-05" -> 2L, // {0,127} (day3's 0 still inside, day1 aged out)
+      "2024-01-09" -> 1L  // {200}
+    ))
+    // only days present in the data appear — no trailing ghost windows
+    assert(!got.contains("2024-01-04") && !got.contains("2024-01-10"))
+  }
+
   test("hllDistinct rejects out-of-range precision") {
     val df = Seq(("g", 1L)).toDF("g", "k")
     intercept[IllegalArgumentException] {

@@ -219,7 +219,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming transition edges accumulate to the batch matrix") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.streaming.StreamingTransitions.Event
+    import graft.streaming.Event
     val input = MemoryStream[Event]
     val edges = graft.streaming.StreamingTransitions.edges(
       input.toDS().withWatermark("ts", "1 hour").as[Event])
@@ -266,7 +266,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming throttle admits the batch twin's set under ordered delivery") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.streaming.StreamingThrottle.Event
+    import graft.streaming.Event
     val input = MemoryStream[Event]
     val out = graft.streaming.StreamingThrottle.throttled(input.toDS(), limit = 2)
     val q = out.writeStream
@@ -305,7 +305,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming funnel reaches the batch funnel's steps at the same times") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.streaming.StreamingFunnel.Event
+    import graft.streaming.Event
     val input = MemoryStream[Event]
     val out = graft.streaming.StreamingFunnel.stepsReached(
       input.toDS(), Seq("view", "click", "purchase"))
@@ -355,7 +355,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming throttle quota does not re-open once exhausted") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.streaming.StreamingThrottle.Event
+    import graft.streaming.Event
     val input = MemoryStream[Event]
     val out = graft.streaming.StreamingThrottle.throttled(input.toDS(), limit = 1)
     val q = out.writeStream
