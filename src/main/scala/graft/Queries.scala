@@ -4647,6 +4647,76 @@ object Queries {
       |  CAST(sum(bit_count(mm)) AS BIGINT) AS n_exact
       |FROM u GROUP BY day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  // SCD2 history apply (Merge.scd2Apply): the mid-month per-user activity
+  // snapshot as an open SCD2 history, month-end totals applied as a
+  // change batch — changed users close at the batch timestamp and open a
+  // new version, unchanged users keep their open row, second-half-only
+  // users insert. The history-keeping member of the CDC family (q78
+  // latest-wins, q113 diff); closed rows pass through untouched, the one
+  // join is open-rows × batch.
+  private val q138: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val hist = ev.filter(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .withColumn("valid_from", expr("TIMESTAMP '2024-01-01 00:00:00'"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val batch = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .withColumn("ts", expr("TIMESTAMP '2024-02-01 00:00:00'"))
+    Merge.scd2Apply(hist, batch, Seq("user_id"), Seq("n_events"), "ts")
+      // version bounds as strings: a NULL (open) timestamp would compare
+      // NaT != NaT in the pandas-side harness
+      .withColumn("valid_from", col("valid_from").cast("string"))
+      .withColumn("valid_to", coalesce(col("valid_to").cast("string"), lit("open")))
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val q138Sql =
+    """WITH h AS (SELECT user_id, count(*) AS n_events,
+      |    TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+      |b AS (SELECT user_id, count(*) AS n_events, TIMESTAMP '2024-02-01' AS ts
+      |  FROM events GROUP BY user_id),
+      |fo AS (SELECT h.user_id, h.n_events, h.valid_from,
+      |    CASE WHEN b.user_id IS NOT NULL AND b.n_events IS DISTINCT FROM h.n_events
+      |         THEN b.ts END AS valid_to
+      |  FROM h LEFT JOIN b USING (user_id)),
+      |fb AS (SELECT b.user_id, b.n_events, b.ts AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to
+      |  FROM b LEFT JOIN h USING (user_id)
+      |  WHERE h.user_id IS NULL OR b.n_events IS DISTINCT FROM h.n_events),
+      |u AS (SELECT * FROM fo UNION ALL SELECT * FROM fb)
+      |SELECT user_id, n_events, CAST(valid_from AS VARCHAR) AS valid_from,
+      |  coalesce(CAST(valid_to AS VARCHAR), 'open') AS valid_to
+      |FROM u ORDER BY user_id, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  // Inter-arrival spectrum (Diagnostics.interArrivalSpectrum): per event
+  // type, the histogram of gaps between a user's consecutive events of
+  // that type in power-of-2 second bands (bucket = bit length of the gap
+  // — exact on both engines, no log2). One (user, type)-keyed window
+  // pass, then types × ~40 buckets. The cadence evidence behind q33's
+  // 30-minute session gap.
+  private val q139: Q = (s, dir) =>
+    Diagnostics.interArrivalSpectrum(Tables.events(s, dir),
+      Seq("user_id", "event_type"), Seq("event_type"), "ts", "event_id")
+      .orderBy("event_type", "bucket")
+
+  private val q139Sql =
+    """WITH t AS (SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP))
+      |     - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))) // 1000000 AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      |g AS (SELECT event_type,
+      |    CASE WHEN gap <= 0 THEN 0 ELSE length(bin(gap)) END AS bucket
+      |  FROM t WHERE gap IS NOT NULL)
+      |SELECT event_type, CAST(bucket AS INT) AS bucket, count(*) AS n_gaps,
+      |  CAST(CASE WHEN bucket = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT) AS gap_lo_s,
+      |  CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS gap_hi_s
+      |FROM g GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4784,7 +4854,9 @@ object Queries {
     "q134_daily_audience" -> q134,
     "q135_loo_encoding" -> q135,
     "q136_linkage_scores" -> q136,
-    "q137_bitmap_distinct" -> q137
+    "q137_bitmap_distinct" -> q137,
+    "q138_scd2_history" -> q138,
+    "q139_interarrival" -> q139
   )
 
   val oracles: Map[String, String] = Map(
@@ -4922,6 +4994,8 @@ object Queries {
     "q134_daily_audience" -> q134Sql,
     "q135_loo_encoding" -> q135Sql,
     "q136_linkage_scores" -> q136Sql,
-    "q137_bitmap_distinct" -> q137Sql
+    "q137_bitmap_distinct" -> q137Sql,
+    "q138_scd2_history" -> q138Sql,
+    "q139_interarrival" -> q139Sql
   )
 }

@@ -247,6 +247,46 @@ object Diagnostics {
       .withColumn("corr", col("num") / (sqrt(col("den_a")) * sqrt(col("den_b"))))
   }
 
+  /** Inter-arrival spectrum: the distribution of time gaps between a
+    * unit's consecutive events, bucketed into power-of-2 second bands —
+    * the cadence fingerprint behind rate-limit tuning, bot detection
+    * ("sub-second metronome traffic"), and sessionization-gap choice
+    * (q33's 30 minutes should sit in a valley of this histogram).
+    *
+    * The bucket is the BIT LENGTH of the gap in seconds (`length(bin(g))`
+    * — exact integer both engines, no libm log2): bucket b covers
+    * [2^(b-1), 2^b), bucket 0 is the sub-second band. Determinism: gaps
+    * order by (tsCol, tieCol) — a total order.
+    *
+    * Scale shape: ONE partition-keyed shuffle+sort for the lag window
+    * (the unavoidable sequence pass, shared shape with q112's
+    * transitions), then everything is reportCols × ~40 buckets. */
+  def interArrivalSpectrum(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      reportCols: Seq[String],
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.select((partitionCols ++ reportCols).distinct.map(col) :+
+        col(tsCol) :+ col(tieCol): _*)
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__gap",
+        expr(s"(unix_micros($tsCol) - unix_micros(__prev)) div 1000000"))
+      .withColumn("bucket",
+        when(col("__gap") <= 0, lit(0))
+          .otherwise(length(bin(col("__gap")))).cast("int"))
+      .groupBy(reportCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("gap_lo_s",
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
+      .withColumn("gap_hi_s", expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+  }
+
   /** Item-affinity matrix: for every pair of items, how many UNITS (users,
     * documents, sessions) carry both, with the exact Jaccard overlap in
     * integer ppm — the "users who do X also do Y" / label-co-occurrence

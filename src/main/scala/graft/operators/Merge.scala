@@ -90,4 +90,61 @@ object Merge {
           .otherwise("changed"))
       .select(keys.map(col) :+ col("status"): _*)
   }
+
+  /** Type-2 slowly-changing-dimension apply — the HISTORY-keeping member
+    * of the family ([[upsertLatest]] keeps latest, [[snapshotDiff]] tells
+    * you what moved, this keeps every version): apply a keyed change
+    * batch to an SCD2 history table, closing the open row of every key
+    * whose `compareCols` changed (its `valid_to` becomes the batch's
+    * `tsCol`) and opening a new version (`valid_from` = batch ts,
+    * `valid_to` null); unchanged keys and keys absent from the batch keep
+    * their open row untouched; unseen keys insert as new open rows.
+    * Comparisons are null-safe (`<=>`). Re-applying the same batch is a
+    * no-op (nothing differs the second time) — the idempotency law
+    * MergeSpec pins.
+    *
+    * `history` must carry `valid_from`/`valid_to` (null = open) with AT
+    * MOST ONE open row per key; `batch` must be keyed (one row per key —
+    * pre-aggregate with [[upsertLatest]] if not) and carries `tsCol` as
+    * the effective-change timestamp.
+    *
+    * Scale shape: closed history rows pass through UNTOUCHED (at 100 TB
+    * they are the overwhelming bulk, and with the history partitioned on
+    * `valid_to` the closed partitions are not even rewritten — the K1
+    * dynamic-overwrite shape); the one hash-shuffle full-outer join is
+    * open-rows × batch, both current-population-sized. */
+  def scd2Apply(
+      history: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    require(keys.intersect(compareCols).isEmpty,
+      s"keys and compareCols must be disjoint; both contain ${keys.intersect(compareCols).mkString(",")}")
+    val outCols = keys ++ compareCols ++ Seq("valid_from", "valid_to")
+    val closed = history.filter(col("valid_to").isNotNull)
+      .select(outCols.map(col): _*)
+    val open = history.filter(col("valid_to").isNull)
+      .select((keys ++ compareCols :+ "valid_from").map(col): _*)
+      .withColumn("__o", lit(1))
+    val b = batch
+      .select((keys ++ compareCols :+ tsCol).map(col): _*)
+      .withColumnsRenamed(
+        (compareCols.map(c => c -> s"__b_$c") :+ (tsCol -> "__ts")).toMap)
+      .withColumn("__n", lit(1))
+    val same = compareCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    val j = open.join(b, keys, "full_outer")
+    // surviving open/closed versions of previously-open rows
+    val fromOpen = j.filter(col("__o").isNotNull)
+      .select(keys.map(col) ++ compareCols.map(col) :+ col("valid_from") :+
+        when(col("__n").isNotNull && !same, col("__ts")).as("valid_to"): _*)
+    // new open versions: changed keys + keys new to the history
+    val fromBatch = j.filter(col("__n").isNotNull && (col("__o").isNull || !same))
+      .select(keys.map(col) ++
+        compareCols.map(c => col(s"__b_$c").as(c)) :+
+        col("__ts").as("valid_from") :+
+        lit(null).cast(j.schema("__ts").dataType).as("valid_to"): _*)
+    closed.unionByName(fromOpen).unionByName(fromBatch)
+  }
 }

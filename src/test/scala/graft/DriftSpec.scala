@@ -92,6 +92,31 @@ class DriftSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("interArrivalSpectrum: bit-length buckets, band bounds, first events excluded") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      (1L, "a", 10L, ts("2024-01-01 10:00:00.000")),
+      (1L, "a", 11L, ts("2024-01-01 10:00:00.400")), // gap 0s → bucket 0
+      (1L, "a", 12L, ts("2024-01-01 10:00:03.400")), // gap 3s → bucket 2 [2,3]
+      (1L, "a", 13L, ts("2024-01-01 10:00:11.400")), // gap 8s → bucket 4 [8,15]
+      (2L, "a", 20L, ts("2024-01-01 10:00:00")),     // sole event → no gap
+      (1L, "b", 30L, ts("2024-01-01 10:00:00")),     // type partitions separate
+      (1L, "b", 31L, ts("2024-01-01 10:00:01"))      // gap 1s → bucket 1 [1,1]
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val got = Diagnostics.interArrivalSpectrum(
+        ev, Seq("user_id", "event_type"), Seq("event_type"), "ts", "event_id")
+      .collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[Int]("bucket")),
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("gap_lo_s"), r.getAs[Long]("gap_hi_s"))))
+      .toMap
+    assert(got == Map(
+      ("a", 0) -> ((1L, 0L, 0L)),
+      ("a", 2) -> ((1L, 2L, 3L)),
+      ("a", 4) -> ((1L, 8L, 15L)),
+      ("b", 1) -> ((1L, 1L, 1L))))
+  }
+
   test("correlationMatrix: exact moments, perfect/anti correlation, quantization") {
     // y = 2x (corr +1), z = -x + 4 (corr -1); x = 1,2,3 in 0.01 units
     val df = Seq((0.01, 0.02, 0.03), (0.02, 0.04, 0.02), (0.03, 0.06, 0.01))

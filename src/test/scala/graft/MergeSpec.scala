@@ -44,4 +44,56 @@ class MergeSpec extends SparkSpec {
       .select("status").distinct().as[String].collect().toSeq
     assert(st == Seq("unchanged"))
   }
+
+  test("scd2Apply: closes changed, keeps unchanged/absent, inserts new keys") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val hist = Seq(
+      // closed historical version must pass through untouched
+      (1L, 10L, ts("2023-12-01 00:00:00"), Option(ts("2024-01-01 00:00:00"))),
+      (1L, 11L, ts("2024-01-01 00:00:00"), Option.empty[Timestamp]), // will change
+      (2L, 20L, ts("2024-01-01 00:00:00"), Option.empty[Timestamp]), // unchanged
+      (3L, 30L, ts("2024-01-01 00:00:00"), Option.empty[Timestamp])  // absent from batch
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq(
+      (1L, 12L, ts("2024-02-01 00:00:00")),
+      (2L, 20L, ts("2024-02-01 00:00:00")),
+      (4L, 40L, ts("2024-02-01 00:00:00")) // new key
+    ).toDF("k", "v", "ts")
+    val out = Merge.scd2Apply(hist, batch, Seq("k"), Seq("v"), "ts")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, 10L, "2023-12-01 00:00:00.0", Some("2024-01-01 00:00:00.0")),
+      (1L, 11L, "2024-01-01 00:00:00.0", Some("2024-02-01 00:00:00.0")), // closed
+      (1L, 12L, "2024-02-01 00:00:00.0", None),                          // new open
+      (2L, 20L, "2024-01-01 00:00:00.0", None),                          // untouched
+      (3L, 30L, "2024-01-01 00:00:00.0", None),                          // untouched
+      (4L, 40L, "2024-02-01 00:00:00.0", None)))                         // inserted
+    // one open row per key is preserved as an invariant
+    val opens = out.filter("valid_to IS NULL").groupBy("k").count()
+      .select("count").as[Long].collect()
+    assert(opens.forall(_ == 1L))
+    // idempotency: re-applying the identical batch changes nothing
+    val again = Merge.scd2Apply(out, batch, Seq("k"), Seq("v"), "ts")
+    val got2 = again.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString))).toSet
+    assert(got2 == got)
+  }
+
+  test("scd2Apply null-safe compare: null -> value is a change, null -> null is not") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val hist = Seq(
+      (1L, Option.empty[Long], ts("2024-01-01 00:00:00"), Option.empty[Timestamp]),
+      (2L, Option.empty[Long], ts("2024-01-01 00:00:00"), Option.empty[Timestamp])
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq(
+      (1L, Option(5L), ts("2024-02-01 00:00:00")),
+      (2L, Option.empty[Long], ts("2024-02-01 00:00:00"))
+    ).toDF("k", "v", "ts")
+    val out = Merge.scd2Apply(hist, batch, Seq("k"), Seq("v"), "ts")
+    assert(out.count() == 3L) // k=1 closed+opened, k=2 untouched
+    assert(out.filter("k = 2 AND valid_to IS NULL").count() == 1L)
+  }
 }
