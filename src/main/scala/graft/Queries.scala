@@ -4717,6 +4717,56 @@ object Queries {
       |FROM g GROUP BY event_type, bucket
       |ORDER BY event_type, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  // Whole-schema referential-integrity sweep (Audit.referentialSweep):
+  // every FK edge of the star schema plus the events→customer edge in
+  // ONE lazy union — per edge, child rows / null keys / orphans /
+  // coverage ppm. Parent key sets broadcast; fact sides never shuffle;
+  // SQL MATCH SIMPLE semantics (null keys pass, counted separately).
+  // The schema-level generalization of q10's single anti-join.
+  private val q140: Q = (s, dir) => {
+    import Audit.FkEdge
+    Audit.referentialSweep(Seq(
+      FkEdge("orders->customer", Tables.orders(s, dir), Seq("o_custkey"),
+        Tables.customer(s, dir), Seq("c_custkey")),
+      FkEdge("lineitem->orders", Tables.lineitem(s, dir), Seq("l_orderkey"),
+        Tables.orders(s, dir), Seq("o_orderkey")),
+      FkEdge("lineitem->part", Tables.lineitem(s, dir), Seq("l_partkey"),
+        Tables.part(s, dir), Seq("p_partkey")),
+      FkEdge("lineitem->supplier", Tables.lineitem(s, dir), Seq("l_suppkey"),
+        Tables.supplier(s, dir), Seq("s_suppkey")),
+      FkEdge("customer->nation", Tables.customer(s, dir), Seq("c_nationkey"),
+        Tables.nation(s, dir), Seq("n_nationkey")),
+      FkEdge("supplier->nation", Tables.supplier(s, dir), Seq("s_nationkey"),
+        Tables.nation(s, dir), Seq("n_nationkey")),
+      FkEdge("nation->region", Tables.nation(s, dir), Seq("n_regionkey"),
+        Tables.region(s, dir), Seq("r_regionkey")),
+      FkEdge("events->customer", Tables.events(s, dir), Seq("user_id"),
+        Tables.customer(s, dir), Seq("c_custkey"))))
+      .orderBy("fk")
+  }
+
+  private val q140Sql = {
+    val edges = Seq(
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("events->customer", "events", "user_id", "customer", "c_custkey"))
+    edges.map { case (name, child, ck, parent, pk) =>
+      s"""SELECT '$name' AS fk, count(*) AS child_rows,
+         |  sum(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS null_keys,
+         |  sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL THEN 1 ELSE 0 END) AS orphans,
+         |  ((count(*) - sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+         |      THEN 1 ELSE 0 END)) * 1000000) // count(*) AS coverage_ppm
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+         |  ON c.$ck = p.$pk""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY fk"
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4856,7 +4906,8 @@ object Queries {
     "q136_linkage_scores" -> q136,
     "q137_bitmap_distinct" -> q137,
     "q138_scd2_history" -> q138,
-    "q139_interarrival" -> q139
+    "q139_interarrival" -> q139,
+    "q140_ri_sweep" -> q140
   )
 
   val oracles: Map[String, String] = Map(
@@ -4996,6 +5047,7 @@ object Queries {
     "q136_linkage_scores" -> q136Sql,
     "q137_bitmap_distinct" -> q137Sql,
     "q138_scd2_history" -> q138Sql,
-    "q139_interarrival" -> q139Sql
+    "q139_interarrival" -> q139Sql,
+    "q140_ri_sweep" -> q140Sql
   )
 }

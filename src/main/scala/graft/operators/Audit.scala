@@ -75,6 +75,48 @@ object Audit {
   def fkOrphanCount(child: DataFrame, parent: DataFrame, keys: Seq[String]): Long =
     fkOrphans(child, parent, keys).count()
 
+  /** One foreign-key edge of a schema: `name` labels the report row;
+    * child rows reference `parent` via positional `childKeys → parentKeys`. */
+  final case class FkEdge(
+      name: String,
+      child: DataFrame,
+      childKeys: Seq[String],
+      parent: DataFrame,
+      parentKeys: Seq[String])
+
+  /** Whole-schema referential-integrity sweep: one report row per FK
+    * edge with child rows, null-keyed rows, orphans, and coverage ppm.
+    * SQL FK semantics (MATCH SIMPLE): a child row with ANY null key
+    * trivially satisfies the constraint — counted separately as
+    * `null_keys`, never as an orphan.
+    *
+    * Scale shape: per edge, the parent KEY SET (distinct, keys only)
+    * broadcasts into a left join over the child's key columns — the fact
+    * side never shuffles, column pruning reaches the scan, and the whole
+    * sweep stays ONE lazy union (one action runs every edge; independent
+    * edges' jobs share scans where the child repeats). */
+  def referentialSweep(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "sweep needs at least one FK edge")
+    edges.map { e =>
+      require(e.childKeys.size == e.parentKeys.size && e.childKeys.nonEmpty,
+        s"${e.name}: childKeys and parentKeys must align")
+      val parentKeys = broadcast(
+        e.parent.select(e.parentKeys.zip(e.childKeys).map {
+          case (p, c) => col(p).as(c)
+        }: _*).distinct().withColumn("__hit", lit(1)))
+      val anyNull = e.childKeys.map(col(_).isNull).reduce(_ || _)
+      e.child.select(e.childKeys.map(col): _*)
+        .join(parentKeys, e.childKeys, "left")
+        .agg(
+          count(lit(1)).as("child_rows"),
+          sum(when(anyNull, 1L).otherwise(0L)).as("null_keys"),
+          sum(when(!anyNull && col("__hit").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit(e.name).as("fk"), col("child_rows"), col("null_keys"),
+          col("orphans"),
+          expr("((child_rows - orphans) * 1000000) div child_rows").as("coverage_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Single-pass per-column null profile (reference notebook
     * `df.isnull().sum()`, cells 6/7/9/21). */
   def nullCounts(df: DataFrame): DataFrame = {

@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.Audit
 
 class AuditSpec extends SparkSpec {
+
+  test("referentialSweep: orphans, null keys pass, coverage ppm, one row per edge") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Option(1L), Option(1L), Option(9L), Option.empty[Long])
+      .toDF("fk_col")
+    val other = Seq(Option(2L), Option(3L)).toDF("fk_col")
+    val out = graft.operators.Audit.referentialSweep(Seq(
+      graft.operators.Audit.FkEdge("a", child, Seq("fk_col"), parent, Seq("pk")),
+      graft.operators.Audit.FkEdge("b", other, Seq("fk_col"), parent, Seq("pk"))))
+      .orderBy("fk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 4L, 1L, 1L, 750000L), // 4 rows, 1 null key (passes), 1 orphan (9)
+      ("b", 2L, 0L, 1L, 500000L)))
+  }
+
   import spark.implicits._
 
   test("auditAll fuses constraints per table into one pass and counts violations") {
