@@ -367,6 +367,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("q132 session paths: top-k via TakeOrdered, no cartesian anywhere") {
+    val p = plan(SparkEntry.queries("q132_session_paths")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q133 correlation matrix: join-free — moments in one aggregation") {
+    val p = plan(SparkEntry.queries("q133_corr_matrix")(spark, sf))
+    // the pair table expands row-locally from the single-row aggregate:
+    // any join node would mean the corpus was scanned more than once
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q137 bitmap distinct: no distinct-expand, no count_distinct") {
+    val p = plan(SparkEntry.queries("q137_bitmap_distinct")(spark, sf))
+    // the whole point vs the flagged q89 exact side: masks aggregate via
+    // bit_or, never a distinct over the (day, user) fan
+    assert(!p.toLowerCase.contains("count(distinct"), p.take(3000))
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q139 inter-arrival spectrum is window + aggregation, join-free") {
+    val p = plan(SparkEntry.queries("q139_interarrival")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q140 RI sweep: every parent side broadcasts, facts never shuffle-join") {
+    val p = plan(SparkEntry.queries("q140_ri_sweep")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q127 edit blocking: key-equi joins only, no distance DP in the plan") {
     val df = SparkEntry.queries("q127_edit_blocking")(spark, sf)
     df.collect()
