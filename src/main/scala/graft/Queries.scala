@@ -4767,6 +4767,53 @@ object Queries {
     }.mkString("\nUNION ALL\n") + "\nORDER BY fk"
   }
 
+  // ---------------------------------------------------------------- q141
+  // EXACT Jaccard similarity join at τ = 7/10 over distinct 5-token word
+  // shingle sets via prefix filtering (Dedup.prefixFilterJaccardJoin) —
+  // the zero-recall-loss counterpart to the MinHash-LSH tier (q43 finds
+  // *probable* pairs; this finds provably ALL pairs ≥ τ, the contract
+  // dedup audits and compliance scans need). Shingle sets, not unigram
+  // sets: this corpus draws from a ~31-token vocabulary, so unigram
+  // Jaccard is near-1 for almost every pair (the TRUE answer is ~90k
+  // pairs at sf0.01 — quadratic output no algorithm beats), while
+  // 5-shingle sets are sequence-sensitive and isolate the ~real near-dups.
+  // Only each doc's rare-first prefix is indexed; τ and every comparison
+  // are integer rationals, so boundary pairs at exactly τ hash-match
+  // across engines. The oracle is METHOD-independent: a brute-force
+  // shared-shingle join + exact set sizes in DuckDB — it never
+  // re-implements the prefix logic, so agreement validates the filter's
+  // exactness theorem, not a shared bug.
+  private val q141: Q = (s, dir) =>
+    graft.operators.Dedup.prefixFilterJaccardJoin(
+        Tables.documents(s, dir), "doc_id", "text",
+        tauNum = 7, tauDen = 10, shingleK = 5)
+      .orderBy("doc_a", "doc_b")
+
+  private val q141Sql =
+    """WITH tk AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |shl AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) < 5 THEN []
+      |         ELSE list_transform(range(0, len(t) - 4),
+      |                i -> array_to_string(list_slice(t, i+1, i+5), ' ')) END) AS s
+      |  FROM tk),
+      |sz AS (SELECT doc_id, len(s) AS n FROM shl WHERE len(s) > 0),
+      |ex AS (SELECT doc_id, unnest(s) AS tok FROM shl),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*) AS n_inter
+      |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT s.doc_a, s.doc_b, s.n_inter,
+      |  na.n + nb.n - s.n_inter AS n_union,
+      |  (s.n_inter * 1000000) // (na.n + nb.n - s.n_inter) AS jaccard_ppm
+      |FROM shared s
+      |JOIN sz na ON na.doc_id = s.doc_a
+      |JOIN sz nb ON nb.doc_id = s.doc_b
+      |WHERE s.n_inter * 10 >= (na.n + nb.n - s.n_inter) * 7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4907,7 +4954,8 @@ object Queries {
     "q137_bitmap_distinct" -> q137,
     "q138_scd2_history" -> q138,
     "q139_interarrival" -> q139,
-    "q140_ri_sweep" -> q140
+    "q140_ri_sweep" -> q140,
+    "q141_simjoin_prefix" -> q141
   )
 
   val oracles: Map[String, String] = Map(
@@ -5048,6 +5096,7 @@ object Queries {
     "q137_bitmap_distinct" -> q137Sql,
     "q138_scd2_history" -> q138Sql,
     "q139_interarrival" -> q139Sql,
-    "q140_ri_sweep" -> q140Sql
+    "q140_ri_sweep" -> q140Sql,
+    "q141_simjoin_prefix" -> q141Sql
   )
 }

@@ -242,6 +242,68 @@ class DedupSpec extends SparkSpec {
     assert(losers == Set(11L))
   }
 
+  // Driver-side brute force the prefix-filter join must equal EXACTLY:
+  // every (a, b, inter, union) over all pairs with J >= tauNum/tauDen.
+  private def bruteJaccard(
+      rows: Seq[(Long, String)], tauNum: Int, tauDen: Int,
+      k: Int = 1): Set[(Long, Long, Long, Long)] = {
+    val sets = rows.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      id -> (if (k == 1) toks.toSet
+             else toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      union = (sa | sb).size.toLong
+      if inter * tauDen >= union * tauNum
+    } yield (ia, ib, inter, union)).toSet
+  }
+
+  private def runPrefixJoin(
+      rows: Seq[(Long, String)], tauNum: Int, tauDen: Int,
+      k: Int = 1): Set[(Long, Long, Long, Long)] =
+    Dedup.prefixFilterJaccardJoin(
+        rows.toDF("doc_id", "text"), "doc_id", "text", tauNum, tauDen, shingleK = k)
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("prefixFilterJaccardJoin equals brute force, incl. exact-boundary pairs") {
+    // A/B sit at J = 7/10 EXACTLY (inter 7, union 10): the pair a binary-double
+    // threshold (ceil(0.7*10) = 8 under IEEE) silently drops.
+    val a = (0L, "t1 t2 t3 t4 t5 t6 t7 onlyA")
+    val b = (1L, "t1 t2 t3 t4 t5 t6 t7 onlyB1 onlyB2")
+    val fixture = Seq(
+      a, b,
+      (2L, "t1 t2 t3 t4 t5 t6 t7 onlyA"), // exact dup of 0 → J = 1
+      (3L, "zed"),                         // singleton set
+      (4L, "zed"),                         // identical singleton → J = 1
+      (5L, "   "),                         // empty after trim → matches nothing
+      (6L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10") // disjoint from everything
+    )
+    val got = runPrefixJoin(fixture, 7, 10)
+    assert(got == bruteJaccard(fixture, 7, 10))
+    assert(got.contains((0L, 1L, 7L, 10L))) // the boundary pair survived
+    assert(got.contains((3L, 4L, 1L, 1L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("prefixFilterJaccardJoin equals brute force on a randomized corpus") {
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val rows = (0L until 40L).map { id =>
+      val n = 1 + rng.nextInt(12)
+      id -> Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    for ((tn, td) <- Seq((1, 2), (3, 5), (9, 10), (1, 1)))
+      assert(runPrefixJoin(rows, tn, td) == bruteJaccard(rows, tn, td),
+        s"mismatch at tau=$tn/$td")
+    // shingle mode: sequence-sensitive sets, docs shorter than k drop out
+    for ((tn, td) <- Seq((1, 2), (7, 10)))
+      assert(runPrefixJoin(rows, tn, td, k = 3) == bruteJaccard(rows, tn, td, k = 3),
+        s"shingle mismatch at tau=$tn/$td")
+  }
+
   test("bestSurvivorLosers rejects non-integral ids loudly") {
     val comp = Seq(("a", "a")).toDF("node", "cluster")
     val scored = Seq(("a", 1.0)).toDF("doc_id", "score")
