@@ -4814,6 +4814,198 @@ object Queries {
       |WHERE s.n_inter * 10 >= (na.n + nb.n - s.n_inter) * 7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  // Trailing-baseline daily anomalies (Diagnostics.slidingAnomalies):
+  // each (type, day) count tested against its OWN previous 7 days — the
+  // "spike vs recent baseline" alert, where q117 tests against the
+  // all-time distribution. Verdict is the cross-multiplied integer
+  // z-test ((7c − s)² > z²·(7ss − s²)); days with fewer than 7 trailing
+  // observations verdict NULL, not false. One bucket rollup + one
+  // window pass over the (types × days)-sized table.
+  private val q142: Q = (s, dir) =>
+    Diagnostics.slidingAnomalies(Tables.events(s, dir), Seq("event_type"),
+        date_trunc("day", col("ts")), window = 7, z = 2)
+      .orderBy("event_type", "bucket")
+
+  private val q142Sql =
+    """WITH c AS (SELECT event_type, date_trunc('day', ts) AS bucket,
+      |    count(*) AS n_rows
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    count(*) OVER win AS bn,
+      |    sum(n_rows) OVER win AS s,
+      |    sum(n_rows * n_rows) OVER win AS ss
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+      |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket, n_rows, bn AS baseline_n,
+      |  CASE WHEN bn < 7 THEN NULL
+      |       ELSE (7*n_rows - s)*(7*n_rows - s) > 4*(7*ss - s*s) END
+      |    AS is_anomalous
+      |FROM w ORDER BY event_type, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  // Gap-filled per-user daily value series (Rollup.forwardFillDaily):
+  // each user's closing `value` per day, carried forward across silent
+  // days over a complete per-user day spine — the resample-and-pad step
+  // before windowed feature extraction. Closing election is a
+  // deterministic struct-argmax by (ts, event_id); the fill is the
+  // as-of-join running `last(ignoreNulls)`. Spine rows = users × their
+  // own span, never users × global span.
+  private val q143: Q = (s, dir) =>
+    Rollup.forwardFillDaily(Tables.events(s, dir),
+        "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "day")
+
+  private val q143Sql =
+    """WITH obs AS (SELECT user_id, day, closing FROM (
+      |    SELECT user_id, date_trunc('day', ts) AS day, value AS closing,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+      |  WHERE rn = 1),
+      |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM obs GROUP BY 1),
+      |spine AS (SELECT user_id,
+      |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      |  FROM bounds),
+      |j AS (SELECT s.user_id, s.day, o.closing
+      |  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day),
+      |g AS (SELECT *, count(closing) OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM j)
+      |SELECT user_id, day,
+      |  max(closing) OVER (PARTITION BY user_id, grp) AS value,
+      |  closing IS NOT NULL AS is_observed
+      |FROM g ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+  // Small-file compaction plan (Layout.compactionPlan): a synthetic file
+  // inventory — one "file" per (order status, ship month) with
+  // rows×128 B — greedily packed into 256 KiB compaction groups in month
+  // order, planned independently per status partition. The plan is pure
+  // integer window arithmetic over the METADATA-sized inventory; the
+  // div-packing never splits a file and an oversized file takes its own
+  // group.
+  private val q144: Q = (s, dir) => {
+    val files = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((count(lit(1)) * 128L).as("bytes"))
+    graft.operators.Layout.compactionPlan(files, "bytes", Seq("month"),
+        targetBytes = 256L * 1024, partitionCols = Seq("o_orderstatus"))
+      .orderBy("o_orderstatus", "month")
+  }
+
+  private val q144Sql =
+    """WITH files AS (SELECT o_orderstatus, date_trunc('month', o_orderdate) AS month,
+      |    count(*) * 128 AS bytes
+      |  FROM orders GROUP BY 1, 2),
+      |cum AS (SELECT *,
+      |    coalesce(sum(bytes) OVER (PARTITION BY o_orderstatus ORDER BY month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM files)
+      |SELECT o_orderstatus, month, bytes,
+      |  cb // 262144 AS compaction_group,
+      |  CAST(row_number() OVER (PARTITION BY o_orderstatus, cb // 262144
+      |    ORDER BY month) AS INTEGER) AS group_seq
+      |FROM cum ORDER BY o_orderstatus, month""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  // Tukey-fence outlier audit (Diagnostics.iqrOutliers): per return
+  // flag, exact quartiles of l_extendedprice, the 1.5·IQR fences, and
+  // the row counts outside each fence — the box-plot screen on a
+  // numeric feature. Quartiles are the exact-interpolation agreement
+  // (Spark percentile ≡ quantile_cont) and the fences two IEEE ops on
+  // them, so the whole report hash-matches. Fence table broadcasts back
+  // for the second pass.
+  private val q145: Q = (s, dir) =>
+    Diagnostics.iqrOutliers(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  private val q145Sql =
+    """WITH f AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.25) AS p25,
+      |    quantile_cont(l_extendedprice, 0.5) AS p50,
+      |    quantile_cont(l_extendedprice, 0.75) AS p75
+      |  FROM lineitem GROUP BY 1),
+      |f2 AS (SELECT *, p25 - 1.5*(p75 - p25) AS lo_fence,
+      |    p75 + 1.5*(p75 - p25) AS hi_fence FROM f)
+      |SELECT l.l_returnflag, count(*) AS n_rows,
+      |  any_value(p25) AS p25, any_value(p50) AS p50, any_value(p75) AS p75,
+      |  any_value(lo_fence) AS lo_fence, any_value(hi_fence) AS hi_fence,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM lineitem l JOIN f2 ON l.l_returnflag = f2.l_returnflag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+  // Watermark-lateness audit (Diagnostics.latenessAudit): how far events
+  // arrive behind their key's running event-time watermark, in exact
+  // microseconds — the measurement that sizes a streaming watermark
+  // delay (§2.12's knob). The harness events table is perfectly ordered
+  // (event_id ≡ ts order), so the delivery disorder is synthesized
+  // deterministically: arrival = ts + (mix64(event_id) & (2³²−1)) µs
+  // (≤ ~72 min; a power-of-two MASK, because signed pmod and u64 % read
+  // a negative hash differently) — the same derive-a-fixture move as
+  // q120's CDC chunks; both engines replay the identical jitter.
+  // n_beyond_watermark counts events a 30-minute watermark would drop.
+  private val q146: Q = (s, dir) =>
+    Diagnostics.latenessAudit(
+        Tables.events(s, dir)
+          .withColumn("__arr",
+            unix_micros(col("ts")) +
+              graft.functions.HashFunctions.mix64(col("event_id"))
+                .bitwiseAND(lit(4294967295L))),
+        "user_id", "ts", Seq(col("__arr"), col("event_id")),
+        Seq("event_type"), lateThresholdUs = 1800000000L)
+      .orderBy("event_type")
+
+  private val q146Sql = {
+    val arr = s"epoch_us(ts) + CAST((${DuckHash.mix64Inline("CAST(event_id AS UBIGINT)")}) & 4294967295 AS BIGINT)"
+    s"""WITH a AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+       |    $arr AS arr
+       |  FROM events),
+       |l AS (SELECT event_type,
+       |    greatest(coalesce(max(us) OVER (PARTITION BY user_id
+       |      ORDER BY arr, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0) AS late
+       |  FROM a)
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       |  CAST(sum(CASE WHEN late > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_watermark,
+       |  max(late) AS max_late_us,
+       |  CAST(sum(late) AS BIGINT) AS total_late_us
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q147
+  // Per-node triangle counts on q43's LSH candidate graph
+  // (Centrality.triangleCounts): neighborhood DENSITY where q129 ranks
+  // reach — a high-triangle node sits in a mutually-similar clique (one
+  // template, many copies), a high-rank/low-triangle node is a
+  // hub-and-spokes. Degree-orientation bounds wedge fan-out by O(√m) on
+  // any degree distribution. The oracle is METHOD-independent: a plain
+  // 3-way edge join (a<b<c) in DuckDB, no orientation — agreement
+  // validates the wedge algorithm, not a replay of it.
+  private val q147: Q = (s, dir) =>
+    Centrality.triangleCounts(
+        Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, numHashes = 16, rowsPerBand = 2),
+        "doc_a", "doc_b")
+      .orderBy("node")
+
+  private val q147Sql =
+    s"""WITH $lshBandedCtes,
+       |$lshCandCte,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |t AS (SELECT unnest([x, y, z]) AS node FROM tri)
+       |SELECT node, count(*) AS n_triangles FROM t GROUP BY node
+       |ORDER BY node""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -4955,7 +5147,13 @@ object Queries {
     "q138_scd2_history" -> q138,
     "q139_interarrival" -> q139,
     "q140_ri_sweep" -> q140,
-    "q141_simjoin_prefix" -> q141
+    "q141_simjoin_prefix" -> q141,
+    "q142_sliding_anomaly" -> q142,
+    "q143_forward_fill" -> q143,
+    "q144_compaction_plan" -> q144,
+    "q145_iqr_outliers" -> q145,
+    "q146_lateness_audit" -> q146,
+    "q147_triangle_counts" -> q147
   )
 
   val oracles: Map[String, String] = Map(
@@ -5097,6 +5295,12 @@ object Queries {
     "q138_scd2_history" -> q138Sql,
     "q139_interarrival" -> q139Sql,
     "q140_ri_sweep" -> q140Sql,
-    "q141_simjoin_prefix" -> q141Sql
+    "q141_simjoin_prefix" -> q141Sql,
+    "q142_sliding_anomaly" -> q142Sql,
+    "q143_forward_fill" -> q143Sql,
+    "q144_compaction_plan" -> q144Sql,
+    "q145_iqr_outliers" -> q145Sql,
+    "q146_lateness_audit" -> q146Sql,
+    "q147_triangle_counts" -> q147Sql
   )
 }

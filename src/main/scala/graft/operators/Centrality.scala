@@ -71,4 +71,66 @@ object Centrality {
     }
     r
   }
+
+  /** Exact per-node triangle counts over an undirected graph given as
+    * distinct `(srcCol, dstCol)` pairs (each edge once; orientation in
+    * the input is irrelevant). Triangles measure neighborhood DENSITY
+    * where [[pageRank]] measures reach — on a near-dup candidate graph a
+    * high triangle count marks a mutually-similar clique (one template,
+    * many copies) as opposed to a hub-and-spokes pattern (one document
+    * that vaguely resembles many unrelated ones); the
+    * clique-vs-star distinction decides "delete all but one" vs "inspect
+    * the hub".
+    *
+    * Algorithm: degree-orientation wedge counting (the standard
+    * distributed formulation — Suri & Vassilvitskii 2011's MapReduce
+    * triangle counting). Each edge re-orients from its lower-degree
+    * endpoint to its higher-degree one (ties break by node id, giving a
+    * total order, hence a DAG); wedges are built only at each node's
+    * oriented OUT-neighbors, and a wedge `u→v, u→w` closes iff oriented
+    * edge `v→w` exists (checked with one semi-ish inner join against the
+    * oriented edge list). Orientation bounds the per-node wedge fan-out
+    * by O(√m) regardless of raw degree — the skew guard that makes the
+    * wedge join survive power-law graphs at scale; without it one
+    * celebrity node generates deg² wedges.
+    *
+    * Each triangle closes exactly one wedge (at its unique DAG "apex"),
+    * so counts are exact; per-node counts then credit all three corners
+    * via a row-local 3-way explode of the closed wedge — never a second
+    * pass over the graph. Output: `(node, n_triangles)` for every node
+    * with at least one triangle. All shuffles key on nodes or edges;
+    * nothing is ever nodes². */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node): strict total order -> DAG
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    // wedges at the apex: two distinct out-edges of the same node
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("apex"), col("x.dst").as("v"), col("y.dst").as("w"))
+    // a wedge closes iff undirected edge {v,w} exists; the wedge already
+    // has v < w, so probe the CANONICAL a<b edge list with a pure
+    // equi-join (matching the oriented list would need an OR over both
+    // directions -- a nested-loop join, the exact shape orientation exists
+    // to avoid)
+    val closed = wedges
+      .join(e, col("v") === col("a") && col("w") === col("b"))
+      .select(col("apex"), col("v"), col("w"))
+    closed
+      .select(explode(array(col("apex"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -102,6 +102,149 @@ object Diagnostics {
       .drop("__n", "__s", "__ss")
   }
 
+  /** Trailing-baseline volume anomalies — [[countAnomalies]] with the
+    * baseline LOCALIZED: each `(group, bucket)` count is tested against
+    * the mean/stddev of its own trailing `window` buckets (previous rows,
+    * current excluded), so a level shift three months ago stops poisoning
+    * today's verdict and a slow ramp is never flagged the way a global-μ
+    * test flags its whole tail. This is the dashboard "spike vs recent
+    * baseline" alert as a batch query.
+    *
+    * Same exactness rule as [[countAnomalies]]: with `w` trailing counts,
+    * `s = Σc`, `ss = Σc²`, the flag is `(w·c − s)² > z²·(w·ss − s²)` —
+    * cross-multiplied integer arithmetic in decimal(38,0), no double in
+    * the verdict, bit-identical on any engine/partitioning. Buckets with
+    * fewer than `window` trailing observations verdict NULL (no baseline),
+    * not false.
+    *
+    * Scale shape: the bucket rollup shuffles ≤ groups × buckets rows; the
+    * trailing stats are ONE window pass over that bucket table (already
+    * tiny), partitioned by group — never a second pass over the corpus,
+    * and no broadcast-back join at all. Emits
+    * `(groupCols*, bucket, n_rows, baseline_n, is_anomalous)`. */
+  def slidingAnomalies(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucket: Column,
+      window: Int,
+      z: Int): DataFrame = {
+    require(window >= 2, s"baseline window must be >= 2, got $window")
+    require(z > 0, s"z threshold must be positive, got $z")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val counts = df
+      .groupBy(g :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val dec = col("n_rows").cast("decimal(38,0)")
+    val w = Window.partitionBy(g: _*).orderBy(col("bucket"))
+      .rowsBetween(-window.toLong, -1L)
+    val dev = lit(window.toLong).cast("decimal(38,0)") * dec - col("__s")
+    counts
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__s", sum(dec).over(w))
+      .withColumn("__ss", sum(dec * dec).over(w))
+      .withColumn("is_anomalous",
+        when(col("__bn") < window, lit(null).cast("boolean"))
+          .otherwise(dev * dev > lit(z.toLong * z).cast("decimal(38,0)") *
+            (lit(window.toLong).cast("decimal(38,0)") * col("__ss") -
+              col("__s") * col("__s"))))
+      .withColumn("baseline_n", col("__bn"))
+      .drop("__bn", "__s", "__ss")
+  }
+
+  /** Tukey-fence outlier audit per group: quartiles of `valueCol`, the
+    * 1.5·IQR fences, and how many rows fall outside each side — the
+    * box-plot screen run before trusting a numeric feature (price,
+    * length, score) for training or monitoring.
+    *
+    * Both engines compute the same exact linear-interpolated quartiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` — the q37/q87
+    * agreement), and the fences are the same two IEEE ops on those
+    * doubles, so the report hash-matches cross-engine. Exact per-group
+    * percentile materializes the group's values in one aggregation
+    * buffer — the q37 input-bound caveat: fine for per-category fences
+    * (millions of rows per group), use hash-sampled quantiles (q76's
+    * tier) when single groups reach billions.
+    *
+    * Scale shape: ONE aggregation computes quartiles AND array-form
+    * min/max/count; the group-cardinality-sized fence table broadcasts
+    * back onto the scan for the outside-fence counts. Two passes over
+    * the fact by construction (fences must exist before counting against
+    * them) — same shape as q87's binning. */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val fences = df
+      .groupBy(g: _*)
+      .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("__q"))
+      .select(g ++ Seq(
+        element_at(col("__q"), 1).as("p25"),
+        element_at(col("__q"), 2).as("p50"),
+        element_at(col("__q"), 3).as("p75")): _*)
+      .withColumn("lo_fence", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi_fence", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+    df.join(broadcast(fences), groupCols)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("p25")).as("p25"), first(col("p50")).as("p50"),
+        first(col("p75")).as("p75"),
+        first(col("lo_fence")).as("lo_fence"), first(col("hi_fence")).as("hi_fence"),
+        sum(when(v < col("lo_fence"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(v > col("hi_fence"), 1L).otherwise(0L)).as("n_above"))
+  }
+
+  /** Watermark-lateness audit: how out-of-order each key's stream really
+    * is, in exact microseconds — the measurement that decides a streaming
+    * job's watermark delay (too short drops the tail of this
+    * distribution, too long holds state for nothing; SURVEY §2.12's
+    * watermarks are exactly the knob this audit calibrates). Within each
+    * key's stream in `arrivalCol` order, an event's lateness is how far
+    * its event-time sits BEHIND the running watermark
+    * `max(event time so far)`: `late_us = max(wm_before − ts, 0)`.
+    *
+    * Everything is integer microseconds (`unix_micros` ≡ DuckDB
+    * `epoch_us`) — no rounding, engine-exact. The first event of a key
+    * has no watermark and is on time by definition.
+    *
+    * Scale shape: one window pass partitioned by key in arrival order
+    * (the same single-shuffle shape as [[interArrivalSpectrum]]), then a
+    * map-combined rollup to `groupCols`. Emits per group: event count,
+    * out-of-order count, count beyond `lateThresholdUs` (the events a
+    * watermark of that delay would DROP), and the max/total lateness.
+    *
+    * `arrivalCols` must be a TOTAL order within each key (append a unique
+    * id as tiebreak): a tie inside the running-max frame would make the
+    * verdict depend on physical row order. */
+  def latenessAudit(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      arrivalCols: Seq[Column],
+      groupCols: Seq[String],
+      lateThresholdUs: Long): DataFrame = {
+    require(lateThresholdUs >= 0, s"threshold must be >= 0, got $lateThresholdUs")
+    require(arrivalCols.nonEmpty, "need at least one arrival-order column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(arrivalCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val g = groupCols.map(col)
+    df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__late",
+        greatest(coalesce(max(col("__us")).over(w) - col("__us"), lit(0L)), lit(0L)))
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__late") > 0L, 1L).otherwise(0L)).as("n_out_of_order"),
+        sum(when(col("__late") > lateThresholdUs, 1L).otherwise(0L)).as("n_beyond_watermark"),
+        max(col("__late")).as("max_late_us"),
+        sum(col("__late")).as("total_late_us"))
+  }
+
   /** Per-dimension embedding health audit: for every vector dimension, the
     * count, zero-count, exact sum and exact variance numerator of the
     * quantized coordinate — the "dead / collapsed dimension" check a

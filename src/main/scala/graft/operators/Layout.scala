@@ -105,4 +105,48 @@ object Layout {
         sum(col("n_rows")).as("rows_total"),
         sum(when(pruned, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
   }
+
+  /** Small-file compaction planner: assign an ordered file inventory to
+    * target-sized compaction groups — the maintenance pass every
+    * parquet/Delta/Iceberg table needs once streaming appends have
+    * shredded it into kilobyte files. Files are packed in `orderCols`
+    * order (keep it the table's natural clustering so compaction
+    * preserves data locality / sort order); a file opens a new group
+    * exactly when the bytes before it fill the current group:
+    * `group = cum_bytes_before div targetBytes` — the greedy
+    * first-fit-in-order plan, deterministic and purely integer.
+    *
+    * A single file larger than `targetBytes` gets a group of its own and
+    * pushes the boundary forward (its group is still shared with files
+    * that started before it filled — div-packing never splits a file).
+    *
+    * Scale shape: the plan is computed on the file INVENTORY (metadata,
+    * ~rows = files), not the data; the cumulative sum windows per
+    * `partitionCols` (empty ⇒ one global sequence — fine for one table's
+    * listing, use partitions when planning a whole warehouse so no
+    * single window task owns every file). Emits the inventory plus
+    * `(compaction_group, group_seq)` — group_seq is the file's position
+    * within its group. */
+  def compactionPlan(
+      files: DataFrame,
+      sizeCol: String,
+      orderCols: Seq[String],
+      targetBytes: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    files
+      .withColumn("__cum_before",
+        coalesce(sum(col(sizeCol)).over(w.rowsBetween(Window.unboundedPreceding, -1L)),
+          lit(0L)))
+      .withColumn("compaction_group", expr(s"__cum_before div $targetBytes"))
+      .withColumn("group_seq",
+        row_number().over(
+          Window.partitionBy((partitionCols.map(col) :+ col("compaction_group")): _*)
+            .orderBy(orderCols.map(col): _*)))
+      .drop("__cum_before")
+  }
 }

@@ -167,4 +167,54 @@ object Rollup {
         (sum(col("__w").cast("decimal(38,0)")).cast("double") /
           lit(math.pow(2.0, maxSteps))).as("decayed_score"))
   }
+
+  /** Gap-filled daily series with forward fill: for every key, a COMPLETE
+    * day spine from its first to its last observation, carrying each
+    * day's closing value forward across the gaps — the
+    * resample-and-pad-forward step that turns an irregular event stream
+    * into the regular series feature windows and drift monitors consume.
+    *
+    * Each observed day's closing value is the arg-max by `(tsCol,
+    * tieCol)` (tieCol must make the pair unique — an event id; struct-max
+    * keeps the election deterministic under any partitioning, where a
+    * bare `last()` depends on arrival order). The fill is a running
+    * `last(_, ignoreNulls)` over the spine — the [[AsOfJoin]] merge
+    * idiom. The first spine day is observed by construction, so no row
+    * is left null.
+    *
+    * Scale shape: closings are one map-combined aggregation to
+    * (key, day); the spine explodes `sequence(min_day, max_day)` per key
+    * — output rows = keys × their own span, never keys × global span —
+    * and the fill windows partition by key over that bounded spine. At
+    * 100 TB the spine table is days-per-key-sized, tiny next to the
+    * event corpus it summarizes; nothing ever re-reads the corpus.
+    *
+    * Emits `(keyCol, day, value, is_observed)`. Rows with a null
+    * timestamp or null key are dropped (they define no day/series). */
+  def forwardFillDaily(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val closings = df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(max(struct(col(tsCol).as("__ts"), col(tieCol).as("__tie"),
+        col(valueCol).as("__v"))).getField("__v").as("__closing"))
+    val spine = closings
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("make_interval(0, 0, 0, 1)"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(closings, Seq(keyCol, "day"), "left")
+      .withColumn("value", last(col("__closing"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("__closing").isNotNull)
+      .drop("__closing")
+  }
 }

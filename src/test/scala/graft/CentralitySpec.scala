@@ -52,4 +52,39 @@ class CentralitySpec extends SparkSpec {
       Centrality.pageRank(e, "a", "b", dampPct = 120)
     }
   }
+
+  private def triangles(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Centrality.triangleCounts(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side brute force: every 3-subset of nodes, all edges present. */
+  private def bruteTriangles(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = pairs.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      (x, i) <- nodes.zipWithIndex; y <- nodes.drop(i + 1); z <- nodes.dropWhile(_ <= y)
+      if es((x, y)) && es((y, z)) && es((x min z, x max z))
+    } yield (x, y, z)
+    tris.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangleCounts: K4, star, and triangle-with-tail") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(triangles(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(triangles(star) == Map.empty[Long, Long])
+    // triangle 1-2-3 with a tail 3-4: tail node absent from output
+    val tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(triangles(tail) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: orientation/duplicate-insensitive, matches brute force on random graphs") {
+    val rng = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ => (rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+    // feed raw (self-loops, dups, both orientations); brute force canonicalizes
+    assert(triangles(pairs) == bruteTriangles(pairs))
+    val flipped = pairs.map { case (a, b) => (b, a) }
+    assert(triangles(pairs ++ flipped) == bruteTriangles(pairs))
+  }
 }

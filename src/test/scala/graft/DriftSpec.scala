@@ -92,6 +92,72 @@ class DriftSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("slidingAnomalies: local baseline flags what a global test misses, NULL under-baseline") {
+    // A level shift: 8 buckets of 2, then 8 buckets of 10, then one 30.
+    // Global μ≈7.2 makes the whole second level "high"; the trailing-4
+    // baseline flags ONLY the step day, the spike day — and not the
+    // steady plateau after the step.
+    val d = events(
+      (1 to 8).map(i => ("g", i, 2)) ++ (9 to 16).map(i => ("g", i, 10)) :+ (("g", 17, 30)))
+    val out = Diagnostics.slidingAnomalies(d, Seq("g"), col("b"), window = 4, z = 2)
+      .select("bucket", "n_rows", "baseline_n", "is_anomalous")
+      .as[(Int, Long, Long, Option[Boolean])].collect().sortBy(_._1).toSeq
+    // first 4 buckets: no full baseline -> NULL verdict
+    assert(out.take(4).forall(r => r._4.isEmpty && r._3 < 4))
+    val flagged = out.collect { case (b, _, _, Some(true)) => b }
+    assert(flagged.contains(9) && flagged.contains(17)) // step + spike
+    assert(!flagged.exists(b => b >= 13 && b <= 16))    // plateau is clean
+  }
+
+  test("slidingAnomalies verdicts are partition-layout independent") {
+    val d = events((1 to 12).map(i => ("g", i, if (i == 11) 9 else i % 3 + 1)))
+    val a = Diagnostics.slidingAnomalies(d, Seq("g"), col("b"), window = 5, z = 2)
+      .orderBy("bucket").collect().toSeq
+    val b = Diagnostics.slidingAnomalies(
+        d.repartition(7, col("b")), Seq("g"), col("b"), window = 5, z = 2)
+      .orderBy("bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("iqrOutliers: known quartiles, fences, and one-sided outliers") {
+    // 0..100 plus two extremes: p25=25, p50=50, p75=75 over the base run →
+    // fences at -50/150 once the extremes shift the quartiles slightly;
+    // use a clean odd count instead: values 1..11 (p25=3.5, p75=8.5,
+    // IQR=5, fences -4/16) plus outliers -10 and 40.
+    val d = ((1 to 11).map(_.toDouble) ++ Seq(-10.0, 40.0)).map(("g", _)).toDF("g", "v")
+    val r = Diagnostics.iqrOutliers(d, Seq("g"), "v").collect().head
+    assert(r.getAs[Long]("n_rows") == 13L)
+    assert(r.getAs[Double]("p50") == 6.0)
+    assert(r.getAs[Long]("n_below") >= 1L && r.getAs[Long]("n_above") >= 1L)
+    // fences are exactly the two-IEEE-op form of the quartiles
+    val (p25, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p75"))
+    assert(r.getAs[Double]("lo_fence") == p25 - 1.5 * (p75 - p25))
+    assert(r.getAs[Double]("hi_fence") == p75 + 1.5 * (p75 - p25))
+  }
+
+  test("latenessAudit: exact lateness vs running watermark, first event on time") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user u: arrival order a1..a4 with event times 10:00, 10:30, 10:05
+    // (25 min late), 09:58 (32 min late) -> 2 out-of-order, 1 beyond a
+    // 30-minute watermark, max 32 min.
+    val d = Seq(
+      ("u", t("2024-01-01 10:00:00"), 1L, "x"),
+      ("u", t("2024-01-01 10:30:00"), 2L, "x"),
+      ("u", t("2024-01-01 10:05:00"), 3L, "x"),
+      ("u", t("2024-01-01 09:58:00"), 4L, "x"),
+      ("v", t("2024-01-01 00:00:00"), 5L, "x") // lone first event: on time
+    ).toDF("user_id", "ts", "arr", "event_type")
+    val r = Diagnostics.latenessAudit(d, "user_id", "ts",
+        Seq(col("arr")), Seq("event_type"), lateThresholdUs = 1800000000L)
+      .collect().head
+    assert(r.getAs[Long]("n_events") == 5L)
+    assert(r.getAs[Long]("n_out_of_order") == 2L)
+    assert(r.getAs[Long]("n_beyond_watermark") == 1L)
+    assert(r.getAs[Long]("max_late_us") == 32L * 60 * 1000000)
+    assert(r.getAs[Long]("total_late_us") == (25L + 32L) * 60 * 1000000)
+  }
+
   test("interArrivalSpectrum: bit-length buckets, band bounds, first events excluded") {
     import java.sql.Timestamp
     def ts(x: String) = Timestamp.valueOf(x)

@@ -101,6 +101,37 @@ class LayoutSpec extends SparkSpec {
       (3L, 3L, 3L, 60L, 0L),
       (4L, 3L, 2L, 60L, 20L)))
   }
+
+  test("compactionPlan: greedy first-fit groups, oversized file isolation, per-partition plans") {
+    // target 100: [60, 30, 50, 250, 10, 90] in order →
+    // cum-before  [ 0, 60, 90, 140, 390, 400]
+    // group       [ 0,  0,  0,   1,   3,   4]
+    // 250 lands in group 1 (bytes before it: 140) and pushes the next file
+    // to group 3 — an oversized file never splits, it absorbs its span.
+    val files = Seq(
+      ("p", 1L, 60L), ("p", 2L, 30L), ("p", 3L, 50L),
+      ("p", 4L, 250L), ("p", 5L, 10L), ("p", 6L, 90L),
+      ("q", 1L, 10L), ("q", 2L, 10L) // separate partition: its own plan
+    ).toDF("part", "seq", "bytes")
+    val out = Layout.compactionPlan(files, "bytes", Seq("seq"),
+        targetBytes = 100L, partitionCols = Seq("part"))
+      .select("part", "seq", "compaction_group", "group_seq")
+      .as[(String, Long, Long, Int)].collect().toSeq.sorted
+    assert(out == Seq(
+      ("p", 1L, 0L, 1), ("p", 2L, 0L, 2), ("p", 3L, 0L, 3),
+      ("p", 4L, 1L, 1), ("p", 5L, 3L, 1), ("p", 6L, 4L, 1),
+      ("q", 1L, 0L, 1), ("q", 2L, 0L, 2)))
+  }
+
+  test("compactionPlan validates inputs") {
+    val f = Seq(("a", 1L)).toDF("k", "bytes")
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(f, "bytes", Seq("k"), targetBytes = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(f, "bytes", Nil, targetBytes = 10L)
+    }
+  }
 }
 
 /** Column-side mix64 for test fixtures (matches [[HashRef.mix64]]). */

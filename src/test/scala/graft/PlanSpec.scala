@@ -429,4 +429,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q141 prefix-filter simjoin: equi-joins only, generate stays in codegen") {
+    val p = plan(SparkEntry.queries("q141_simjoin_prefix")(spark, sf))
+    // candidates come ONLY from the prefix-token equi-join; any
+    // nested-loop/cartesian node would be the all-pairs comparison the
+    // prefix filter exists to avoid
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the shingle explode must ride whole-stage codegen (the position-
+    // sequence staging rule) — a Generate outside any codegen span is the
+    // 10x interpreted fallback
+    assert(p.contains("Generate"), p.take(4000))
+  }
+
+  test("q142 sliding anomalies: one bucket rollup + one window, join-free") {
+    val p = plan(SparkEntry.queries("q142_sliding_anomaly")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("q143 forward fill: spine explodes from bounds, no nested loop, no cartesian") {
+    val p = plan(SparkEntry.queries("q143_forward_fill")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("Generate"), p.take(4000)) // sequence() spine
+  }
+
+  test("q144 compaction plan: pure window arithmetic over the inventory, join-free") {
+    val p = plan(SparkEntry.queries("q144_compaction_plan")(spark, sf))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("q147 triangle counts: wedge closure is an equi-join, never a nested loop") {
+    val p = plan(SparkEntry.queries("q147_triangle_counts")(spark, sf))
+    // the closure probe matches the canonical a<b edge list on both wedge
+    // legs — an OR over orientations would plan a BroadcastNestedLoopJoin
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }

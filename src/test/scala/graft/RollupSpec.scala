@@ -74,4 +74,36 @@ class RollupSpec extends SparkSpec {
     // weights: 4 (clamped new), 1 (clamped old), 2 → 7/4
     assert(out == (("g", 3L, 1.75)))
   }
+
+  test("forwardFillDaily: complete spine, closing election, carry across gaps") {
+    // user a: Jan 1 (two events, closing = the LATER one), gap Jan 2-3,
+    // Jan 4 observed. user b: single day. null user dropped.
+    val ev = Seq(
+      (Some(1L), ts("2024-01-01 09:00:00"), 10.0, 1L),
+      (Some(1L), ts("2024-01-01 17:00:00"), 20.0, 2L),
+      (Some(1L), ts("2024-01-04 08:00:00"), 99.0, 3L),
+      (Some(2L), ts("2024-01-02 12:00:00"), 7.0, 4L),
+      (None: Option[Long], ts("2024-01-01 00:00:00"), 1.0, 5L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rollup.forwardFillDaily(ev, "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "day")
+      .select("user_id", "day", "value", "is_observed")
+      .as[(Long, java.sql.Timestamp, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, ts("2024-01-01 00:00:00"), 20.0, true),
+      (1L, ts("2024-01-02 00:00:00"), 20.0, false),
+      (1L, ts("2024-01-03 00:00:00"), 20.0, false),
+      (1L, ts("2024-01-04 00:00:00"), 99.0, true),
+      (2L, ts("2024-01-02 00:00:00"), 7.0, true)))
+  }
+
+  test("forwardFillDaily closing election breaks same-timestamp ties by the tie column") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 5.0, 10L),
+      (1L, ts("2024-01-01 09:00:00"), 8.0, 11L) // same ts, higher tie wins
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Rollup.forwardFillDaily(ev, "user_id", "ts", "value", "event_id")
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(8.0))
+  }
 }
