@@ -5006,6 +5006,84 @@ object Queries {
        |SELECT node, count(*) AS n_triangles FROM t GROUP BY node
        |ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  // 30-core of the unigram τ=9/10 similarity graph (Centrality.kCore over
+  // Dedup.prefixFilterJaccardJoin): the maximal subgraph where every
+  // document keeps ≥ 30 mutual near-dups — the "hard kernel" of
+  // duplication that survives any amount of fringe deletion (Seidman
+  // k-core), the set a curator triages FIRST. Unigram sets here exactly
+  // because this corpus makes them dense (31-token vocabulary): the
+  // k-core needs a graph with real peel structure, and this one peels in
+  // 3 data-dependent rounds at sf0.01. The oracle replays 8 chained peel
+  // rounds (fixpoint + margin) — an iterative algorithm value-checked
+  // cross-engine, like q129.
+  private val q148: Q = (s, dir) =>
+    Centrality.kCore(
+        graft.operators.Dedup.prefixFilterJaccardJoin(
+          Tables.documents(s, dir), "doc_id", "text", tauNum = 9, tauDen = 10),
+        "doc_a", "doc_b", k = 30)
+      .orderBy("node")
+
+  private val q148Sql = {
+    // MATERIALIZED: each round references the previous twice (degree pass
+    // + survivor filter) — inlined CTEs would expand the chain 3^8-fold
+    // and exhaust file handles re-opening the parquet per expansion.
+    val peels = (1 to 8).map { i =>
+      s"""d$i AS (SELECT a AS node, count(*) AS d FROM u${i - 1} GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 30),
+         |u$i AS MATERIALIZED (SELECT u.a, u.b FROM u${i - 1} u
+         |  JOIN k$i x ON u.a = x.node JOIN k$i y ON u.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+       |  FROM documents),
+       |sz AS (SELECT doc_id, len(t) AS n FROM tk WHERE len(t) > 0),
+       |ex AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+       |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+       |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |e AS (SELECT da AS a, db AS b FROM sh
+       |  JOIN sz na ON na.doc_id = da JOIN sz nb ON nb.doc_id = db
+       |  WHERE ni * 10 >= (na.n + nb.n - ni) * 9),
+       |u0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |$peels
+       |SELECT a AS node, count(*) AS degree FROM u8 GROUP BY 1
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q149
+  // Per-group decile table via exact integer percent-rank
+  // (Encoding.percentRankPpm): l_extendedprice rank-normalized within
+  // each return flag — `(rank−1)·10⁶ div (n−1)`, ties by SQL rank(), no
+  // double anywhere — then rolled up to deciles (ppm div 10⁵, top edge
+  // clamped into decile 9) with row counts and price bounds. The
+  // quantile-normalization audit a feature pipeline prints per segment;
+  // rank() agrees bit-for-bit where percent_rank()'s double division
+  // invites cross-engine rounding drift.
+  private val q149: Q = (s, dir) =>
+    Encoding.percentRankPpm(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_extendedprice")
+      .withColumn("decile", least(expr("pr_ppm div 100000"), lit(9L)))
+      .groupBy(col("l_returnflag"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("l_returnflag", "decile")
+
+  private val q149Sql =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice,
+      |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rnk,
+      |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      |  FROM lineitem),
+      |p AS (SELECT l_returnflag, l_extendedprice,
+      |    CASE WHEN n = 1 THEN 0 ELSE ((rnk - 1) * 1000000) // (n - 1) END AS pr_ppm
+      |  FROM r)
+      |SELECT l_returnflag, least(pr_ppm // 100000, 9) AS decile,
+      |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5153,7 +5231,9 @@ object Queries {
     "q144_compaction_plan" -> q144,
     "q145_iqr_outliers" -> q145,
     "q146_lateness_audit" -> q146,
-    "q147_triangle_counts" -> q147
+    "q147_triangle_counts" -> q147,
+    "q148_kcore" -> q148,
+    "q149_decile_table" -> q149
   )
 
   val oracles: Map[String, String] = Map(
@@ -5301,6 +5381,8 @@ object Queries {
     "q144_compaction_plan" -> q144Sql,
     "q145_iqr_outliers" -> q145Sql,
     "q146_lateness_audit" -> q146Sql,
-    "q147_triangle_counts" -> q147Sql
+    "q147_triangle_counts" -> q147Sql,
+    "q148_kcore" -> q148Sql,
+    "q149_decile_table" -> q149Sql
   )
 }

@@ -133,4 +133,63 @@ object Centrality {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition: the maximal subgraph in which EVERY node keeps
+    * degree ≥ k, by iterated peeling (Seidman 1983; the distributed
+    * formulation is the standard degree-filter fixpoint). On a near-dup
+    * candidate graph the k-core is the "hard kernel" of mutual
+    * duplication — the subgraph that survives however many fringe
+    * documents are deleted — where [[triangleCounts]] scores local
+    * density and [[ConnectedComponents]] mere reachability; curation
+    * triage works core-outward.
+    *
+    * Each round: per-node degree (one aggregation of the mirrored edge
+    * list), drop sub-k nodes from both endpoints (two semi-joins), stop
+    * when no edge was removed. Rounds are data-dependent (≤ the peel
+    * depth of the graph, tiny in practice — a path graph is the 2-core
+    * worst case); every round's shuffles are edge-keyed, never nodes²,
+    * and `localCheckpoint` truncates lineage per round (the
+    * [[ConnectedComponents]] hygiene rule — each round already runs an
+    * action for the convergence count, so the checkpoint costs no extra
+    * job). Exceeding `maxIter` throws loudly rather than returning a
+    * not-yet-fixpoint subgraph as if it were the core.
+    *
+    * Output: `(node, degree)` for every core member, with its degree
+    * INSIDE the core. Empty when no k-core exists. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var halfEdges = und.count()
+    var converged = halfEdges == 0L
+    var iter = 0
+    while (!converged) {
+      iter += 1
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"k-core did not reach its fixpoint in $maxIter peel rounds; " +
+            "raise maxIter (rounds needed = the graph's peel depth)")
+      val keep = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("node"))
+      und = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n = und.count()
+      converged = n == halfEdges || n == 0L
+      halfEdges = n
+    }
+    und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -41,4 +41,37 @@ object Encoding {
         when(col("__n") > 1, expr("(__s - __v) div (__n - 1)")))
       .drop("__v", "__s", "__n")
   }
+
+  /** Rank-normalize a numeric feature within each group:
+    * `pr_ppm = (rank − 1)·10⁶ div (n − 1)` with SQL `rank()` (ties share
+    * the rank of their first member) — the quantile-normalization /
+    * percent-rank transform that makes a feature comparable across
+    * groups with different scales, as an exact INTEGER in [0, 10⁶]. No
+    * double ever appears: rank and n are integers and the ppm is floor
+    * division, so the encoding is bit-identical across engines and
+    * partitionings (`percent_rank()` itself returns a double division —
+    * fine until two engines round it differently at hash-compare time).
+    * Single-row groups encode 0 (no spread to place the row in).
+    *
+    * Scale shape: one rank window per group — a per-group total order is
+    * intrinsic to rank normalization, so this is the exact tier; at
+    * group sizes where a single sort partition hurts, bin against
+    * sampled quantile edges instead (the q76/q87 tier) and accept
+    * step-quantized ranks. */
+  def percentRankPpm(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val wg = Window.partitionBy(g: _*)
+    df
+      .withColumn("__rnk", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("pr_ppm",
+        when(col("__n") === 1L, 0L)
+          .otherwise(expr("((__rnk - 1) * 1000000) div (__n - 1)")))
+      .drop("__rnk", "__n")
+  }
 }

@@ -79,6 +79,45 @@ class CentralitySpec extends SparkSpec {
     assert(triangles(tail) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  private def kcore(pairs: Seq[(Long, Long)], k: Int, maxIter: Int = 30): Map[Long, Long] =
+    Centrality.kCore(pairs.toDF("a", "b"), "a", "b", k, maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side peel replay to the fixpoint. */
+  private def bruteKCore(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = pairs.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = (es ++ es.map(_.swap)).groupBy(_._1).map { case (n, xs) => n -> xs.size }
+      val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      changed = next.size != es.size
+      es = next
+    }
+    (es ++ es.map(_.swap)).groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kCore: cycle survives, tails and paths peel, K5 is its own 4-core") {
+    // cycle 1-2-3-4 with tail 4-5-6: the 2-core is exactly the cycle
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L))
+    assert(kcore(g, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // pure path: 2-core empty (cascading peel, one end per round)
+    val path = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(kcore(path, 2) == Map.empty[Long, Long])
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(kcore(k5, 4) == (0L to 4L).map(_ -> 4L).toMap)
+  }
+
+  test("kCore matches the driver replay on random graphs and fails loudly past maxIter") {
+    val rng = new scala.util.Random(11)
+    val pairs = (1 to 150).map(_ => (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+    for (k <- Seq(2, 4, 6))
+      assert(kcore(pairs, k) == bruteKCore(pairs, k), s"mismatch at k=$k")
+    // the 8-path needs ~4 peel rounds; maxIter=1 must throw, not return
+    val path = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = intercept[IllegalStateException] { kcore(path, 2, maxIter = 1) }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("triangleCounts: orientation/duplicate-insensitive, matches brute force on random graphs") {
     val rng = new scala.util.Random(7)
     val pairs = (1 to 120).map(_ => (rng.nextInt(15).toLong, rng.nextInt(15).toLong))

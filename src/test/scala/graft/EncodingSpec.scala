@@ -50,4 +50,29 @@ class EncodingSpec extends SparkSpec {
       .select("loo_enc").as[Long].collect().toSeq
     assert(got == Seq(1L, 1L))
   }
+
+  test("percentRankPpm: tie ranks, endpoints, singleton group, group independence") {
+    val df = Seq(
+      ("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0),
+      ("h", 5.0), // singleton -> 0
+      ("i", 1.0), ("i", 2.0) // independent scale: endpoints 0 and 1e6
+    ).toDF("grp", "v")
+    val got = Encoding.percentRankPpm(df, Seq("grp"), "v")
+      .select("grp", "v", "pr_ppm").as[(String, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("g", 10.0, 0L), ("g", 20.0, 333333L), ("g", 20.0, 333333L),
+      ("g", 30.0, 1000000L),
+      ("h", 5.0, 0L),
+      ("i", 1.0, 0L), ("i", 2.0, 1000000L)))
+  }
+
+  test("percentRankPpm is partition-layout independent") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 200).map(i => (s"g${i % 3}", (i * 37 % 50).toDouble)).toDF("grp", "v")
+    val a = Encoding.percentRankPpm(df, Seq("grp"), "v")
+      .orderBy("grp", "v", "pr_ppm").collect().toSeq
+    val b = Encoding.percentRankPpm(df.repartition(13, col("v")), Seq("grp"), "v")
+      .orderBy("grp", "v", "pr_ppm").collect().toSeq
+    assert(a == b)
+  }
 }
