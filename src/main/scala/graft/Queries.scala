@@ -5084,6 +5084,62 @@ object Queries {
       |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  // k-anonymity audit (Audit.kAnonymity): group sizes under the
+  // (nation, market-segment) quasi-identifier pair, the dataset's
+  // anonymity level (min group size), and the share of rows in groups
+  // below k=10 — re-identifiable by linkage through exactly those
+  // columns. The structured-data privacy screen beside the free-text
+  // PII tier (q52). One QI-keyed map-combined aggregation + a
+  // group-table rollup to a single row; integer ppm.
+  private val q150: Q = (s, dir) =>
+    Audit.kAnonymity(Tables.customer(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+
+  private val q150Sql =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+      |  min(n) AS k_anonymity,
+      |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+      |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  (CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(n) AS BIGINT) AS risk_ppm
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  // Incremental aggregate maintenance (Merge.summarize/mergeSummaries):
+  // the (status, year) revenue rollup maintained as base-summary ⊕
+  // delta-summary — pre-1998 facts never rescanned — while the ORACLE
+  // recomputes from ALL facts in one pass. Agreement PROVES
+  // merge(summarize(A), summarize(B)) ≡ summarize(A ∪ B): the
+  // self-decomposability that turns a 100 TB nightly rollup into one
+  // delta scan + a summary-sized merge (q82's register-merge
+  // discipline, for plain count/sum/min/max). The decimal sum keeps the
+  // merge exact under any order; double only at presentation.
+  private val q151: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val keys = Seq("o_orderstatus", "o_year")
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val base = Merge.summarize(
+      o.filter(col("o_orderdate") < cutoff), keys, "o_totalprice")
+    val delta = Merge.summarize(
+      o.filter(col("o_orderdate") >= cutoff), keys, "o_totalprice")
+    Merge.mergeSummaries(base, delta, keys)
+      .select(col("o_orderstatus"), col("o_year"),
+        col("n_rows"), col("sum_v").cast("double").as("sum_total"),
+        col("min_v"), col("max_v"))
+      .orderBy("o_orderstatus", "o_year")
+  }
+
+  private val q151Sql =
+    """SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_total,
+      |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5233,7 +5289,9 @@ object Queries {
     "q146_lateness_audit" -> q146,
     "q147_triangle_counts" -> q147,
     "q148_kcore" -> q148,
-    "q149_decile_table" -> q149
+    "q149_decile_table" -> q149,
+    "q150_k_anonymity" -> q150,
+    "q151_incremental_agg" -> q151
   )
 
   val oracles: Map[String, String] = Map(
@@ -5383,6 +5441,8 @@ object Queries {
     "q146_lateness_audit" -> q146Sql,
     "q147_triangle_counts" -> q147Sql,
     "q148_kcore" -> q148Sql,
-    "q149_decile_table" -> q149Sql
+    "q149_decile_table" -> q149Sql,
+    "q150_k_anonymity" -> q150Sql,
+    "q151_incremental_agg" -> q151Sql
   )
 }

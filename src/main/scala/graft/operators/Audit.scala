@@ -123,4 +123,36 @@ object Audit {
     val aggs = df.columns.toSeq.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: group sizes
+    * under `qiCols`, the dataset's anonymity level (the SMALLEST group —
+    * Sweeney's k), and how much of the table sits in groups below the
+    * required `k` (re-identifiable under linkage attack through exactly
+    * these columns). The privacy screen run before releasing or training
+    * on tabular data with demographic-ish columns; the PII redaction
+    * tier handles free text, this handles structure.
+    *
+    * NULL quasi-identifier values form their own group (SQL GROUP BY
+    * semantics — shared by the oracle engine): "unknown nation" is
+    * itself a linkable attribute value, so counting it as a group is
+    * the conservative reading.
+    *
+    * Scale shape: one map-combined aggregation to the QI group table,
+    * then a group-table-sized rollup to a single row — the fact table
+    * shuffles once, bounded by |QI value combinations|. Integer ppm, no
+    * doubles. Emits `(n_rows, n_groups, k_anonymity, n_violating_groups,
+    * n_rows_at_risk, risk_ppm)`. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__n")).as("k_anonymity"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("risk_ppm", expr("(n_rows_at_risk * 1000000) div n_rows"))
+  }
 }

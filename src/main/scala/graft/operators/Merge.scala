@@ -147,4 +147,43 @@ object Merge {
         lit(null).cast(j.schema("__ts").dataType).as("valid_to"): _*)
     closed.unionByName(fromOpen).unionByName(fromBatch)
   }
+
+  /** Mergeable per-key summary: count / exact-decimal sum / min / max of
+    * `valueCol` — the incremental-view-maintenance building block. The
+    * sum stays DECIMAL(38, scale) (not double) so merging partials is
+    * EXACT and order-independent; cast at presentation time. */
+  def summarize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      scale: Int = 4): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, scale)))
+          .as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Incremental aggregate maintenance: fold a DELTA batch's
+    * [[summarize]] table into the BASE summary without touching base
+    * FACTS — count/sum/min/max are self-decomposable, so
+    * `merge(summarize(A), summarize(B)) ≡ summarize(A ∪ B)` exactly
+    * (the decimal sum makes even the sum bit-stable under any merge
+    * order). This is why a 100 TB nightly rollup costs one delta scan
+    * plus a summary-table-sized merge instead of a full recompute — the
+    * same mergeability discipline as the HLL register tables (q82), for
+    * the plain-aggregate column set.
+    *
+    * Keys present only in base pass through untouched; delta-only keys
+    * appear new. Scale shape: the merge shuffles summary rows only
+    * (bounded by key cardinality), never facts. */
+  def mergeSummaries(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    base.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
 }

@@ -54,4 +54,29 @@ class AuditSpec extends SparkSpec {
     val r = Audit.nullCounts(df).collect()(0)
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
   }
+
+  test("kAnonymity: group sizes, risk share, null QI forms its own group") {
+    // groups: (n1,s1)x5, (n1,s2)x2, (n2,s1)x1, (NULL,s1)x2 → k-anonymity 1,
+    // violating (<3): 3 groups, 5 rows at risk of 10
+    val rows = Seq.fill(5)((Option(1), "s1")) ++ Seq.fill(2)((Option(1), "s2")) ++
+      Seq((Option(2), "s1")) ++ Seq.fill(2)((Option.empty[Int], "s1"))
+    val df = rows.toDF("nat", "seg")
+    val r = graft.operators.Audit.kAnonymity(df, Seq("nat", "seg"), k = 3).collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_groups") == 4L)
+    assert(r.getAs[Long]("k_anonymity") == 1L)
+    assert(r.getAs[Long]("n_violating_groups") == 3L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 5L)
+    assert(r.getAs[Long]("risk_ppm") == 500000L)
+  }
+
+  test("kAnonymity validates inputs") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      graft.operators.Audit.kAnonymity(df, Seq("x"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Audit.kAnonymity(df, Nil, k = 2)
+    }
+  }
 }

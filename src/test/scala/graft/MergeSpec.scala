@@ -96,4 +96,26 @@ class MergeSpec extends SparkSpec {
     assert(out.count() == 3L) // k=1 closed+opened, k=2 untouched
     assert(out.filter("k = 2 AND valid_to IS NULL").count() == 1L)
   }
+
+  test("mergeSummaries(summarize(A), summarize(B)) equals summarize(A union B) exactly") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 300).map(i => (s"k${rng.nextInt(6)}", rng.nextDouble() * 1000 - 200))
+    // arbitrary split, including a key that only appears on one side
+    val (a, b) = rows.splitAt(137)
+    val aDf = (a :+ (("onlyA", 42.5))).toDF("k", "v")
+    val bDf = (b :+ (("onlyB", -7.25))).toDF("k", "v")
+    val merged = Merge.mergeSummaries(
+        Merge.summarize(aDf, Seq("k"), "v"),
+        Merge.summarize(bDf, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().toSeq
+    val direct = Merge.summarize(aDf.unionByName(bDf), Seq("k"), "v")
+      .orderBy("k").collect().toSeq
+    assert(merged == direct) // bit-exact, decimal sums included
+  }
+
+  test("summarize sum stays decimal until presentation (merge order cannot drift)") {
+    val df = Seq(("k", 0.1), ("k", 0.2), ("k", 0.3)).toDF("k", "v")
+    val t = Merge.summarize(df, Seq("k"), "v").schema("sum_v").dataType
+    assert(t == org.apache.spark.sql.types.DecimalType(38, 4), t.toString)
+  }
 }
