@@ -4816,7 +4816,9 @@ object Queries {
 
   // ---------------------------------------------------------------- q142
   // Trailing-baseline daily anomalies (Diagnostics.slidingAnomalies):
-  // each (type, day) count tested against its OWN previous 7 days — the
+  // each (type, day) count tested against its own trailing 7 OBSERVED
+  // buckets (zero-event days are absent, so a sparse type's baseline
+  // spans however much wall-clock those 7 active days cover) — the
   // "spike vs recent baseline" alert, where q117 tests against the
   // all-time distribution. Verdict is the cross-multiplied integer
   // z-test ((7c − s)² > z²·(7ss − s²)); days with fewer than 7 trailing
@@ -4828,7 +4830,8 @@ object Queries {
       .orderBy("event_type", "bucket")
 
   private val q142Sql =
-    """WITH c AS (SELECT event_type, date_trunc('day', ts) AS bucket,
+    """WITH c AS (SELECT event_type,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
       |    count(*) AS n_rows
       |  FROM events GROUP BY 1, 2),
       |w AS (SELECT *,
@@ -4897,7 +4900,8 @@ object Queries {
   }
 
   private val q144Sql =
-    """WITH files AS (SELECT o_orderstatus, date_trunc('month', o_orderdate) AS month,
+    """WITH files AS (SELECT o_orderstatus,
+      |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
       |    count(*) * 128 AS bytes
       |  FROM orders GROUP BY 1, 2),
       |cum AS (SELECT *,
@@ -5048,7 +5052,10 @@ object Queries {
        |  WHERE ni * 10 >= (na.n + nb.n - ni) * 9),
        |u0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
        |$peels
-       |SELECT a AS node, count(*) AS degree FROM u8 GROUP BY 1
+       |SELECT a AS node, count(*) AS degree FROM u8
+       |WHERE (SELECT count(*) FROM u8) = (SELECT count(*) FROM u7)
+       |   OR error('q148 oracle: peel depth exceeds 8 rounds - u8 is not the fixpoint')
+       |GROUP BY 1
        |ORDER BY node""".stripMargin
   }
 
@@ -5110,7 +5117,7 @@ object Queries {
   // ---------------------------------------------------------------- q151
   // Incremental aggregate maintenance (Merge.summarize/mergeSummaries):
   // the (status, year) revenue rollup maintained as base-summary ⊕
-  // delta-summary — pre-1998 facts never rescanned — while the ORACLE
+  // delta-summary — pre-cutoff facts never rescanned — while the ORACLE
   // recomputes from ALL facts in one pass. Agreement PROVES
   // merge(summarize(A), summarize(B)) ≡ summarize(A ∪ B): the
   // self-decomposability that turns a 100 TB nightly rollup into one
@@ -5121,7 +5128,11 @@ object Queries {
     val o = Tables.orders(s, dir)
       .withColumn("o_year", year(col("o_orderdate")))
     val keys = Seq("o_orderstatus", "o_year")
-    val cutoff = lit("1998-01-01").cast("timestamp")
+    // MID-year cutoff: base and delta then SHARE every (status, 1997) key,
+    // so the gate exercises mergeSummaries' combine arithmetic itself — a
+    // year-boundary split would make the summaries key-disjoint and let a
+    // broken merge (e.g. min-for-max) pass oracle-green on single rows.
+    val cutoff = lit("1997-06-01").cast("timestamp")
     val base = Merge.summarize(
       o.filter(col("o_orderdate") < cutoff), keys, "o_totalprice")
     val delta = Merge.summarize(

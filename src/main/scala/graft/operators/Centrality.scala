@@ -36,6 +36,20 @@ import org.apache.spark.sql.functions._
   */
 object Centrality {
 
+  /** Node ids must be integral BEFORE the internal cast("long"): casting
+    * a string/decimal id silently nulls, and the null edges then filter
+    * away — an empty "result" instead of an error (the
+    * [[Dedup.bestSurvivorLosers]] loud-rejection rule). */
+  private def requireIntegralNodes(df: DataFrame, cols: Seq[String], op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"$op needs integral node id columns; $c is $t " +
+          "(cast('long') of other types silently nulls — map ids first)")
+    }
+  }
+
   /** PageRank over an UNDIRECTED graph given as distinct (srcCol, dstCol)
     * pairs (each pair listed once, e.g. `doc_a < doc_b`; the mirror
     * direction is added internally). Every node of the graph appears in
@@ -104,6 +118,7 @@ object Centrality {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    requireIntegralNodes(edges, Seq(srcCol, dstCol), "triangleCounts")
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
@@ -164,6 +179,7 @@ object Centrality {
       maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    requireIntegralNodes(edges, Seq(srcCol, dstCol), "kCore")
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))

@@ -120,6 +120,11 @@ object Layout {
     * pushes the boundary forward (its group is still shared with files
     * that started before it filled — div-packing never splits a file).
     *
+    * `orderCols` must be a TOTAL order within each partition (append the
+    * file path/id as tiebreak): ties would let the running sum — and so
+    * group assignment — vary across shuffle layouts, the
+    * [[graft.operators.Diagnostics.latenessAudit]] determinism rule.
+    *
     * Scale shape: the plan is computed on the file INVENTORY (metadata,
     * ~rows = files), not the data; the cumulative sum windows per
     * `partitionCols` (empty ⇒ one global sequence — fine for one table's

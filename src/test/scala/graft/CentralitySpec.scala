@@ -118,6 +118,14 @@ class CentralitySpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("triangleCounts and kCore reject non-integral node ids loudly") {
+    val e = Seq(("a", "b")).toDF("x", "y")
+    val t = intercept[IllegalArgumentException] { Centrality.triangleCounts(e, "x", "y") }
+    assert(t.getMessage.contains("integral"))
+    val k = intercept[IllegalArgumentException] { Centrality.kCore(e, "x", "y", 2) }
+    assert(k.getMessage.contains("integral"))
+  }
+
   test("triangleCounts: orientation/duplicate-insensitive, matches brute force on random graphs") {
     val rng = new scala.util.Random(7)
     val pairs = (1 to 120).map(_ => (rng.nextInt(15).toLong, rng.nextInt(15).toLong))

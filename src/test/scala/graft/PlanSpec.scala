@@ -431,16 +431,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q141 prefix-filter simjoin: equi-joins only, generate stays in codegen") {
-    val p = plan(SparkEntry.queries("q141_simjoin_prefix")(spark, sf))
+    val df = SparkEntry.queries("q141_simjoin_prefix")(spark, sf)
+    df.collect() // AQE finalizes the plan (q21 precedent)
+    val p = df.queryExecution.executedPlan.toString()
     // candidates come ONLY from the prefix-token equi-join; any
     // nested-loop/cartesian node would be the all-pairs comparison the
     // prefix filter exists to avoid
     assert(!p.contains("CartesianProduct"), p.take(4000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     // the shingle explode must ride whole-stage codegen (the position-
-    // sequence staging rule) — a Generate outside any codegen span is the
-    // 10x interpreted fallback
-    assert(p.contains("Generate"), p.take(4000))
+    // sequence staging rule): every Generate line must carry the `*(n)`
+    // span marker — a bare Generate is the 10x interpreted fallback the
+    // explode-over-transform form regresses to
+    // AQE prints the pre-codegen "Initial Plan" section after the final
+    // plan — only the FINAL section carries the `*(n)` markers
+    val finalPlan = p.split("== Initial Plan ==").head
+    val gens = finalPlan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty, finalPlan.take(4000))
+    assert(gens.forall(_.contains("*(")),
+      s"Generate outside whole-stage codegen:\n${gens.mkString("\n")}")
   }
 
   test("q142 sliding anomalies: one bucket rollup + one window, join-free") {
