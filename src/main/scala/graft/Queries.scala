@@ -5151,6 +5151,49 @@ object Queries {
       |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  // Interval overlap join (AsOfJoin.intervalOverlapJoin): open-order
+  // 5-day windows × finished-order 3-day windows within the same
+  // priority class — which in-flight orders ran CONCURRENTLY with which
+  // completed ones. Spark has no interval join; the naive range
+  // condition plans a nested loop (PlanSpec pins none here). The binned
+  // form registers each interval in the 7-day cells its span touches,
+  // meets candidates in a (priority, cell) HASH join, verifies overlap
+  // row-locally, and emits each pair only from its first shared cell (a
+  // row-local predicate — dedup without a distinct shuffle). The oracle
+  // is METHOD-independent: DuckDB's own range join on the raw overlap
+  // condition, no cells anywhere.
+  private val q152: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val day = 24L * 3600 * 1000000
+    val lhs = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), col("o_orderkey").as("l_key"),
+        col("o_orderdate").as("l_start"),
+        (col("o_orderdate") + expr("make_interval(0, 0, 0, 5)")).as("l_end"))
+    val rhs = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), col("o_orderkey").as("r_key"),
+        col("o_orderdate").as("r_start"),
+        (col("o_orderdate") + expr("make_interval(0, 0, 0, 3)")).as("r_end"))
+    AsOfJoin.intervalOverlapJoin(lhs, rhs, Seq("o_orderpriority"),
+        "l_start", "l_end", "r_start", "r_end", binWidthUs = 7L * day)
+      .groupBy(col("o_orderpriority"), col("l_key"))
+      .agg(count(lit(1)).as("n_overlaps"), min(col("r_key")).as("first_match"))
+      .orderBy("o_orderpriority", "l_key")
+  }
+
+  private val q152Sql =
+    """WITH l AS (SELECT o_orderpriority, o_orderkey AS l_key,
+      |    o_orderdate AS ls, o_orderdate + INTERVAL 5 DAY AS le
+      |  FROM orders WHERE o_orderstatus = 'O'),
+      |r AS (SELECT o_orderpriority, o_orderkey AS r_key,
+      |    o_orderdate AS rs, o_orderdate + INTERVAL 3 DAY AS re
+      |  FROM orders WHERE o_orderstatus = 'F')
+      |SELECT l.o_orderpriority, l_key, count(*) AS n_overlaps,
+      |  min(r_key) AS first_match
+      |FROM l JOIN r ON l.o_orderpriority = r.o_orderpriority
+      |  AND ls <= re AND rs <= le
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5302,7 +5345,8 @@ object Queries {
     "q148_kcore" -> q148,
     "q149_decile_table" -> q149,
     "q150_k_anonymity" -> q150,
-    "q151_incremental_agg" -> q151
+    "q151_incremental_agg" -> q151,
+    "q152_interval_join" -> q152
   )
 
   val oracles: Map[String, String] = Map(
@@ -5454,6 +5498,7 @@ object Queries {
     "q148_kcore" -> q148Sql,
     "q149_decile_table" -> q149Sql,
     "q150_k_anonymity" -> q150Sql,
-    "q151_incremental_agg" -> q151Sql
+    "q151_incremental_agg" -> q151Sql,
+    "q152_interval_join" -> q152Sql
   )
 }

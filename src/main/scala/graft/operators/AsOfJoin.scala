@@ -69,4 +69,79 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(outCols: _*)
   }
+
+  /** Interval OVERLAP join — the second temporal join Spark's built-in
+    * surface lacks (validity windows × validity windows: outages ×
+    * sessions, promo windows × orders, SCD2 × SCD2). A naive range
+    * condition plans a nested-loop/cartesian and dies quadratically; this
+    * is the standard BINNED equi-join form instead: the time line is cut
+    * into fixed `binWidthUs` cells, each interval registers in the cells
+    * its span touches (`trunc(start/w) .. trunc(end/w)` — a
+    * sequence-explode, codegen-friendly), and candidates meet in a pure
+    * (keys, cell) hash join, then verify the closed-interval overlap
+    * `s1 ≤ e2 ∧ s2 ≤ e1` row-locally.
+    *
+    * Overlapping intervals share a point, hence share that point's cell —
+    * no recall loss for ANY monotone partition of the line. A pair
+    * sharing several cells would duplicate, so it is emitted ONLY from
+    * its first shared cell (`cell = max(cellOf(s1), cellOf(s2))` — a
+    * row-local predicate), which dedups without a distinct shuffle.
+    *
+    * Choose `binWidthUs` near the TYPICAL interval length: fan-out per
+    * row is `span/width + 1` cells (too narrow explodes the index; too
+    * wide piles unrelated intervals into one cell — the same tuning as
+    * every spatial grid here, see [[graft.operators.Spatial]]). Shuffle
+    * is cells-registered-sized; nothing is ever left × right.
+    *
+    * `left`/`right` columns pass through (aside from the shared `keys`,
+    * names must not collide — alias first). Timestamps are integer
+    * microseconds end-to-end; closed intervals, `start ≤ end` required
+    * at runtime (a reversed interval silently matches nothing under
+    * verify — fail it loudly instead). `keys` may be empty (pure
+    * temporal join): the cells alone then carry the join, with the skew
+    * caveat that implies. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      binWidthUs: Long): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    def cells(df: DataFrame, s: String, e: String): DataFrame = {
+      // cast: parquet NTZ timestamps must pass through the session zone
+      // (UTC here) before unix_micros, which requires the TZ type
+      val su = unix_micros(col(s).cast("timestamp"))
+      val eu = unix_micros(col(e).cast("timestamp"))
+      df
+        .withColumn("__chk",
+          when(su > eu, raise_error(lit(
+            s"intervalOverlapJoin: reversed interval ($s > $e)"))).otherwise(lit(0)))
+        .withColumn("__su", su)
+        .withColumn("__eu", eu)
+        .withColumn("__cell",
+          explode(sequence(expr(s"__su div $binWidthUs"),
+            expr(s"__eu div $binWidthUs"))))
+        .drop("__chk")
+    }
+    val l = cells(left, lStart, lEnd).as("l")
+    val r = cells(right, rStart, rEnd).as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+    val cond = (keyCond :+
+      (col("l.__cell") === col("r.__cell")) :+
+      (col("l.__su") <= col("r.__eu")) :+
+      (col("r.__su") <= col("l.__eu")) :+
+      // first-shared-cell emit: dedups multi-cell pairs row-locally
+      (col("l.__cell") ===
+        greatest(expr(s"l.__su div $binWidthUs"), expr(s"r.__su div $binWidthUs"))))
+      .reduce(_ && _)
+    val rightKeep = right.columns.filterNot(keys.contains)
+    l.join(r, cond)
+      .select(
+        keys.map(k => col(s"l.$k")) ++
+          left.columns.filterNot(keys.contains).map(c => col(s"l.$c")) ++
+          rightKeep.map(c => col(s"r.$c")): _*)
+  }
 }

@@ -140,4 +140,69 @@ class AsOfRangeSpec extends SparkSpec {
       assert(math.abs(approx(g) - d).toDouble / d < 0.10, s"group $g: $d vs ${approx(g)}")
     }
   }
+
+  // fixture times are MILLISECONDS (Timestamp ctor unit); µs = ms·1000
+  private def iv(key: String, id: Long, s: Long, e: Long) = {
+    import java.sql.Timestamp
+    (key, id, new Timestamp(s), new Timestamp(e))
+  }
+
+  test("intervalOverlapJoin: closed endpoints, key separation, multi-cell pairs emit once") {
+    import graft.operators.AsOfJoin
+    val l = Seq(
+      iv("k", 1L, 0L, 100000L),        // overlaps r1/r2, touches r3 at 100000
+      iv("k", 2L, 500000L, 600000L),   // overlaps nothing
+      iv("k", 3L, 0L, 10000000L),      // spans MANY 7s cells; overlaps r1/r2/r3/r4
+      iv("z", 4L, 0L, 100000L)         // other key: must not see k's rights
+    ).toDF("key", "l_id", "l_s", "l_e")
+    val r = Seq(
+      iv("k", 11L, 50000L, 70000L),
+      iv("k", 12L, 90000L, 150000L),
+      iv("k", 13L, 100000L, 200000L),  // touches l1's end exactly -> closed match
+      iv("k", 14L, 9000000L, 9500000L),
+      iv("z", 15L, 99000L, 99500L)
+    ).toDF("key", "r_id", "r_s", "r_e")
+    // 700 s cells: l3 (10,000 s span) registers in ~15 cells — the
+    // multi-cell dedup path is genuinely exercised
+    val got = AsOfJoin.intervalOverlapJoin(l, r, Seq("key"),
+        "l_s", "l_e", "r_s", "r_e", binWidthUs = 700000000L)
+      .select("key", "l_id", "r_id").as[(String, Long, Long)].collect().toSeq
+    // no duplicate pairs even though l3 shares many cells with each right
+    assert(got.size == got.distinct.size, s"duplicated pairs: $got")
+    assert(got.toSet == Set(
+      ("k", 1L, 11L), ("k", 1L, 12L), ("k", 1L, 13L),
+      ("k", 3L, 11L), ("k", 3L, 12L), ("k", 3L, 13L), ("k", 3L, 14L),
+      ("z", 4L, 15L)))
+  }
+
+  test("intervalOverlapJoin matches brute force across bin widths; reversed interval fails loudly") {
+    import graft.operators.AsOfJoin
+    val rng = new scala.util.Random(3)
+    val ls = (1L to 60L).map { i =>
+      val s = rng.nextInt(1000000).toLong; iv(s"k${i % 2}", i, s, s + rng.nextInt(300000))
+    }
+    val rs = (101L to 160L).map { i =>
+      val s = rng.nextInt(1000000).toLong; iv(s"k${i % 2}", i, s, s + rng.nextInt(300000))
+    }
+    val brute = (for {
+      (lk, li, lsrt, lend) <- ls; (rk, ri, rsrt, rend) <- rs
+      if lk == rk && lsrt.getTime <= rend.getTime && rsrt.getTime <= lend.getTime
+    } yield (lk, li, ri)).toSet
+    val lDf = ls.toDF("key", "l_id", "l_s", "l_e")
+    val rDf = rs.toDF("key", "r_id", "r_s", "r_e")
+    // narrow (≈6 cells/interval), medium, and one-cell-for-everything
+    for (w <- Seq(50000000L, 1000000000L, 10000000000000L)) {
+      val got = AsOfJoin.intervalOverlapJoin(lDf, rDf, Seq("key"),
+          "l_s", "l_e", "r_s", "r_e", binWidthUs = w)
+        .select("key", "l_id", "r_id").as[(String, Long, Long)].collect()
+      assert(got.length == got.distinct.length, s"dup pairs at width $w")
+      assert(got.toSet == brute, s"mismatch at width $w")
+    }
+    val bad = Seq(iv("k", 1L, 100L, 50L)).toDF("key", "l_id", "l_s", "l_e")
+    val e = intercept[Exception] {
+      AsOfJoin.intervalOverlapJoin(bad, rDf, Seq("key"),
+        "l_s", "l_e", "r_s", "r_e", binWidthUs = 1000L).count()
+    }
+    assert(e.getMessage.contains("reversed interval"))
+  }
 }

@@ -471,6 +471,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q152 interval join: binned HASH join — the range condition never plans a nested loop") {
+    val p = plan(SparkEntry.queries("q152_interval_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q147 triangle counts: wedge closure is an equi-join, never a nested loop") {
     val p = plan(SparkEntry.queries("q147_triangle_counts")(spark, sf))
     // the closure probe matches the canonical a<b edge list on both wedge
