@@ -701,21 +701,28 @@ object Dedup {
       .withColumn("__plen",
         expr(s"__sz - ((__sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
     val prefix = ordered.select(col("__doc"), col("__sz"),
-      explode(slice(col("__tk"), lit(1), col("__plen"))).as("__t"))
+      posexplode(slice(col("__tk"), lit(1), col("__plen"))).as(Seq("__i", "__t")))
     val indexed =
       if (maxPrefixFreq <= 0) prefix
       else prefix.join(
         prefix.groupBy(col("__t")).agg(count(lit(1)).as("__pf"))
           .filter(col("__pf") <= maxPrefixFreq).select(col("__t")),
         Seq("__t"), "left_semi")
-    // Prefix-prefix candidates with the length filter folded into the join
-    // condition (τ|A| ≤ |B| ≤ |A|/τ — cross-multiplied, no division):
-    // pairs failing it cannot reach τ and would only inflate the distinct.
+    // Prefix-prefix candidates with the LENGTH filter (τ|A| ≤ |B| ≤ |A|/τ)
+    // and PPJoin's POSITION filter folded into the join condition, both as
+    // integer cross-multiplies: a token matched at 0-based positions
+    // (i, j) caps the overlap at min(|A|−i, |B|−j), and a qualifying pair
+    // needs overlap ≥ ⌈τ·max(|A|,|B|)⌉ — the pair's globally-smallest
+    // common token always passes (every common element sits at or after
+    // it in both sorted sets), so the cut loses nothing while dropping
+    // deep-prefix matches before the distinct.
     val cand = indexed.as("a")
       .join(indexed.as("b"),
         col("a.__t") === col("b.__t") && col("a.__doc") < col("b.__doc") &&
           col("b.__sz") * tauDen >= col("a.__sz") * tauNum &&
-          col("a.__sz") * tauDen >= col("b.__sz") * tauNum)
+          col("a.__sz") * tauDen >= col("b.__sz") * tauNum &&
+          least(col("a.__sz") - col("a.__i"), col("b.__sz") - col("b.__i")) * tauDen >=
+            greatest(col("a.__sz"), col("b.__sz")) * tauNum)
       .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
       .distinct()
     // Exact verify: both sorted arrays join back by doc id; intersection is
