@@ -5194,6 +5194,80 @@ object Queries {
       |  AND ls <= re AND rs <= le
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+  // Per-language dominant source (Rollup.groupMode): the "top category"
+  // row of a profiling report — mode value, count, share in integer ppm,
+  // and the distinct-value count beside it. Struct-max tie-break (count,
+  // then larger value) keeps the election deterministic where SQL's
+  // any-value mode is plan-dependent. Shuffle bounded by lang × source
+  // cardinality.
+  private val q153: Q = (s, dir) =>
+    Rollup.groupMode(Tables.documents(s, dir), Seq("lang"), "source")
+      .orderBy("lang")
+
+  private val q153Sql =
+    """WITH c AS (SELECT lang, source AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |m AS (SELECT lang, v, c,
+      |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, v DESC) AS rn,
+      |    sum(c) OVER (PARTITION BY lang) AS nr,
+      |    count(*) OVER (PARTITION BY lang) AS nd
+      |  FROM c)
+      |SELECT lang, v AS mode_value, c AS mode_count,
+      |  CAST(nr AS BIGINT) AS n_rows, CAST(nd AS BIGINT) AS n_distinct_values,
+      |  (c * 1000000) // CAST(nr AS BIGINT) AS mode_share_ppm
+      |FROM m WHERE rn = 1 ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+  // Run-length spectrum (Funnel.valueRuns): collapse each user's ordered
+  // event stream into runs of consecutive equal event types
+  // (gaps-and-islands, the row_number−row_number trick on ONE window
+  // shuffle), then the per-type histogram of run lengths — how "bursty"
+  // each event type is. The state-segment primitive whose run table
+  // also feeds the interval join (q152).
+  private val q154: Q = (s, dir) =>
+    Funnel.valueRuns(Tables.events(s, dir), "user_id", "event_type",
+        Seq("ts", "event_id"))
+      .groupBy(col("event_type"), col("run_length"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("event_type", "run_length")
+
+  private val q154Sql =
+    """WITH o AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rv
+      |  FROM events),
+      |runs AS (SELECT user_id, event_type, ra - rv AS grp, count(*) AS run_length
+      |  FROM o GROUP BY 1, 2, 3)
+      |SELECT event_type, run_length, count(*) AS n_runs
+      |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  // Traffic concentration (Diagnostics.topContributorShare): per event
+  // type, the share of events its top-10 users account for, in integer
+  // ppm — the power-user/monoculture screen that tunes per-contributor
+  // caps (q102). The top-k election is the bounded TopKAgg aggregate (k
+  // pairs per group cross the exchange, no row_number window); ties
+  // break (count DESC, id ASC) — replayed exactly by the oracle's
+  // row_number.
+  private val q155: Q = (s, dir) =>
+    Diagnostics.topContributorShare(Tables.events(s, dir),
+        Seq("event_type"), "user_id", k = 10)
+      .orderBy("event_type")
+
+  private val q155Sql =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY c DESC, user_id ASC) AS rn FROM c)
+      |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+      |  count(*) AS n_contributors,
+      |  CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) AS topk_rows,
+      |  (CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(c) AS BIGINT) AS topk_share_ppm
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5346,7 +5420,10 @@ object Queries {
     "q149_decile_table" -> q149,
     "q150_k_anonymity" -> q150,
     "q151_incremental_agg" -> q151,
-    "q152_interval_join" -> q152
+    "q152_interval_join" -> q152,
+    "q153_group_mode" -> q153,
+    "q154_run_lengths" -> q154,
+    "q155_concentration" -> q155
   )
 
   val oracles: Map[String, String] = Map(
@@ -5499,6 +5576,9 @@ object Queries {
     "q149_decile_table" -> q149Sql,
     "q150_k_anonymity" -> q150Sql,
     "q151_incremental_agg" -> q151Sql,
-    "q152_interval_join" -> q152Sql
+    "q152_interval_join" -> q152Sql,
+    "q153_group_mode" -> q153Sql,
+    "q154_run_lengths" -> q154Sql,
+    "q155_concentration" -> q155Sql
   )
 }

@@ -245,6 +245,50 @@ object Diagnostics {
         sum(col("__late")).as("total_late_us"))
   }
 
+  /** Traffic-concentration audit: per group, what share of rows the top-k
+    * contributors account for, in integer ppm — the "is this segment a
+    * few power users or a broad base" screen (and, for training data,
+    * the "does one crawl host dominate this source" check that decides a
+    * per-contributor cap, [[graft.operators.Sampling.capPerGroup]]'s
+    * tuning input).
+    *
+    * The top-k election is the bounded [[graft.plans.TopKAgg]] aggregate
+    * — the exchange carries k (count, id) pairs per group, no
+    * row_number window, no sort of the contributor table; ties break
+    * (count DESC, id ASC), deterministic on any layout. Contributor ids
+    * must be integral (TopKAgg's id leg — loud require, the
+    * [[graft.operators.Dedup.bestSurvivorLosers]] rule).
+    *
+    * Scale shape: one map-combined rollup to (group, contributor)
+    * counts, one k-bounded aggregation over it. Emits per group:
+    * `(n_rows, n_contributors, topk_rows, topk_share_ppm)`. */
+  def topContributorShare(
+      df: DataFrame,
+      groupCols: Seq[String],
+      contributorCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(contributorCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"topContributorShare needs an integral contributor column; " +
+        s"$contributorCol is $idType")
+    val g = groupCols.map(col)
+    df
+      .groupBy(g :+ col(contributorCol).as("__id"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_contributors"),
+        graft.plans.GraftFunctions.topK(
+          col("__c").cast("double"), col("__id").cast("long"), k).as("__t"))
+      .withColumn("topk_rows",
+        aggregate(col("__t"), lit(0L), (acc, x) => acc + x.getField("ord").cast("long")))
+      .withColumn("topk_share_ppm", expr("(topk_rows * 1000000) div n_rows"))
+      .drop("__t")
+  }
+
   /** Per-dimension embedding health audit: for every vector dimension, the
     * count, zero-count, exact sum and exact variance numerator of the
     * quantized coordinate — the "dead / collapsed dimension" check a

@@ -158,4 +158,41 @@ object Funnel {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Gaps-and-islands: collapse each key's ordered event stream into RUNS
+    * of consecutive equal `valueCol` — the state-segment table (device
+    * online/offline spans, user plan periods, sensor regimes) that turns
+    * an event log into intervals [[graft.operators.AsOfJoin]] can join.
+    * The classic `row_number − row_number` trick: within a key, the
+    * difference between the global sequence and the per-(key, value)
+    * sequence is constant exactly along a run.
+    *
+    * `orderCols` must totally order each key's stream (append a unique
+    * id — the [[graft.operators.Layout.compactionPlan]] determinism
+    * rule). Output: one row per run with the run's value, start/end
+    * order keys (min/max of the FIRST order column), and length.
+    *
+    * Scale shape: ONE key-partitioned window shuffle serves both
+    * row_numbers (same partitioning, same sort), then a map-combined
+    * rollup to runs — run count ≤ rows, never a join. */
+  def valueRuns(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    import org.apache.spark.sql.expressions.Window
+    val ord = orderCols.map(col)
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val wVal = Window.partitionBy(col(keyCol), col(valueCol)).orderBy(ord: _*)
+    df
+      .withColumn("__grp",
+        row_number().over(wAll) - row_number().over(wVal))
+      .groupBy(col(keyCol), col(valueCol), col("__grp"))
+      .agg(
+        min(col(orderCols.head)).as("run_start"),
+        max(col(orderCols.head)).as("run_end"),
+        count(lit(1)).as("run_length"))
+      .drop("__grp")
+  }
 }

@@ -168,6 +168,37 @@ object Rollup {
           lit(math.pow(2.0, maxSteps))).as("decayed_score"))
   }
 
+  /** Per-group MODE profile: the most frequent `valueCol` per group with
+    * its count, the group's row total, distinct-value count, and the
+    * mode's share in integer ppm — the "dominant category" row of a
+    * profiling report (top value of a categorical column, most common
+    * event type per user segment). Ties break DETERMINISTICALLY toward
+    * the larger value (struct-max on (count, value) — plan- and
+    * partitioning-independent where SQL's any-value mode is not).
+    *
+    * Scale shape: one map-combined rollup to (group, value) counts, one
+    * group-keyed struct-max over that counts table — shuffle bounded by
+    * group × value cardinality, never rows. */
+  def groupMode(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(
+        max(struct(col("__c"), col("__v"))).as("__m"),
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_distinct_values"))
+      .select(g ++ Seq(
+        col("__m.__v").as("mode_value"),
+        col("__m.__c").as("mode_count"),
+        col("n_rows"), col("n_distinct_values"),
+        expr("(__m.__c * 1000000) div n_rows").as("mode_share_ppm")): _*)
+  }
+
   /** Gap-filled daily series with forward fill: for every key, a COMPLETE
     * day spine from its first to its last observation, carrying each
     * day's closing value forward across the gaps — the

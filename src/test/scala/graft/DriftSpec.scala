@@ -158,6 +158,23 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("total_late_us") == (25L + 32L) * 60 * 1000000)
   }
 
+  test("topContributorShare: bounded top-k election, tie-break, integral-id guard") {
+    // group g: contributors 1x5, 2x3, 3x3, 4x1 -> top-2 = {1, 2} (tie 2/3
+    // at 3 breaks toward the SMALLER id) -> 8 of 12 rows = 666666 ppm
+    val rows = Seq.fill(5)(("g", 1L)) ++ Seq.fill(3)(("g", 2L)) ++
+      Seq.fill(3)(("g", 3L)) :+ (("g", 4L))
+    val r = Diagnostics.topContributorShare(rows.toDF("grp", "uid"),
+      Seq("grp"), "uid", k = 2).collect().head
+    assert(r.getAs[Long]("n_rows") == 12L)
+    assert(r.getAs[Long]("n_contributors") == 4L)
+    assert(r.getAs[Long]("topk_rows") == 8L)
+    assert(r.getAs[Long]("topk_share_ppm") == 666666L)
+    intercept[IllegalArgumentException] {
+      Diagnostics.topContributorShare(
+        Seq(("g", "s")).toDF("grp", "uid"), Seq("grp"), "uid", k = 2)
+    }
+  }
+
   test("interArrivalSpectrum: bit-length buckets, band bounds, first events excluded") {
     import java.sql.Timestamp
     def ts(x: String) = Timestamp.valueOf(x)

@@ -129,4 +129,35 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 1L, 1L, 0.5),
       ("2024-01-08", 0L, 1L, 1.0)))
   }
+
+  test("valueRuns: islands split on value change, interleaved keys stay separate") {
+    import graft.operators.Funnel
+    // user 1: a a b a a a  -> runs a:2, b:1, a:3 (the second 'a' run must
+    // NOT merge with the first across the 'b' island)
+    // user 2: b b          -> one run b:2
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "b", 3L),
+      (1L, "a", 4L), (1L, "a", 5L), (1L, "a", 6L),
+      (2L, "b", 1L), (2L, "b", 2L)
+    ).toDF("user_id", "v", "seq")
+    val runs = Funnel.valueRuns(ev, "user_id", "v", Seq("seq"))
+      .select("user_id", "v", "run_start", "run_end", "run_length")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(runs == Set(
+      (1L, "a", 1L, 2L, 2L), (1L, "b", 3L, 3L, 1L), (1L, "a", 4L, 6L, 3L),
+      (2L, "b", 1L, 2L, 2L)))
+  }
+
+  test("valueRuns is partition-layout independent") {
+    import graft.operators.Funnel
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(9)
+    val ev = (1L to 500L).map(i => (i % 7, Seq("x", "y", "z")(rng.nextInt(3)), i))
+      .toDF("user_id", "v", "seq")
+    val a = Funnel.valueRuns(ev, "user_id", "v", Seq("seq"))
+      .orderBy("user_id", "run_start").collect().toSeq
+    val b = Funnel.valueRuns(ev.repartition(11, col("seq")), "user_id", "v", Seq("seq"))
+      .orderBy("user_id", "run_start").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -97,6 +97,19 @@ class RollupSpec extends SparkSpec {
       (2L, ts("2024-01-02 00:00:00"), 7.0, true)))
   }
 
+  test("groupMode: counts, deterministic larger-value tie-break, share ppm") {
+    val df = Seq(
+      ("g", "x"), ("g", "x"), ("g", "y"), ("g", "y"), ("g", "z"), // tie x/y at 2 -> y wins
+      ("h", "only")
+    ).toDF("grp", "v")
+    val got = Rollup.groupMode(df, Seq("grp"), "v")
+      .select("grp", "mode_value", "mode_count", "n_rows", "n_distinct_values", "mode_share_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("g", "y", 2L, 5L, 3L, 400000L),
+      ("h", "only", 1L, 1L, 1L, 1000000L)))
+  }
+
   test("forwardFillDaily closing election breaks same-timestamp ties by the tie column") {
     val ev = Seq(
       (1L, ts("2024-01-01 09:00:00"), 5.0, 10L),
