@@ -5268,6 +5268,63 @@ object Queries {
       |    // CAST(sum(c) AS BIGINT) AS topk_share_ppm
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  // l-diversity audit (Audit.lDiversity) — q150's companion: a
+  // k-anonymous group still leaks when every member shares the
+  // sensitive value (homogeneity attack), so per (nation, segment) QI
+  // group count DISTINCT account-balance SIGNS (negative/zero/positive
+  // as the sensitive attribute) and report the min and the rows in
+  // groups below l=2. Shuffle bounded at (QI, sensitive) pair
+  // cardinality — never a count_distinct fan over rows.
+  private val q156: Q = (s, dir) =>
+    Audit.lDiversity(
+      Tables.customer(s, dir)
+        .withColumn("bal_sign", signum(col("c_acctbal")).cast("int")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_sign", l = 2)
+
+  private val q156Sql =
+    """WITH p AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(sign(c_acctbal) AS INTEGER) AS s, count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |g AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(sum(n) AS BIGINT) AS rows_g, count(*) AS l
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(sum(rows_g) AS BIGINT) AS n_rows, count(*) AS n_groups,
+      |  min(l) AS l_diversity,
+      |  CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous_groups,
+      |  CAST(sum(CASE WHEN l < 2 THEN rows_g ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  (CAST(sum(CASE WHEN l < 2 THEN rows_g ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(rows_g) AS BIGINT) AS risk_ppm
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  // Weekday seasonality (Rollup.seasonalityProfile): per event type and
+  // day-of-week, the count and the per-day-rate index in integer ppm
+  // against the type's own average day — normalized by how many
+  // calendar days of each weekday the data actually contains, so a
+  // ragged observation window cannot fake seasonality. No double
+  // anywhere: (c_dow·D·10⁶) div (c_tot·d_dow). Spark dayofweek ≡
+  // DuckDB dayofweek+1 (both Sunday-based).
+  private val q157: Q = (s, dir) =>
+    Rollup.seasonalityProfile(Tables.events(s, dir), Seq("event_type"), "ts")
+      .orderBy("event_type", "dow")
+
+  private val q157Sql =
+    """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+      |  FROM events WHERE ts IS NOT NULL),
+      |cal AS (SELECT dow, count(*) AS days_of_dow FROM
+      |  (SELECT DISTINCT day, dow FROM b) GROUP BY 1),
+      |d AS (SELECT CAST(sum(days_of_dow) AS BIGINT) AS total_days FROM cal),
+      |pd AS (SELECT event_type, dow, count(*) AS n_events FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+      |  FROM pd GROUP BY 1)
+      |SELECT pd.event_type, pd.dow, pd.n_events, cal.days_of_dow,
+      |  (pd.n_events * d.total_days * 1000000) // (t.tot * cal.days_of_dow)
+      |    AS index_ppm
+      |FROM pd JOIN cal USING (dow) JOIN t ON t.event_type = pd.event_type, d
+      |ORDER BY pd.event_type, pd.dow""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5423,7 +5480,9 @@ object Queries {
     "q152_interval_join" -> q152,
     "q153_group_mode" -> q153,
     "q154_run_lengths" -> q154,
-    "q155_concentration" -> q155
+    "q155_concentration" -> q155,
+    "q156_l_diversity" -> q156,
+    "q157_seasonality" -> q157
   )
 
   val oracles: Map[String, String] = Map(
@@ -5579,6 +5638,8 @@ object Queries {
     "q152_interval_join" -> q152Sql,
     "q153_group_mode" -> q153Sql,
     "q154_run_lengths" -> q154Sql,
-    "q155_concentration" -> q155Sql
+    "q155_concentration" -> q155Sql,
+    "q156_l_diversity" -> q156Sql,
+    "q157_seasonality" -> q157Sql
   )
 }

@@ -155,4 +155,41 @@ object Audit {
         sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_at_risk"))
       .withColumn("risk_ppm", expr("(n_rows_at_risk * 1000000) div n_rows"))
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
+    * al.): a QI group can be large (k-anonymous) yet still leak when
+    * every member SHARES the sensitive value, so per QI group this
+    * counts DISTINCT sensitive values and reports the dataset's
+    * diversity level (the minimum — distinct-l-diversity) plus how much
+    * of the table sits in groups below the required `l` (homogeneity
+    * attack surface). Null sensitive values count as a value (they are
+    * an inference too).
+    *
+    * Scale shape: one aggregation to (QI, sensitive) pairs (map-side
+    * combined — this bounds the shuffle at pair cardinality, not rows,
+    * unlike a direct count_distinct fan), one rollup to QI groups, one
+    * to the single audit row. */
+  def lDiversity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    val g = qiCols.map(col)
+    df
+      .groupBy(g :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(g: _*)
+      .agg(sum(col("__n")).as("__rows"), count(lit(1)).as("__l"))
+      .agg(
+        sum(col("__rows")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__l")).as("l_diversity"),
+        sum(when(col("__l") < l, 1L).otherwise(0L)).as("n_homogeneous_groups"),
+        sum(when(col("__l") < l, col("__rows")).otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("risk_ppm", expr("(n_rows_at_risk * 1000000) div n_rows"))
+  }
 }

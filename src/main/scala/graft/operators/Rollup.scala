@@ -199,6 +199,50 @@ object Rollup {
         expr("(__m.__c * 1000000) div n_rows").as("mode_share_ppm")): _*)
   }
 
+  /** Day-of-week seasonality profile: per group and weekday, the event
+    * count and a seasonal INDEX in integer ppm — the group's per-day
+    * rate on that weekday relative to its overall per-day rate
+    * (1 000 000 = flat; 2 000 000 = twice the average day). The
+    * weekday-mix fingerprint capacity planning and anomaly baselining
+    * read first; computed without a single double:
+    * `index_ppm = (c_dow · D · 10⁶) div (c_total · d_dow)` with `d_dow`
+    * the number of distinct calendar days of that weekday IN THE DATA
+    * (so a short or ragged observation window cannot bias the rates)
+    * and `D = Σ d_dow`.
+    *
+    * Weekday numbering is Spark `dayofweek` (1 = Sunday … 7 = Saturday).
+    * Rows with a null timestamp are dropped.
+    *
+    * Scale shape: one map-combined rollup to (group, dow) counts; the
+    * calendar (≤ 7 rows after a distinct over observed days — itself
+    * map-combined) and the per-group totals broadcast back. Output is
+    * groups × 7. */
+  def seasonalityProfile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val based = df
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__day", date_trunc("day", col(tsCol)))
+      .withColumn("__dow", dayofweek(col(tsCol)).cast("long"))
+    val calendar = based.select(col("__day"), col("__dow")).distinct()
+      .groupBy(col("__dow")).agg(count(lit(1)).as("days_of_dow"))
+    val totalDays = calendar.agg(sum(col("days_of_dow")).as("__D"))
+    val perDow = based
+      .groupBy(g :+ col("__dow"): _*)
+      .agg(count(lit(1)).as("n_events"))
+    val totals = perDow.groupBy(g: _*).agg(sum(col("n_events")).as("__tot"))
+    perDow
+      .join(broadcast(calendar), Seq("__dow"))
+      .join(broadcast(totals), groupCols)
+      .crossJoin(broadcast(totalDays))
+      .select(g ++ Seq(
+        col("__dow").as("dow"), col("n_events"), col("days_of_dow"),
+        expr("(n_events * __D * 1000000) div (__tot * days_of_dow)")
+          .as("index_ppm")): _*)
+  }
+
   /** Gap-filled daily series with forward fill: for every key, a COMPLETE
     * day spine from its first to its last observation, carrying each
     * day's closing value forward across the gaps — the

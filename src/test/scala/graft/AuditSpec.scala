@@ -70,6 +70,26 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Long]("risk_ppm") == 500000L)
   }
 
+  test("lDiversity: homogeneous groups flagged, nulls count as a value, guards") {
+    // group (1,s1): sensitive {a,a,b} -> l=2 ok; (2,s1): {a,a} -> homogeneous;
+    // (3,s1): {a, NULL} -> null IS a value -> l=2 ok
+    val rows = Seq(
+      (1, "s1", Option("a")), (1, "s1", Option("a")), (1, "s1", Option("b")),
+      (2, "s1", Option("a")), (2, "s1", Option("a")),
+      (3, "s1", Option("a")), (3, "s1", Option.empty[String]))
+    val r = graft.operators.Audit.lDiversity(
+      rows.toDF("nat", "seg", "sens"), Seq("nat", "seg"), "sens", l = 2).collect().head
+    assert(r.getAs[Long]("n_rows") == 7L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("l_diversity") == 1L)
+    assert(r.getAs[Long]("n_homogeneous_groups") == 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 2L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Audit.lDiversity(
+        rows.toDF("nat", "seg", "sens"), Seq("nat", "sens"), "sens", l = 2)
+    }
+  }
+
   test("kAnonymity validates inputs") {
     val df = Seq((1, "a")).toDF("x", "y")
     intercept[IllegalArgumentException] {

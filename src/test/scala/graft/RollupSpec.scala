@@ -97,6 +97,31 @@ class RollupSpec extends SparkSpec {
       (2L, ts("2024-01-02 00:00:00"), 7.0, true)))
   }
 
+  test("seasonalityProfile: rates normalize by observed calendar days per weekday") {
+    // window: Mon Jan 1 2024 .. Sun Jan 7 + Mon Jan 8 (Monday appears on
+    // 2 calendar days, the rest once -> D = 8).
+    // type "x": 4 events across both Mondays, 1 on Tuesday:
+    //   Monday rate 4/2 = 2/day, overall rate 5/8 -> index = (4*8e6) div (5*2)
+    val ev = Seq(
+      ("x", ts("2024-01-01 10:00:00")), ("x", ts("2024-01-01 11:00:00")),
+      ("x", ts("2024-01-08 10:00:00")), ("x", ts("2024-01-08 11:00:00")),
+      ("x", ts("2024-01-02 10:00:00")),
+      // a second type spreads one event on each day so every day is observed
+      ("y", ts("2024-01-01 00:00:00")), ("y", ts("2024-01-02 00:00:00")),
+      ("y", ts("2024-01-03 00:00:00")), ("y", ts("2024-01-04 00:00:00")),
+      ("y", ts("2024-01-05 00:00:00")), ("y", ts("2024-01-06 00:00:00")),
+      ("y", ts("2024-01-07 00:00:00")), ("y", ts("2024-01-08 00:00:00"))
+    ).toDF("t", "when")
+    val got = Rollup.seasonalityProfile(ev, Seq("t"), "when")
+      .select("t", "dow", "n_events", "days_of_dow", "index_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // Monday = dow 2 (Spark: 1=Sunday)
+    assert(got.contains(("x", 2L, 4L, 2L, 4L * 8 * 1000000 / (5 * 2))))
+    assert(got.contains(("x", 3L, 1L, 1L, 1L * 8 * 1000000 / (5 * 1))))
+    // y: one event per calendar day -> perfectly flat 1e6 on every dow
+    assert(got.collect { case ("y", _, _, _, p) => p } == Set(1000000L))
+  }
+
   test("groupMode: counts, deterministic larger-value tie-break, share ppm") {
     val df = Seq(
       ("g", "x"), ("g", "x"), ("g", "y"), ("g", "y"), ("g", "z"), // tie x/y at 2 -> y wins
