@@ -5226,8 +5226,11 @@ object Queries {
   // each event type is. The state-segment primitive whose run table
   // also feeds the interval join (q152).
   private val q154: Q = (s, dir) =>
-    Funnel.valueRuns(Tables.events(s, dir), "user_id", "event_type",
-        Seq("ts", "event_id"))
+    Funnel.valueRuns(
+        // null order keys segment engine-dependently (Spark windows sort
+        // NULLS FIRST, DuckDB NULLS LAST) — both engines exclude them
+        Tables.events(s, dir).filter(col("ts").isNotNull),
+        "user_id", "event_type", Seq("ts", "event_id"))
       .groupBy(col("event_type"), col("run_length"))
       .agg(count(lit(1)).as("n_runs"))
       .orderBy("event_type", "run_length")
@@ -5237,7 +5240,7 @@ object Queries {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
       |    row_number() OVER (PARTITION BY user_id, event_type
       |                       ORDER BY ts, event_id) AS rv
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |runs AS (SELECT user_id, event_type, ra - rv AS grp, count(*) AS run_length
       |  FROM o GROUP BY 1, 2, 3)
       |SELECT event_type, run_length, count(*) AS n_runs
@@ -5252,13 +5255,16 @@ object Queries {
   // break (count DESC, id ASC) — replayed exactly by the oracle's
   // row_number.
   private val q155: Q = (s, dir) =>
-    Diagnostics.topContributorShare(Tables.events(s, dir),
+    Diagnostics.topContributorShare(
+        // TopKAgg's election skips null ids while SQL row_number ranks the
+        // null contributor by its count — both engines exclude nulls
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
         Seq("event_type"), "user_id", k = 10)
       .orderBy("event_type")
 
   private val q155Sql =
     """WITH c AS (SELECT event_type, user_id, count(*) AS c
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
       |    ORDER BY c DESC, user_id ASC) AS rn FROM c)
       |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,

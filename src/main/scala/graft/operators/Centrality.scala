@@ -36,19 +36,8 @@ import org.apache.spark.sql.functions._
   */
 object Centrality {
 
-  /** Node ids must be integral BEFORE the internal cast("long"): casting
-    * a string/decimal id silently nulls, and the null edges then filter
-    * away — an empty "result" instead of an error (the
-    * [[Dedup.bestSurvivorLosers]] loud-rejection rule). */
-  private def requireIntegralNodes(df: DataFrame, cols: Seq[String], op: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    cols.foreach { c =>
-      val t = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
-        s"$op needs integral node id columns; $c is $t " +
-          "(cast('long') of other types silently nulls — map ids first)")
-    }
-  }
+  private def requireIntegralNodes(df: DataFrame, cols: Seq[String], op: String): Unit =
+    Guards.requireIntegralColumns(df, cols, op)
 
   /** PageRank over an UNDIRECTED graph given as distinct (srcCol, dstCol)
     * pairs (each pair listed once, e.g. `doc_a < doc_b`; the mirror

@@ -45,13 +45,7 @@ object ConnectedComponents {
     // into null, drop every edge at the u≠v filter, and report ZERO
     // duplicate clusters. Fail loudly instead; callers with string ids
     // should pre-hash them (xxhash64) to a stable long key.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    Seq(aCol, bCol).foreach { c =>
-      val t = pairs.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
-        s"components() needs integral id columns; '$c' is ${t.sql} — " +
-          "hash non-numeric ids to a long key first (e.g. xxhash64)")
-    }
+    Guards.requireIntegralColumns(pairs, Seq(aCol, bCol), "components()")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
 

@@ -588,11 +588,7 @@ object Dedup {
       scored: DataFrame,
       idCol: String,
       scoreCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = scored.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"bestSurvivorLosers needs an integral id column; $idCol is $idType " +
-        "(cast('long') of other types silently nulls — map ids first)")
+    Guards.requireIntegralColumns(scored, Seq(idCol), "bestSurvivorLosers")
     val members = components
       .join(scored, components("node") === scored(idCol), "inner")
       .select(col("cluster"), col(idCol), col(scoreCol).cast("double").as("__s"))
@@ -709,20 +705,28 @@ object Dedup {
           .filter(col("__pf") <= maxPrefixFreq).select(col("__t")),
         Seq("__t"), "left_semi")
     // Prefix-prefix candidates with the LENGTH filter (τ|A| ≤ |B| ≤ |A|/τ)
-    // and PPJoin's POSITION filter folded into the join condition, both as
+    // and — in exact mode only — PPJoin's POSITION filter, both as
     // integer cross-multiplies: a token matched at 0-based positions
     // (i, j) caps the overlap at min(|A|−i, |B|−j), and a qualifying pair
-    // needs overlap ≥ ⌈τ·max(|A|,|B|)⌉ — the pair's globally-smallest
-    // common token always passes (every common element sits at or after
-    // it in both sorted sets), so the cut loses nothing while dropping
-    // deep-prefix matches before the distinct.
-    val cand = indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.__t") === col("b.__t") && col("a.__doc") < col("b.__doc") &&
-          col("b.__sz") * tauDen >= col("a.__sz") * tauNum &&
-          col("a.__sz") * tauDen >= col("b.__sz") * tauNum &&
+    // needs overlap ≥ ⌈τ·max(|A|,|B|)⌉. Lossless BECAUSE the pair's
+    // globally-smallest common token passes it (every common element sits
+    // at or after it in both sorted sets) — an argument that needs that
+    // token still IN the index, so when `maxPrefixFreq` pruning is on
+    // (recall already caveated) the position filter must stay OFF: a pair
+    // reachable only through a deep-prefix token would otherwise be
+    // dropped even though verify would have confirmed it.
+    val baseCond =
+      col("a.__t") === col("b.__t") && col("a.__doc") < col("b.__doc") &&
+        col("b.__sz") * tauDen >= col("a.__sz") * tauNum &&
+        col("a.__sz") * tauDen >= col("b.__sz") * tauNum
+    val cond =
+      if (maxPrefixFreq <= 0)
+        baseCond &&
           least(col("a.__sz") - col("a.__i"), col("b.__sz") - col("b.__i")) * tauDen >=
-            greatest(col("a.__sz"), col("b.__sz")) * tauNum)
+            greatest(col("a.__sz"), col("b.__sz")) * tauNum
+      else baseCond
+    val cand = indexed.as("a")
+      .join(indexed.as("b"), cond)
       .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
       .distinct()
     // Exact verify: both sorted arrays join back by doc id; intersection is

@@ -257,7 +257,9 @@ object Diagnostics {
     * row_number window, no sort of the contributor table; ties break
     * (count DESC, id ASC), deterministic on any layout. Contributor ids
     * must be integral (TopKAgg's id leg — loud require, the
-    * [[graft.operators.Dedup.bestSurvivorLosers]] rule).
+    * [[graft.operators.Dedup.bestSurvivorLosers]] rule), and NULL ids
+    * are skipped by the election — filter or map them first when the
+    * null bucket should count as a contributor.
     *
     * Scale shape: one map-combined rollup to (group, contributor)
     * counts, one k-bounded aggregation over it. Emits per group:
@@ -268,11 +270,7 @@ object Diagnostics {
       contributorCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idType = df.schema(contributorCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"topContributorShare needs an integral contributor column; " +
-        s"$contributorCol is $idType")
+    Guards.requireIntegralColumns(df, Seq(contributorCol), "topContributorShare")
     val g = groupCols.map(col)
     df
       .groupBy(g :+ col(contributorCol).as("__id"): _*)

@@ -169,7 +169,10 @@ object Funnel {
     *
     * `orderCols` must totally order each key's stream (append a unique
     * id — the [[graft.operators.Layout.compactionPlan]] determinism
-    * rule). Output: one row per run with the run's value, start/end
+    * rule), and rows with NULL order keys must be excluded by the caller:
+    * engines place nulls at opposite ends of a window sort (Spark NULLS
+    * FIRST, DuckDB NULLS LAST), which would segment runs differently.
+    * Output: one row per run with the run's value, start/end
     * order keys (min/max of the FIRST order column), and length.
     *
     * Scale shape: ONE key-partitioned window shuffle serves both

@@ -30,12 +30,8 @@ object Sampling {
     * ids (the footgun [[ConnectedComponents.components]] documents): a
     * string/UUID id hashed through [[hashBucket]] yields null, which fails
     * every predicate and silently corrupts samples and splits. */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val t = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
-      s"$op needs an integral id column; $idCol is $t (map ids to long first)")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    Guards.requireIntegralColumns(df, Seq(idCol), op)
 
   /** Bernoulli sample at `fraction`, deterministic in (`idCol`, `salt`). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 0L): DataFrame =
