@@ -5331,6 +5331,48 @@ object Queries {
       |FROM pd JOIN cal USING (dow) JOIN t ON t.event_type = pd.event_type, d
       |ORDER BY pd.event_type, pd.dow""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  // Header-vs-detail reconciliation (Audit.valueReconciliation): every
+  // order's claimed total against the exact sum of its lineitem amounts,
+  // rolled up per status — the value-level acceptance check beside the
+  // FK/row-count audits (this synthetic star generates headers and lines
+  // independently, so the report shows the full mismatch spectrum, which
+  // is exactly what the audit is for). ALL arithmetic in integer units
+  // of 10⁻⁴ (decimal·10⁴): no DECIMAL→DOUBLE conversion anywhere, so
+  // even the billion-unit delta sums hash-match cross-engine (the
+  // round-5 past-2⁵³ lesson).
+  private val q158: Q = (s, dir) =>
+    Audit.valueReconciliation(
+        Tables.orders(s, dir),
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+        Seq("o_orderkey"), "o_totalprice", "l_extendedprice")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("n_child_rows") === 0L, 1L).otherwise(0L)).as("n_no_items"),
+        sum(when(col("delta_units") === 0, 1L).otherwise(0L)).as("n_exact_match"),
+        sum(col("delta_units")).as("sum_delta_units"),
+        max(abs(col("delta_units"))).as("max_abs_delta_units"))
+      .orderBy("o_orderstatus")
+
+  private val q158Sql =
+    """WITH cs AS (SELECT l_orderkey AS o_orderkey,
+      |    count(*) AS nc,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * 10000 AS DECIMAL(38,0))) AS cu
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT o_orderstatus,
+      |    coalesce(nc, 0) AS nc,
+      |    coalesce(cu, CAST(0 AS DECIMAL(38,0))) AS cu,
+      |    CAST(CAST(o_totalprice AS DECIMAL(38,4)) * 10000 AS DECIMAL(38,0)) AS pu
+      |  FROM orders LEFT JOIN cs USING (o_orderkey))
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
+      |  CAST(sum(CASE WHEN pu = cu THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+      |  CAST(sum(pu - cu) AS DECIMAL(38,0)) AS sum_delta_units,
+      |  CAST(max(abs(pu - cu)) AS DECIMAL(38,0)) AS max_abs_delta_units
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5488,7 +5530,8 @@ object Queries {
     "q154_run_lengths" -> q154,
     "q155_concentration" -> q155,
     "q156_l_diversity" -> q156,
-    "q157_seasonality" -> q157
+    "q157_seasonality" -> q157,
+    "q158_reconciliation" -> q158
   )
 
   val oracles: Map[String, String] = Map(
@@ -5646,6 +5689,7 @@ object Queries {
     "q154_run_lengths" -> q154Sql,
     "q155_concentration" -> q155Sql,
     "q156_l_diversity" -> q156Sql,
-    "q157_seasonality" -> q157Sql
+    "q157_seasonality" -> q157Sql,
+    "q158_reconciliation" -> q158Sql
   )
 }

@@ -156,6 +156,54 @@ object Audit {
       .withColumn("risk_ppm", expr("(n_rows_at_risk * 1000000) div n_rows"))
   }
 
+  /** Header-vs-detail VALUE reconciliation — the value-level sibling of
+    * the row-count acceptance checks (ref `src/etl.py:283-291`) and the
+    * FK orphan audits: for every parent row, the exact difference
+    * between its claimed total and the sum of its child rows' amounts
+    * (invoice header vs lines, order total vs items, ledger vs
+    * postings). Everything stays in INTEGER UNITS of `10^-scale`
+    * (`DECIMAL(38, scale) · 10^scale` — exactly integral): no double
+    * appears anywhere, so sums of deltas are order-independent and
+    * bit-identical cross-engine even past double's 53-bit range (the
+    * round-5 DECIMAL→DOUBLE lesson).
+    *
+    * The child side must already carry the parent's key column names
+    * (rename before calling). Parents with NO child rows report
+    * `n_child_rows = 0` and `child_units = 0` — a zero-valued order is
+    * legitimately consistent; count the no-child case separately.
+    *
+    * Scale shape: one map-combined child aggregation to parent-key
+    * cardinality, one key join against the parent (both sides already
+    * key-shaped — at 100 TB this is the co-partitioned join the
+    * bucketing tier exists for). Emits every parent column plus
+    * `(n_child_rows, parent_units, child_units, delta_units)`. */
+  def valueReconciliation(
+      parent: DataFrame,
+      child: DataFrame,
+      keys: Seq[String],
+      parentValCol: String,
+      childValCol: String,
+      scale: Int = 4): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val unit = math.pow(10, scale).toLong
+    def units(c: Column): Column =
+      (c.cast(org.apache.spark.sql.types.DecimalType(38, scale)) * unit)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val childSums = child
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_child_rows"),
+        sum(units(col(childValCol))).as("child_units"))
+    parent
+      .join(childSums, keys, "left")
+      .withColumn("n_child_rows", coalesce(col("n_child_rows"), lit(0L)))
+      .withColumn("child_units",
+        coalesce(col("child_units"),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .withColumn("parent_units", units(col(parentValCol)))
+      .withColumn("delta_units", col("parent_units") - col("child_units"))
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
     * al.): a QI group can be large (k-anonymous) yet still leak when
     * every member SHARES the sensitive value, so per QI group this

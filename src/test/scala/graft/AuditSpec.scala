@@ -70,6 +70,24 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Long]("risk_ppm") == 500000L)
   }
 
+  test("valueReconciliation: exact integer-unit deltas, no-child parents, decimal schema") {
+    val parent = Seq((1L, 30.25), (2L, 10.00), (3L, 5.55)).toDF("k", "total")
+    val child = Seq((1L, 10.10), (1L, 20.15), (2L, 9.99)).toDF("k", "amt")
+    val out = graft.operators.Audit.valueReconciliation(
+      parent, child, Seq("k"), "total", "amt")
+    // sums stay decimal integer-units end-to-end — no double in the schema
+    assert(out.schema("delta_units").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val got = out.select("k", "n_child_rows", "parent_units", "child_units", "delta_units")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact(),
+        r.getDecimal(4).longValueExact())).toSet
+    assert(got == Set(
+      (1L, 2L, 302500L, 302500L, 0L),     // exact match
+      (2L, 1L, 100000L, 99900L, 100L),    // 1-cent-level delta, exact
+      (3L, 0L, 55500L, 0L, 55500L)))      // no children
+  }
+
   test("lDiversity: homogeneous groups flagged, nulls count as a value, guards") {
     // group (1,s1): sensitive {a,a,b} -> l=2 ok; (2,s1): {a,a} -> homogeneous;
     // (3,s1): {a, NULL} -> null IS a value -> l=2 ok
