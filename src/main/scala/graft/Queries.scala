@@ -5373,6 +5373,70 @@ object Queries {
       |  CAST(max(abs(pu - cu)) AS DECIMAL(38,0)) AS max_abs_delta_units
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  // Entity-resolution CAPSTONE: FastSS deletion-neighborhood blocking
+  // (q127) → per-field Fellegi–Sunter scoring (q136) → score ≥ 3800
+  // match decision → connected-components clustering (q58's operator) →
+  // per-entity cluster table with min-id survivor. Four library
+  // operators composing in ONE lazy pipeline — the full
+  // duplicate-customer-merge a warehouse actually runs. Every stage
+  // keeps its own scale shape (key-join blocking, row-local scoring,
+  // O(log n) star rounds), and the oracle replays ALL of it — deletion
+  // keys, integer weights, threshold, transitive closure as a recursive
+  // CTE — so the composition is value-checked end-to-end, not just its
+  // parts.
+  private val q159: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    def side(tag: String) = cust.select(
+      col("c_custkey").as(s"__id$tag"), col("c_nationkey").as(s"nat_$tag"),
+      col("c_mktsegment").as(s"seg_$tag"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as(s"bal_$tag"))
+    val pairs = Dedup.editOnePairs(cust, "c_custkey", "c_name")
+      .join(side("a"), col("id_a") === col("__ida")).drop("__ida")
+      .join(side("b"), col("id_b") === col("__idb")).drop("__idb")
+    val matches = Linkage.score(pairs, Seq(
+        Linkage.FieldRule("name", col("dist") === 0, 4000L, 2500L),
+        Linkage.FieldRule("nation", col("nat_a") === col("nat_b"), 1200L, -800L),
+        Linkage.FieldRule("segment", col("seg_a") === col("seg_b"), 600L, -400L),
+        Linkage.FieldRule("balance",
+          abs(col("bal_a") - col("bal_b")) <= 10000L, 500L, -300L)))
+      .filter(col("score") >= 3800L)
+      .select(col("id_a"), col("id_b"))
+    ConnectedComponents.components(matches, "id_a", "id_b")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster")
+  }
+
+  private val q159Sql =
+    """WITH RECURSIVE base AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      |keys AS (SELECT id, s, i,
+      |  CASE WHEN i = 0 THEN s ELSE substr(s, 1, i-1) || substr(s, i+1) END AS k
+      |  FROM base, unnest(range(0, length(s)+1)) AS t(i)),
+      |keep AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= 1000),
+      |pk AS (SELECT keys.id, keys.s, keys.i, keys.k FROM keys JOIN keep USING (k)),
+      |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    min(CASE WHEN a.i = 0 AND b.i = 0 THEN 0 ELSE 1 END) AS dist
+      |  FROM pk a JOIN pk b ON a.k = b.k AND a.id < b.id
+      |  WHERE a.i = b.i OR a.i = 0 OR b.i = 0
+      |  GROUP BY a.id, b.id),
+      |att AS (SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+      |m AS (SELECT c.id_a, c.id_b FROM cand c
+      |  JOIN att x ON x.id = c.id_a JOIN att y ON y.id = c.id_b
+      |  WHERE (CASE WHEN c.dist = 0 THEN 4000 ELSE 2500 END)
+      |      + (CASE WHEN x.nat = y.nat THEN 1200 ELSE -800 END)
+      |      + (CASE WHEN x.seg = y.seg THEN 600 ELSE -400 END)
+      |      + (CASE WHEN abs(x.bal - y.bal) <= 10000 THEN 500 ELSE -300 END)
+      |      >= 3800),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM m
+      |          UNION SELECT id_b, id_a FROM m),
+      |reach AS (SELECT s, d FROM edges
+      |          UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |lbl AS (SELECT s AS node, least(min(d), s) AS cluster FROM reach GROUP BY s)
+      |SELECT cluster, count(*) AS n_members FROM lbl GROUP BY 1
+      |ORDER BY cluster""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5531,7 +5595,8 @@ object Queries {
     "q155_concentration" -> q155,
     "q156_l_diversity" -> q156,
     "q157_seasonality" -> q157,
-    "q158_reconciliation" -> q158
+    "q158_reconciliation" -> q158,
+    "q159_entity_resolution" -> q159
   )
 
   val oracles: Map[String, String] = Map(
@@ -5690,6 +5755,7 @@ object Queries {
     "q155_concentration" -> q155Sql,
     "q156_l_diversity" -> q156Sql,
     "q157_seasonality" -> q157Sql,
-    "q158_reconciliation" -> q158Sql
+    "q158_reconciliation" -> q158Sql,
+    "q159_entity_resolution" -> q159Sql
   )
 }
