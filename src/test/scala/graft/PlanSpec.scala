@@ -477,6 +477,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q153/q155/q156 profiling rollups are join-free aggregation chains") {
+    for (q <- Seq("q153_group_mode", "q155_concentration", "q156_l_diversity")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("q157 seasonality: calendar and totals broadcast, never sort-merge") {
+    val p = plan(SparkEntry.queries("q157_seasonality")(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q158 reconciliation: child side pre-aggregates below the key join") {
+    val p = plan(SparkEntry.queries("q158_reconciliation")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the lineitem side must reach the join as per-order sums (partial
+    // aggregation before the exchange), never as raw fact rows
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q159 entity resolution composes without any nested loop") {
+    val p = plan(SparkEntry.queries("q159_entity_resolution")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.toLowerCase.contains("levenshtein"), p.take(4000))
+  }
+
   test("q147 triangle counts: wedge closure is an equi-join, never a nested loop") {
     val p = plan(SparkEntry.queries("q147_triangle_counts")(spark, sf))
     // the closure probe matches the canonical a<b edge list on both wedge
