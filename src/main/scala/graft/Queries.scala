@@ -5437,6 +5437,95 @@ object Queries {
       |SELECT cluster, count(*) AS n_members FROM lbl GROUP BY 1
       |ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  // Conversion-lag spectrum: how long converting users take between
+  // funnel stages (first view → first subsequent click → first
+  // subsequent purchase, q83's first-touch semantics), in the
+  // power-of-two second bands of the q139 spectrum — bit-length
+  // bucketing, no log, no double. The funnel reuses the user_id
+  // partitioning end-to-end; the band rollup is transitions × ≤ ~40
+  // buckets.
+  private val q160: Q = (s, dir) => {
+    val us = Funnel.userSteps(Tables.events(s, dir), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"))
+    us.select(explode(array(
+        struct(lit("1_view_to_click").as("transition"),
+          expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").as("lag_s")),
+        struct(lit("2_click_to_purchase").as("transition"),
+          expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").as("lag_s")))).as("r"))
+      .select(col("r.transition"), col("r.lag_s"))
+      .filter(col("lag_s").isNotNull)
+      .withColumn("bucket",
+        when(col("lag_s") <= 0, lit(0))
+          .otherwise(length(bin(col("lag_s")))).cast("int"))
+      .groupBy(col("transition"), col("bucket"))
+      .agg(count(lit(1)).as("n_lags"))
+      .withColumn("lag_lo_s",
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
+      .withColumn("lag_hi_s", expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+      .orderBy("transition", "bucket")
+  }
+
+  private val q160Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id),
+      |l AS (SELECT '1_view_to_click' AS transition,
+      |    (epoch_us(CAST(t_click AS TIMESTAMP))
+      |     - epoch_us(CAST(t_view AS TIMESTAMP))) // 1000000 AS lag_s
+      |  FROM c JOIN v USING (user_id)
+      |  UNION ALL SELECT '2_click_to_purchase',
+      |    (epoch_us(CAST(t_purchase AS TIMESTAMP))
+      |     - epoch_us(CAST(t_click AS TIMESTAMP))) // 1000000
+      |  FROM p JOIN c USING (user_id)),
+      |g AS (SELECT transition,
+      |    CASE WHEN lag_s <= 0 THEN 0 ELSE length(bin(lag_s)) END AS bucket
+      |  FROM l)
+      |SELECT transition, CAST(bucket AS INT) AS bucket, count(*) AS n_lags,
+      |  CAST(CASE WHEN bucket = 0 THEN 0
+      |       ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT) AS lag_lo_s,
+      |  CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS lag_hi_s
+      |FROM g GROUP BY transition, bucket ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  // Ship-lag SLA audit: days from order date to each lineitem's ship
+  // date, per order priority — item counts, bounds, the exact mean in
+  // milli-days ((Σlag·1000) div n — no double), and how many items blew
+  // a 90-day SLA. Calendar-day difference (both engines diff the DATE
+  // casts); one broadcast-dimension-free fact join on the order key the
+  // tables are already spread on.
+  private val q161: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("lag_days")).as("min_lag_days"),
+        max(col("lag_days")).as("max_lag_days"),
+        expr("(sum(lag_days) * 1000) div count(1)").as("mean_lag_millidays"),
+        sum(when(col("lag_days") > 90L, 1L).otherwise(0L)).as("n_over_90d"))
+      .orderBy("o_orderpriority")
+
+  private val q161Sql =
+    """WITH j AS (SELECT o_orderpriority,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |                   CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_items,
+      |  min(lag_days) AS min_lag_days, max(lag_days) AS max_lag_days,
+      |  (CAST(sum(lag_days) AS BIGINT) * 1000) // count(*) AS mean_lag_millidays,
+      |  CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5596,7 +5685,9 @@ object Queries {
     "q156_l_diversity" -> q156,
     "q157_seasonality" -> q157,
     "q158_reconciliation" -> q158,
-    "q159_entity_resolution" -> q159
+    "q159_entity_resolution" -> q159,
+    "q160_conversion_lag" -> q160,
+    "q161_ship_sla" -> q161
   )
 
   val oracles: Map[String, String] = Map(
@@ -5756,6 +5847,8 @@ object Queries {
     "q156_l_diversity" -> q156Sql,
     "q157_seasonality" -> q157Sql,
     "q158_reconciliation" -> q158Sql,
-    "q159_entity_resolution" -> q159Sql
+    "q159_entity_resolution" -> q159Sql,
+    "q160_conversion_lag" -> q160Sql,
+    "q161_ship_sla" -> q161Sql
   )
 }
