@@ -5526,6 +5526,29 @@ object Queries {
       |  CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  // §2.12 streaming leaderboard, batch twin (StreamingLeaders
+  // .topKLeaders): per event type, the 3 highest-value events — the SAME
+  // bounded TopKAgg aggregation the live leaderboard runs in update mode
+  // (k pairs of state per group, re-emitted as leaders change;
+  // StreamingSpec drives the streaming path), executed here in batch for
+  // driver-level regression cover, the q91-q96 move. Ties break
+  // (ord DESC, id ASC) — replayed by the oracle's row_number.
+  private val q162: Q = (s, dir) =>
+    graft.streaming.StreamingLeaders.topKLeaders(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        Seq("event_type"), col("value"), col("event_id"), k = 3)
+      .orderBy("event_type", "rnk")
+
+  private val q162Sql =
+    """WITH r AS (SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(rn AS BIGINT) AS rnk, value AS ord,
+      |  event_id AS id
+      |FROM r WHERE rn <= 3 ORDER BY event_type, rnk""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5687,7 +5710,8 @@ object Queries {
     "q158_reconciliation" -> q158,
     "q159_entity_resolution" -> q159,
     "q160_conversion_lag" -> q160,
-    "q161_ship_sla" -> q161
+    "q161_ship_sla" -> q161,
+    "q162_stream_leaders" -> q162
   )
 
   val oracles: Map[String, String] = Map(
@@ -5849,6 +5873,7 @@ object Queries {
     "q158_reconciliation" -> q158Sql,
     "q159_entity_resolution" -> q159Sql,
     "q160_conversion_lag" -> q160Sql,
-    "q161_ship_sla" -> q161Sql
+    "q161_ship_sla" -> q161Sql,
+    "q162_stream_leaders" -> q162Sql
   )
 }
