@@ -5402,9 +5402,9 @@ object Queries {
           abs(col("bal_a") - col("bal_b")) <= 10000L, 500L, -300L)))
       .filter(col("score") >= 3800L)
       .select(col("id_a"), col("id_b"))
-    ConnectedComponents.components(matches, "id_a", "id_b")
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_members"))
+    ConnectedComponents.clusterSizes(
+        ConnectedComponents.components(matches, "id_a", "id_b"))
+      .select(col("cluster"), col("n_members"))
       .orderBy("cluster")
   }
 
@@ -5455,15 +5455,11 @@ object Queries {
           expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").as("lag_s")))).as("r"))
       .select(col("r.transition"), col("r.lag_s"))
       .filter(col("lag_s").isNotNull)
-      .withColumn("bucket",
-        when(col("lag_s") <= 0, lit(0))
-          .otherwise(length(bin(col("lag_s")))).cast("int"))
+      .withColumn("bucket", Diagnostics.powerBucket(col("lag_s")))
       .groupBy(col("transition"), col("bucket"))
       .agg(count(lit(1)).as("n_lags"))
-      .withColumn("lag_lo_s",
-        when(col("bucket") === 0, lit(0L))
-          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
-      .withColumn("lag_hi_s", expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+      .withColumn("lag_lo_s", Diagnostics.powerBucketLo(col("bucket")))
+      .withColumn("lag_hi_s", Diagnostics.powerBucketHi(col("bucket")))
       .orderBy("transition", "bucket")
   }
 

@@ -165,7 +165,12 @@ object Audit {
     * (`DECIMAL(38, scale) · 10^scale` — exactly integral): no double
     * appears anywhere, so sums of deltas are order-independent and
     * bit-identical cross-engine even past double's 53-bit range (the
-    * round-5 DECIMAL→DOUBLE lesson).
+    * round-5 DECIMAL→DOUBLE lesson). That guarantee assumes the money
+    * discipline: input values carry AT MOST `scale` fractional decimal
+    * digits, so the double→decimal cast is exact — a value with more
+    * digits rounds differently across engines (Spark HALF_UP on the
+    * shortest representation, DuckDB on the binary value), the exact
+    * asymmetry the engine-wide determinism note documents.
     *
     * The child side must already carry the parent's key column names
     * (rename before calling). Parents with NO child rows report
@@ -185,6 +190,9 @@ object Audit {
       childValCol: String,
       scale: Int = 4): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    // the AggFunctions convention: a silent pow-overflow past long range
+    // (scale >= 19) would null every unit column under non-ANSI casts
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
     val unit = math.pow(10, scale).toLong
     def units(c: Column): Column =
       (c.cast(org.apache.spark.sql.types.DecimalType(38, scale)) * unit)

@@ -446,6 +446,20 @@ object Diagnostics {
     * Scale shape: ONE partition-keyed shuffle+sort for the lag window
     * (the unavoidable sequence pass, shared shape with q112's
     * transitions), then everything is reportCols × ~40 buckets. */
+  /** Power-of-two band kernel shared by the gap/lag spectra (q139/q160):
+    * bucket 0 holds values ≤ 0, bucket b ≥ 1 holds [2^(b−1), 2^b−1] — the
+    * value's bit length, integer arithmetic both engines replay
+    * (`length(bin(x))`). */
+  def powerBucket(v: Column): Column =
+    when(v <= 0, lit(0)).otherwise(length(bin(v))).cast("int")
+
+  def powerBucketLo(b: Column): Column =
+    when(b === 0, lit(0L))
+      .otherwise(call_function("shiftleft", lit(1L), b - 1))
+
+  def powerBucketHi(b: Column): Column =
+    call_function("shiftleft", lit(1L), b) - 1
+
   def interArrivalSpectrum(
       df: DataFrame,
       partitionCols: Seq[String],
@@ -461,15 +475,11 @@ object Diagnostics {
       .filter(col("__prev").isNotNull)
       .withColumn("__gap",
         expr(s"(unix_micros($tsCol) - unix_micros(__prev)) div 1000000"))
-      .withColumn("bucket",
-        when(col("__gap") <= 0, lit(0))
-          .otherwise(length(bin(col("__gap")))).cast("int"))
+      .withColumn("bucket", powerBucket(col("__gap")))
       .groupBy(reportCols.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("n_gaps"))
-      .withColumn("gap_lo_s",
-        when(col("bucket") === 0, lit(0L))
-          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
-      .withColumn("gap_hi_s", expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+      .withColumn("gap_lo_s", powerBucketLo(col("bucket")))
+      .withColumn("gap_hi_s", powerBucketHi(col("bucket")))
   }
 
   /** Item-affinity matrix: for every pair of items, how many UNITS (users,

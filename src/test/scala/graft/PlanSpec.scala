@@ -494,9 +494,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q158_reconciliation")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    // the lineitem side must reach the join as per-order sums (partial
-    // aggregation before the exchange), never as raw fact rows
-    assert(p.contains("HashAggregate"), p.take(3000))
+    // the lineitem side must reach the join as per-order sums — an
+    // aggregate KEYED ON the order key must exist in the plan (the final
+    // status rollup alone would not produce one), or the join is
+    // shuffling raw fact rows
+    assert(p.contains("keys=[o_orderkey"), p.take(3000))
   }
 
   test("q159 entity resolution composes without any nested loop") {
