@@ -5545,6 +5545,40 @@ object Queries {
       |  event_id AS id
       |FROM r WHERE rn <= 3 ORDER BY event_type, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+  // Cross-tab composition audit: the lang × source contingency table
+  // with every share in integer ppm — within-row (how a language's docs
+  // split across sources), within-column (how a source splits across
+  // languages), and of-total — the dataset-card mixture table and the
+  // input an independence screen reads (a row_ppm far from the source's
+  // overall share marks a lang/source interaction). Window sums over
+  // the cell table (|langs|×|sources| rows) — the fact table shuffles
+  // once into cells, everything after is cell-cardinality-sized. ppm by
+  // integer div, no doubles.
+  private val q163: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__row", sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("__col", sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .withColumn("__tot", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("(n_docs * 1000000) div __row").as("row_ppm"),
+        expr("(n_docs * 1000000) div __col").as("col_ppm"),
+        expr("(n_docs * 1000000) div __tot").as("total_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  private val q163Sql =
+    """WITH c AS (SELECT lang, source, count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, source, n_docs,
+      |  (n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY lang) AS row_ppm,
+      |  (n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source) AS col_ppm,
+      |  (n_docs * 1000000) // sum(n_docs) OVER () AS total_ppm
+      |FROM c ORDER BY lang, source""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5707,7 +5741,8 @@ object Queries {
     "q159_entity_resolution" -> q159,
     "q160_conversion_lag" -> q160,
     "q161_ship_sla" -> q161,
-    "q162_stream_leaders" -> q162
+    "q162_stream_leaders" -> q162,
+    "q163_crosstab_composition" -> q163
   )
 
   val oracles: Map[String, String] = Map(
@@ -5870,6 +5905,7 @@ object Queries {
     "q159_entity_resolution" -> q159Sql,
     "q160_conversion_lag" -> q160Sql,
     "q161_ship_sla" -> q161Sql,
-    "q162_stream_leaders" -> q162Sql
+    "q162_stream_leaders" -> q162Sql,
+    "q163_crosstab_composition" -> q163Sql
   )
 }
