@@ -24,6 +24,11 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Normalize datetime64 storage resolution (ns vs us is a pandas/pyarrow
+    # artifact, not a value difference) BEFORE the dtype-strict check.
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
@@ -78,7 +83,21 @@ def main():
         if len(s) != len(o):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} oracle={len(o)}"
             continue
+        # Dtype-strict: the driver's hash is REPRESENTATION-sensitive
+        # (int64 123 != float64 123.0 != Decimal('123')). DuckDB surfaces
+        # HUGEINT and DECIMAL(38,x) results as float64 while Spark parquet
+        # arrives int64/Decimal — value-equal results still hash-fail. Fail
+        # here, before any float coercion can mask it (round-6 lesson:
+        # 5 queries shipped "green" locally and failed the driver's hash).
         bad = None
+        for col in s.columns:
+            sd, od = s[col].dtype, o[col].dtype
+            if str(sd) != str(od):
+                bad = f"DTYPE_MISMATCH col={col} spark={sd} oracle={od}"
+                break
+        if bad:
+            results[name] = bad
+            continue
         for col in s.columns:
             sv, ov = s[col].tolist(), o[col].tolist()
             for i, (x, y) in enumerate(zip(sv, ov)):

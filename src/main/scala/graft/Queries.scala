@@ -1060,44 +1060,61 @@ object Queries {
   // Sketch VALUES are engine-specific (and merge-order-sensitive), so the
   // catalog row emits the ERROR-BOUND VERDICT instead: the estimate is a
   // real data element whose rank the GK guarantee puts within ±1% of the
-  // target, hence its value must sit between the exact interpolated
-  // quantiles at rank ±2% (double headroom) — booleans the DuckDB oracle
-  // asserts as TRUE, making this a hash-checkable row rather than
-  // rows-only. The exact bracketing quantiles are the audit column a
-  // pure-scale deployment would drop (q37 is the exact tier); value-level
-  // rank error is additionally pinned by PercentileSpec.
-  private val q41: Q = (s, dir) =>
+  // target, hence its value must sit inside a bracket of quantiles
+  // straddling the target rank — booleans the DuckDB oracle asserts as
+  // TRUE, making this a hash-checkable row rather than rows-only.
+  //
+  // The BRACKETS come from q76's deterministic ~10% SplitMix64 sample,
+  // not a second exact-percentile pass over the full group: the exact
+  // sort buffers were the cost that regressed the query 0.66 → 1.30 s at
+  // sf0.1 (a scale-tier audit whose audit column costs more than the
+  // thing it audits has the wrong shape). The sample rides the SAME
+  // aggregation as a conditional percentile (`when(sampled, v)` — Spark's
+  // percentile skips nulls), so there is still exactly one shuffle; the
+  // sample's own rank noise is absorbed by widening the bracket to ±4%
+  // rank (4× the GK bound) and raising the vacuous floor to n < 600
+  // (≥ ~60 sampled rows). Value-level rank error is additionally pinned
+  // by PercentileSpec against the full data.
+  private val q41: Q = (s, dir) => {
+    val key = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
+    val sampled = graft.functions.HashFunctions.mix64(key)
+      .bitwiseAND(lit(1023L)) < lit(102L)
     Tables.lineitem(s, dir)
+      .withColumn("__sq", when(sampled, col("l_quantity")))
+      .withColumn("__sp", when(sampled, col("l_extendedprice")))
       // ARRAY-form percentiles throughout: one digest/sort buffer per
-      // COLUMN, not per quantile — 3 GK digests + 6 exact buffers would
-      // otherwise each hold their own copy of the group's values (measured
-      // 3.8 s vs 2.4 s for q37's 3-buffer shape at sf0.1).
+      // COLUMN, not per quantile.
       .groupBy(col("l_returnflag"))
       .agg(
         AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("__amed"),
         approx_percentile(col("l_extendedprice"),
           array(lit(0.25), lit(0.75)), lit(100)).as("__ap"),
-        percentile(col("l_quantity"), array(lit(0.48), lit(0.52))).as("__mb"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.23), lit(0.27), lit(0.73), lit(0.77))).as("__pb"),
+        percentile(col("__sq"), array(lit(0.46), lit(0.54))).as("__mb"),
+        percentile(col("__sp"),
+          array(lit(0.21), lit(0.29), lit(0.71), lit(0.79))).as("__pb"),
         count(lit(1)).as("n")
       )
       .select(
         col("l_returnflag"),
         col("n"),
-        // The GK estimate is a DATA ELEMENT while the ±2%-rank bracket is
-        // an INTERPOLATED quantile — for groups under ~52 rows the nearest
-        // element can legitimately sit outside the interpolated bracket
-        // (n=2, values {1,2}: median element 1.0 vs bracket [1.48, 1.52]).
-        // Below n=60 the bound is vacuous, so the verdict passes
-        // unconditionally — mirrored in the oracle, which asserts TRUE.
-        (col("n") < 60 || (col("__amed") >= element_at(col("__mb"), 1) &&
-          col("__amed") <= element_at(col("__mb"), 2))).as("median_ok"),
-        (col("n") < 60 || (element_at(col("__ap"), 1) >= element_at(col("__pb"), 1) &&
-          element_at(col("__ap"), 1) <= element_at(col("__pb"), 2))).as("p25_ok"),
-        (col("n") < 60 || (element_at(col("__ap"), 2) >= element_at(col("__pb"), 3) &&
-          element_at(col("__ap"), 2) <= element_at(col("__pb"), 4))).as("p75_ok"))
+        // The GK estimate is a DATA ELEMENT while the bracket is an
+        // INTERPOLATED sample quantile — on small groups the nearest
+        // element legitimately sits outside it, and a group could even
+        // sample zero rows (null bracket). Below n=600 the bound is
+        // vacuous and the verdict passes unconditionally — mirrored in
+        // the oracle, which asserts TRUE; coalesce keeps a null bracket
+        // vacuous rather than null-poisoning the boolean.
+        coalesce(col("n") < 600 ||
+          (col("__amed") >= element_at(col("__mb"), 1) &&
+            col("__amed") <= element_at(col("__mb"), 2)), lit(true)).as("median_ok"),
+        coalesce(col("n") < 600 ||
+          (element_at(col("__ap"), 1) >= element_at(col("__pb"), 1) &&
+            element_at(col("__ap"), 1) <= element_at(col("__pb"), 2)), lit(true)).as("p25_ok"),
+        coalesce(col("n") < 600 ||
+          (element_at(col("__ap"), 2) >= element_at(col("__pb"), 3) &&
+            element_at(col("__ap"), 2) <= element_at(col("__pb"), 4)), lit(true)).as("p75_ok"))
       .orderBy("l_returnflag")
+  }
 
   private val q41Sql =
     """SELECT l_returnflag, count(*) AS n,
@@ -3996,8 +4013,8 @@ object Queries {
       |  FROM ex)
       |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
       |  CAST(sum(CASE WHEN u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-      |  CAST(sum(u) AS DECIMAL(38,0)) AS sum_u,
-      |  CAST(count(*) * sum(u*u) - sum(u)*sum(u) AS DECIMAL(38,0)) AS var_num
+      |  CAST(sum(u) AS BIGINT) AS sum_u,
+      |  CAST(count(*) * sum(u*u) - sum(u)*sum(u) AS BIGINT) AS var_num
       |FROM q GROUP BY dim ORDER BY dim""".stripMargin
 
   // ---------------------------------------------------------------- q120
@@ -4758,10 +4775,11 @@ object Queries {
       ("events->customer", "events", "user_id", "customer", "c_custkey"))
     edges.map { case (name, child, ck, parent, pk) =>
       s"""SELECT '$name' AS fk, count(*) AS child_rows,
-         |  sum(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS null_keys,
-         |  sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL THEN 1 ELSE 0 END) AS orphans,
-         |  ((count(*) - sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
-         |      THEN 1 ELSE 0 END)) * 1000000) // count(*) AS coverage_ppm
+         |  CAST(sum(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+         |  CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS orphans,
+         |  CAST(((count(*) - sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+         |      THEN 1 ELSE 0 END)) * 1000000) // count(*) AS BIGINT) AS coverage_ppm
          |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
          |  ON c.$ck = p.$pk""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY fk"
@@ -4909,7 +4927,7 @@ object Queries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       |  FROM files)
       |SELECT o_orderstatus, month, bytes,
-      |  cb // 262144 AS compaction_group,
+      |  CAST(cb // 262144 AS BIGINT) AS compaction_group,
       |  CAST(row_number() OVER (PARTITION BY o_orderstatus, cb // 262144
       |    ORDER BY month) AS INTEGER) AS group_seq
       |FROM cum ORDER BY o_orderstatus, month""".stripMargin
@@ -5338,9 +5356,13 @@ object Queries {
   // FK/row-count audits (this synthetic star generates headers and lines
   // independently, so the report shows the full mismatch spectrum, which
   // is exactly what the audit is for). ALL arithmetic in integer units
-  // of 10⁻⁴ (decimal·10⁴): no DECIMAL→DOUBLE conversion anywhere, so
-  // even the billion-unit delta sums hash-match cross-engine (the
-  // round-5 past-2⁵³ lesson).
+  // of 10⁻⁴ (decimal·10⁴): no DECIMAL→DOUBLE conversion anywhere (the
+  // round-5 past-2⁵³ lesson). The two delta sums accumulate in
+  // DECIMAL(38,0) and PRESENT as guarded BIGINT — DECIMAL(38,0) finals
+  // surface differently from DuckDB (float64) vs Spark (Decimal), so a
+  // decimal output column can never hash-match cross-engine even when
+  // values are bit-equal (the round-6 lesson; values fit 2^63 with
+  // >10⁴× margin at any plausible per-status delta mass).
   private val q158: Q = (s, dir) =>
     Audit.valueReconciliation(
         Tables.orders(s, dir),
@@ -5352,8 +5374,14 @@ object Queries {
         count(lit(1)).as("n_orders"),
         sum(when(col("n_child_rows") === 0L, 1L).otherwise(0L)).as("n_no_items"),
         sum(when(col("delta_units") === 0, 1L).otherwise(0L)).as("n_exact_match"),
-        sum(col("delta_units")).as("sum_delta_units"),
-        max(abs(col("delta_units"))).as("max_abs_delta_units"))
+        sum(col("delta_units")).as("__sum_dec"),
+        max(abs(col("delta_units"))).as("__max_dec"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_no_items"),
+        col("n_exact_match"),
+        Diagnostics.presentBigint(
+          col("__sum_dec").cast("decimal(38,0)"), "sum_delta_units"),
+        Diagnostics.presentBigint(
+          col("__max_dec").cast("decimal(38,0)"), "max_abs_delta_units"))
       .orderBy("o_orderstatus")
 
   private val q158Sql =
@@ -5369,8 +5397,8 @@ object Queries {
       |SELECT o_orderstatus, count(*) AS n_orders,
       |  CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
       |  CAST(sum(CASE WHEN pu = cu THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
-      |  CAST(sum(pu - cu) AS DECIMAL(38,0)) AS sum_delta_units,
-      |  CAST(max(abs(pu - cu)) AS DECIMAL(38,0)) AS max_abs_delta_units
+      |  CAST(sum(pu - cu) AS BIGINT) AS sum_delta_units,
+      |  CAST(max(abs(pu - cu)) AS BIGINT) AS max_abs_delta_units
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q159
@@ -5574,10 +5602,28 @@ object Queries {
     """WITH c AS (SELECT lang, source, count(*) AS n_docs
       |  FROM documents GROUP BY 1, 2)
       |SELECT lang, source, n_docs,
-      |  (n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY lang) AS row_ppm,
-      |  (n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source) AS col_ppm,
-      |  (n_docs * 1000000) // sum(n_docs) OVER () AS total_ppm
+      |  CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY lang)
+      |    AS BIGINT) AS row_ppm,
+      |  CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
+      |    AS BIGINT) AS col_ppm,
+      |  CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS total_ppm
       |FROM c ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  // §2.12 executed through the REAL streaming engine: readStream file
+  // source over events.parquet → watermarked tumbling window → complete-
+  // mode checkpointed sink run to completion (Trigger.AvailableNow).
+  // Same oracle as the batch twin q38 — complete mode withholds nothing
+  // at end-of-stream, so the file-source → checkpoint → state-store path
+  // is VALUE-checked, not just rows-counted. Closes the last spec-vs-gate
+  // gap: q38 proves the aggregation, q91–q94 prove stateful operators in
+  // batch mode, this proves the engine plumbing end-to-end.
+  private val q164: Q = (s, dir) =>
+    graft.streaming.StreamingRollup
+      .hourlyWindowFileStream(s, s"$dir/events.parquet")
+      .orderBy("hour", "event_type")
+
+  private val q164Sql = q38Sql
 
   // ------------------------------------------------------------------
 
@@ -5742,7 +5788,8 @@ object Queries {
     "q160_conversion_lag" -> q160,
     "q161_ship_sla" -> q161,
     "q162_stream_leaders" -> q162,
-    "q163_crosstab_composition" -> q163
+    "q163_crosstab_composition" -> q163,
+    "q164_stream_file_rollup" -> q164
   )
 
   val oracles: Map[String, String] = Map(
@@ -5906,6 +5953,7 @@ object Queries {
     "q160_conversion_lag" -> q160Sql,
     "q161_ship_sla" -> q161Sql,
     "q162_stream_leaders" -> q162Sql,
-    "q163_crosstab_composition" -> q163Sql
+    "q163_crosstab_composition" -> q163Sql,
+    "q164_stream_file_rollup" -> q164Sql
   )
 }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * a Pandas-UDF `mapInPandas`: fixed-size record batches through a
   * vectorizable kernel).
   *
-  * The container ships no codec libraries, so [[StubCodec]] is a
-  * clearly-marked deterministic fake standing in for the real
-  * decoder — the Spark-side contract (schema, batching, partitioning,
-  * output shape) is real and tested, and a production codec drops into
-  * the same `decode` signature.
+  * Image payloads decode for REAL via JDK `javax.imageio`
+  * ([[ImageIoCodec]] — PNG/BMP/GIF/JPEG, zero native deps). Audio/video
+  * and undecodable payloads fall back to [[StubCodec]], a clearly-marked
+  * deterministic fake standing in for the native decoders this container
+  * doesn't ship — the Spark-side contract (schema, batching,
+  * partitioning, output shape) is real and tested either way, and a
+  * production codec drops into the same `decode` signature.
   */
 object Multimodal {
 
@@ -42,8 +44,65 @@ object Multimodal {
       byte_histogram: Array[Long] // 16-bucket byte-value histogram
   )
 
-  /** STUB CODEC — deterministic fake decode. A real build replaces this
-    * object with JNI/javacpp bindings; signatures are the contract. */
+  /** REAL image codec over JDK `javax.imageio` — no native deps, ships in
+    * every JRE. Handles the formats the JDK decodes out of the box (PNG,
+    * BMP, GIF, JPEG, WBMP, TIFF on JDK 9+); anything else — or a payload
+    * that only claims to be an image — falls back to [[StubCodec]], so
+    * the pipeline never throws on dirty media columns (at 100 TB there
+    * WILL be truncated and mislabeled payloads; a decode failure is a
+    * row-level fallback, not a job failure).
+    *
+    * Magic-byte sniffing runs first: `ImageIO.read` on an arbitrary
+    * multi-MB non-image payload wastes a full reader probe per row, and
+    * the q31 corpus payloads are synthetic bytes that would all pay it.
+    */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // One-time: in-memory ImageInputStreams, never temp-file cache — the
+    // executor-local disk is not where per-row decode scratch belongs.
+    ImageIO.setUseCache(false)
+
+    /** Cheap magic-byte check for the JDK-decodable formats. */
+    def looksDecodable(payload: Array[Byte]): Boolean = {
+      if (payload == null || payload.length < 4) return false
+      val b = payload
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 'B' && b(1) == 'M') ||                                       // BMP
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||         // GIF
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte)   // JPEG
+    }
+
+    /** Decode to a BufferedImage; None on non-image or corrupt payload. */
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      if (!looksDecodable(payload)) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+
+    /** Real decoded dimensions, if this payload is a decodable image. */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+      decode(payload).map(img => (img.getWidth, img.getHeight))
+
+    /** Real decode → scale → PNG re-encode. None if not decodable. */
+    def resample(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+      decode(payload).map { img =>
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, targetW, targetH, null)
+        finally g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** STUB CODEC — deterministic fake decode for the formats the JVM can't
+    * touch without native libs (audio/video; exotic image formats). Image
+    * payloads route through [[ImageIoCodec]] first; this is the fallback
+    * contract a JNI/javacpp build would replace. */
   object StubCodec {
     /** "Decode" dimensions from content bytes (deterministic fake). */
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
@@ -86,7 +145,8 @@ object Multimodal {
         batch.map { r =>
           md.reset()
           val digest = md.digest(r.payload).map("%02x".format(_)).mkString
-          val (w, h) = StubCodec.decodeDims(r.payload)
+          val (w, h) = ImageIoCodec.decodeDims(r.payload)
+            .getOrElse(StubCodec.decodeDims(r.payload))
           val frames = if (r.kind == "video") StubCodec.sampleFrameOffsets(r.payload, 8) else Seq.empty
           val hist = new Array[Long](16)
           r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
@@ -113,8 +173,9 @@ object Multimodal {
     ds.mapPartitions { iter =>
       iter.grouped(BatchSize).flatMap { batch =>
         batch.map { r =>
-          ResizedMedia(r.media_id, r.kind, StubCodec.resample(r.payload, targetW, targetH),
-            targetW, targetH)
+          val resampled = ImageIoCodec.resample(r.payload, targetW, targetH)
+            .getOrElse(StubCodec.resample(r.payload, targetW, targetH))
+          ResizedMedia(r.media_id, r.kind, resampled, targetW, targetH)
         }
       }
     }

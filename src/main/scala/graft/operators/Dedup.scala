@@ -652,7 +652,21 @@ object Dedup {
     * doc_a < doc_b; jaccard_ppm = (n_inter·10⁶) div n_union — integral, so
     * the row hash-matches any engine computing the same pairs. Documents
     * with zero set elements match nothing (Jaccard with an empty set is
-    * 0 < τ; τ must be > 0). */
+    * 0 < τ; τ must be > 0).
+    *
+    * `maxCandidatePairs` (> 0 to enable) is the BLOWUP GUARD for the one
+    * way exact mode can still go quadratic: with `maxPrefixFreq = 0` (no
+    * index pruning — the exactness default) a boilerplate-heavy corpus
+    * can share even its RAREST prefix tokens across thousands of
+    * documents, and the same-prefix buckets silently explode. The guard
+    * pre-computes the exact bucket-pair mass Σ_t n_t·(n_t−1)/2 over the
+    * prefix index (one count aggregation, shuffle ∝ distinct prefix
+    * tokens — metadata-sized next to the join it screens) and fails the
+    * job loudly via `raise_error` BEFORE the candidate join runs, naming
+    * the estimate — turning "6 hours of shuffle spill" into an immediate,
+    * actionable error (raise τ, use shingles, set `maxPrefixFreq`). The
+    * estimate is an upper bound on candidate-join output (length/position
+    * filters only shrink it), so a passing guard is a real certificate. */
   def prefixFilterJaccardJoin(
       df: DataFrame,
       idCol: String,
@@ -660,7 +674,8 @@ object Dedup {
       tauNum: Int,
       tauDen: Int,
       shingleK: Int = 1,
-      maxPrefixFreq: Long = 0L): DataFrame = {
+      maxPrefixFreq: Long = 0L,
+      maxCandidatePairs: Long = 0L): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
@@ -698,12 +713,37 @@ object Dedup {
         expr(s"__sz - ((__sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
     val prefix = ordered.select(col("__doc"), col("__sz"),
       posexplode(slice(col("__tk"), lit(1), col("__plen"))).as(Seq("__i", "__t")))
-    val indexed =
+    val pruned =
       if (maxPrefixFreq <= 0) prefix
       else prefix.join(
         prefix.groupBy(col("__t")).agg(count(lit(1)).as("__pf"))
           .filter(col("__pf") <= maxPrefixFreq).select(col("__t")),
         Seq("__t"), "left_semi")
+    // Pre-flight blowup guard (see scaladoc): the exact same-prefix pair
+    // mass, evaluated while BUILDING a broadcast 1-row frame — so the job
+    // dies during the (cheap) guard stage, never inside the candidate
+    // join it screens. The filter on __guard keeps column pruning from
+    // optimizing the check away; n·(n−1) runs in decimal(38,0) (a single
+    // 10¹⁰-doc boilerplate token squares past 2^63).
+    val indexed =
+      if (maxCandidatePairs <= 0) pruned
+      else {
+        val chk = pruned
+          .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(
+            sum(col("__n").cast("decimal(38,0)") *
+              (col("__n") - 1).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("__p2"))
+          .select(
+            when(col("__p2") > lit(BigDecimal(maxCandidatePairs) * 2),
+              expr("CAST(raise_error(concat('prefixFilterJaccardJoin: same-prefix " +
+                s"candidate pairs ', CAST(__p2 div 2 AS STRING), ' exceed " +
+                s"maxCandidatePairs=$maxCandidatePairs — raise tau, use " +
+                "shingles, or set maxPrefixFreq')) AS INT)"))
+              .otherwise(lit(1)).as("__guard"))
+        pruned.crossJoin(broadcast(chk))
+          .filter(col("__guard") === 1).drop("__guard")
+      }
     // Prefix-prefix candidates with the LENGTH filter (τ|A| ≤ |B| ≤ |A|/τ)
     // and — in exact mode only — PPJoin's POSITION filter, both as
     // integer cross-multiplies: a token matched at 0-based positions

@@ -303,6 +303,18 @@ object Diagnostics {
     * output; callers derive `var = var_num / (n²·10¹²)` when they want the
     * float.
     *
+    * The internal accumulation runs in DECIMAL(38,0); the FINAL `sum_u` /
+    * `var_num` present as BIGINT (the catalog's presentation-type
+    * convention — cross-engine hashes are representation-sensitive, and
+    * DECIMAL(38,0) surfaces differently from DuckDB vs Spark). The cast
+    * is guarded: any value past ±9.0e18 fails the job loudly via
+    * `raise_error` instead of wrapping. That bounds the audit at roughly
+    * n ≤ 3·10³ vectors per dimension in the worst case (|u| = 10⁶
+    * everywhere) but in practice far higher — `var_num = n·ss − s²`
+    * tracks actual spread, not the worst case (4.6·10¹⁵ at sf0.01's 6k
+    * vectors). Past the bound, re-present as strings, don't widen to
+    * double.
+    *
     * Scale shape: posexplode is a plain generate over the stored array
     * (stays in whole-stage codegen — no higher-order function feeds the
     * explode), and the single aggregation shuffles ≤ `dim` rows per map
@@ -321,10 +333,23 @@ object Diagnostics {
         sum(col("__u")).cast("decimal(38,0)").as("sum_u"),
         sum(col("__u") * col("__u")).cast("decimal(38,0)").as("__ss"))
       .select(
-        col("dim"), col("n_vecs"), col("n_zero"), col("sum_u"),
-        (col("n_vecs").cast("decimal(38,0)") * col("__ss") -
-          col("sum_u") * col("sum_u")).cast("decimal(38,0)").as("var_num"))
+        col("dim"), col("n_vecs"), col("n_zero"),
+        presentBigint(col("sum_u"), "sum_u"),
+        presentBigint(
+          (col("n_vecs").cast("decimal(38,0)") * col("__ss") -
+            col("sum_u") * col("sum_u")).cast("decimal(38,0)"), "var_num"))
   }
+
+  /** Guarded DECIMAL(38,0) → BIGINT presentation: values past ±9.0e18
+    * fail loudly (`raise_error`) instead of wrapping or nulling — the
+    * catalog-wide convention that final output columns carry only
+    * {long, int, double, string, boolean, timestamp, date}.
+    */
+  private[graft] def presentBigint(c: Column, name: String): Column =
+    when(abs(c) > lit(BigDecimal("9000000000000000000")),
+        expr(s"CAST(raise_error('presentBigint: $name exceeds BIGINT " +
+          "presentation bound — re-present as string') AS BIGINT)"))
+      .otherwise(c.cast("long")).as(name)
 
   def ksDrift(
       dfA: DataFrame,

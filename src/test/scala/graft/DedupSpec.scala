@@ -304,6 +304,35 @@ class DedupSpec extends SparkSpec {
         s"shingle mismatch at tau=$tn/$td")
   }
 
+  test("prefixFilterJaccardJoin blowup guard: trips on boilerplate, silent in-bound") {
+    // Pathological corpus: every doc is the SAME text, so with tau=1/2 the
+    // rarest prefix tokens are shared by all 40 docs — same-prefix pair
+    // mass goes quadratic (the maxPrefixFreq=0 failure mode the guard
+    // exists for). 40 docs × 4-token prefix ⇒ Σ n(n−1)/2 = 4·780 = 3120.
+    val boiler = (0L until 40L).map(id => (id, "the same boilerplate text every doc"))
+    val e = intercept[Exception] {
+      Dedup.prefixFilterJaccardJoin(
+          boiler.toDF("doc_id", "text"), "doc_id", "text", 1, 2,
+          maxCandidatePairs = 100L)
+        .count()
+    }
+    assert(e.getMessage.contains("maxCandidatePairs=100"),
+      s"expected the guard's raise_error, got: ${e.getMessage.take(200)}")
+
+    // Same corpus, bound above the mass → identical results to unguarded.
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val rows = (0L until 40L).map { id =>
+      id -> Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val guarded = Dedup.prefixFilterJaccardJoin(
+        rows.toDF("doc_id", "text"), "doc_id", "text", 3, 5,
+        maxCandidatePairs = 10000000L)
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(guarded == bruteJaccard(rows, 3, 5))
+  }
+
   test("bestSurvivorLosers rejects non-integral ids loudly") {
     val comp = Seq(("a", "a")).toDF("node", "cluster")
     val scored = Seq(("a", 1.0)).toDF("doc_id", "score")

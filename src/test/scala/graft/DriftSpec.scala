@@ -248,8 +248,8 @@ class DriftSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n_vecs"),
         r.getAs[Long]("n_zero"),
-        r.getAs[java.math.BigDecimal]("sum_u").longValueExact,
-        r.getAs[java.math.BigDecimal]("var_num").longValueExact))
+        r.getAs[Long]("sum_u"),
+        r.getAs[Long]("var_num")))
     // dim0: u = 1e6, 3e6 → sum 4e6, var_num = 2·(1e12+9e12) − 16e12 = 4e12
     // dim1: all-zero → n_zero 2, var 0 ; dim2: constant → var 0
     assert(out.toSeq == Seq(

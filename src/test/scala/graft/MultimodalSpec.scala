@@ -27,6 +27,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).n_bytes == 0 && feats(2).n_frames_sampled == 0)
   }
 
+  test("ImageIoCodec: REAL PNG decode — dims, resize round-trip, dirty fallback") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    // A real 2×2 PNG fixture with distinct pixel values, built in-memory.
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    // Codec-level: real dims, not the stub's byte-length hash.
+    assert(Multimodal.ImageIoCodec.decodeDims(png).contains((2, 2)))
+    // Corrupt tail: magic passes, decode may fail → None, never a throw.
+    val corrupt = png.take(12)
+    assert(Multimodal.ImageIoCodec.decodeDims(corrupt).isEmpty)
+    assert(!Multimodal.ImageIoCodec.looksDecodable("not an image".getBytes))
+
+    // Pipeline-level: extractFeatures reports the real decoded dims...
+    val df = Seq((7L, png), (8L, "junk bytes".getBytes)).toDF("doc_id", "payload")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.fromBinaryColumn(df, "doc_id", "payload", "image"))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).decoded_width == 2 && feats(0).decoded_height == 2)
+    // ...while the non-image row falls back to the stub (job never fails).
+    val junkLen = "junk bytes".getBytes.length
+    assert(feats(1).decoded_width == 32 + junkLen % 480)
+
+    // resize produces a REAL 4×4 PNG: decode it back and check.
+    val resized = Multimodal
+      .resize(Multimodal.fromBinaryColumn(df, "doc_id", "payload", "image"), 4, 4)
+      .collect().sortBy(_.media_id)
+    assert(Multimodal.ImageIoCodec.decodeDims(resized(0).payload).contains((4, 4)))
+    // Nearest-corner pixels keep their colors through the 2×2→4×4 upscale.
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(resized(0).payload))
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(3, 3) & 0xffffff) == 0xffffff)
+  }
+
   test("frame sampling expands videos to per-frame rows, skips other kinds") {
     val df = Seq(
       (0L, "0123456789abcdef0123456789abcdef"), // 32 bytes → 4 full frames at 8 bytes

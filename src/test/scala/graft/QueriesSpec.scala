@@ -16,6 +16,30 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("presentation-type convention: catalog outputs only gate-safe types") {
+    // The driver's cross-engine hash is representation-sensitive: DuckDB
+    // surfaces HUGEINT / DECIMAL(38,x) as float64 while Spark parquet
+    // arrives int64 / Decimal, so a decimal (or array/struct/map) output
+    // column can NEVER hash-match even when values are bit-equal. Round 6
+    // shipped five such queries; this lint closes the door, not just the
+    // instances. Accumulate in decimal freely — PRESENT as one of these.
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType | StringType | BooleanType |
+           TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if !ok(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-gate-safe output types (cast finals to BIGINT/DOUBLE/STRING):\n  " +
+        offenders.mkString("\n  "))
+  }
+
   test("every catalog query runs on sf0.001 and most return rows") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).count()
