@@ -67,4 +67,75 @@ class JdbcSpec extends SparkSpec {
       JdbcSink.append(fixture, url, "t_bad", batchSize = 0)
     }
   }
+
+  // ---- Postgres-dialect coverage (reference src/database.py:23-55 targets
+  // Postgres; the sandbox has no server, so the deltas are pinned two ways:
+  // the REAL PostgresDialect's type/quoting contract, and the full leg run
+  // under a second registered dialect with Postgres-style string mapping).
+
+  test("PostgresDialect contract: the type and quoting deltas the leg depends on") {
+    import java.sql.Types
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    // Spark routes a postgres URL to its real PostgresDialect — the exact
+    // code a production pointing at the reference's warehouse would run.
+    val pg = JdbcDialects.get("jdbc:postgresql://host:5432/warehouse")
+    assert(pg.getClass.getSimpleName.contains("Postgres"))
+    // Write-side DDL types for the fixture schema (Derby would say CLOB
+    // for strings — THE dialect delta that breaks naive CREATE TABLE).
+    def ddl(dt: DataType) = pg.getJDBCType(dt).map(_.databaseTypeDefinition)
+    assert(ddl(StringType).contains("TEXT"))
+    assert(ddl(DoubleType).contains("FLOAT8"))
+    assert(ddl(BinaryType).contains("BYTEA"))
+    assert(ddl(BooleanType).contains("BOOLEAN"))
+    // Quoting: both Postgres and the SQL standard fold unquoted
+    // identifiers, so mixed-case columns MUST come back double-quoted.
+    assert(pg.quoteIdentifier("MixedCase") == "\"MixedCase\"")
+    // Read-side: Postgres TEXT arrives as VARCHAR/CLOB-free StringType
+    // (no override needed — the default mapping), and the COUNT(*) BIGINT
+    // delta the probe already widens through Number.
+    assert(pg.getCatalystType(Types.BIGINT, "bigserial", 0,
+      new MetadataBuilder()).forall(_ == LongType))
+  }
+
+  test("full leg under a second dialect: Postgres-style VARCHAR strings on Derby") {
+    import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+    import org.apache.spark.sql.types._
+    // A shim dialect for the Derby URL with the POSTGRES-SHAPED choice a
+    // naive leg gets wrong: strings map to a plain character type, not
+    // Derby's default CLOB. If JdbcSource/JdbcSink assumed the default
+    // dialect's DDL or quoting anywhere, this run would break.
+    val shim = new JdbcDialect {
+      override def canHandle(u: String): Boolean = u.startsWith("jdbc:derby:")
+      override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+        case StringType => Some(JdbcType("VARCHAR(512)", java.sql.Types.VARCHAR))
+        case _ => None // fall through to defaults
+      }
+      override def quoteIdentifier(colName: String): String = s""""$colName""""
+    }
+    JdbcDialects.registerDialect(shim)
+    try {
+      val written = JdbcSink.appendIfEmpty(fixture, url, "t_dialect", batchSize = 9)
+      assert(written)
+      // Guard + probe still work through the shim...
+      assert(!JdbcSink.appendIfEmpty(fixture, url, "t_dialect"))
+      assert(JdbcSource.count(spark, url, "t_dialect") == 50L)
+      // ...and the string column was created as VARCHAR, not CLOB.
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        // COLUMN names go through the dialect's quoteIdentifier, so they
+        // preserve their lowercase form ("name", not Derby's folded NAME)
+        // — itself evidence the shim's quoting was exercised; the TABLE
+        // name is written unquoted and folds to upper.
+        val rs = conn.getMetaData.getColumns(null, null, "T_DIALECT", "name")
+        assert(rs.next(), "name column must exist")
+        assert(rs.getString("TYPE_NAME").toUpperCase.startsWith("VARCHAR"),
+          s"expected VARCHAR, got ${rs.getString("TYPE_NAME")}")
+      } finally conn.close()
+      val back = JdbcSource.read(spark, url, "t_dialect").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(back.toSeq == fixture.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq)
+    } finally JdbcDialects.unregisterDialect(shim)
+  }
 }
