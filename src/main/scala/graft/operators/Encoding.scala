@@ -53,6 +53,15 @@ object Encoding {
     * fine until two engines round it differently at hash-compare time).
     * Single-row groups encode 0 (no spread to place the row in).
     *
+    * NULL values are REJECTED up front (`isNotNull` filter on the scan):
+    * a null feature has no rank, and engines disagree on where nulls
+    * sort (Spark NULLS FIRST vs DuckDB NULLS LAST in ascending order —
+    * the exact cross-engine divergence valueRuns documents for order
+    * keys), so keeping them would silently shift every non-null row's
+    * rank by the engine's null placement. Callers who need the null
+    * rows keep them aside and re-join; the encoder's contract is
+    * non-null features only.
+    *
     * Scale shape: one rank window per group — a per-group total order is
     * intrinsic to rank normalization, so this is the exact tier; at
     * group sizes where a single sort partition hurts, bin against
@@ -67,6 +76,7 @@ object Encoding {
     val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
     val wg = Window.partitionBy(g: _*)
     df
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rnk", rank().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wg))
       .withColumn("pr_ppm",

@@ -239,7 +239,13 @@ object Rollup {
       .crossJoin(broadcast(totalDays))
       .select(g ++ Seq(
         col("__dow").as("dow"), col("n_events"), col("days_of_dow"),
-        expr("(n_events * __D * 1000000) div (__tot * days_of_dow)")
+        // Cross-multiply in decimal(38,0): n_events·__D·10⁶ overflows
+        // BIGINT past ~9·10⁹ events in one dow-group × ~10³ observed
+        // days — silent wrap (or ANSI throw) exactly at the scale this
+        // operator targets. `div` (IntegralDivide) presents as BIGINT
+        // regardless of operand width, so the output type is unchanged.
+        expr("(CAST(n_events AS DECIMAL(38,0)) * __D * 1000000) div " +
+          "(CAST(__tot AS DECIMAL(38,0)) * days_of_dow)")
           .as("index_ppm")): _*)
   }
 

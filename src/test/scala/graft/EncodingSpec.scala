@@ -66,6 +66,18 @@ class EncodingSpec extends SparkSpec {
       ("i", 1.0, 0L), ("i", 2.0, 1000000L)))
   }
 
+  test("percentRankPpm drops null features instead of letting them shift ranks") {
+    // Engines place nulls at opposite ends of an ascending sort (Spark
+    // NULLS FIRST, DuckDB NULLS LAST) — with nulls kept, every non-null
+    // row's rank would differ cross-engine. The contract filters them.
+    val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(30.0)))
+      .toDF("grp", "v")
+    val got = Encoding.percentRankPpm(df, Seq("grp"), "v")
+      .select("v", "pr_ppm").as[(Option[Double], Long)].collect().toSet
+    // Null row gone; the two real rows rank over n=2, unaffected by it.
+    assert(got == Set((Some(10.0), 0L), (Some(30.0), 1000000L)))
+  }
+
   test("percentRankPpm is partition-layout independent") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 200).map(i => (s"g${i % 3}", (i * 37 % 50).toDouble)).toDF("grp", "v")
