@@ -5625,6 +5625,97 @@ object Queries {
 
   private val q164Sql = q38Sql
 
+  // ---------------------------------------------------------------- q165
+  // LSH recall CERTIFICATE: measure q43's MinHash-LSH candidate generator
+  // against the EXACT prefix-filter join on the same similarity space
+  // (3-token-shingle Jaccard ≥ 7/10) — the completeness audit that turns
+  // "LSH probably finds the near-dups" into a number (recall_ppm) a
+  // dataset card can print. The theoretical floor for 16 hashes / 2 rows
+  // per band at J = 0.7 is 1−(1−0.49)⁸ ≈ 99.5%; this measures the real
+  // corpus. Truth is evaluated ONCE: the left join against candidates
+  // yields n_true and n_hits in the same aggregation, n_cand rides a
+  // separate count of the (already output-sized) candidate set. At scale
+  // you'd run this on a sampled stratum (the q122 ANN-recall pattern);
+  // the operators compose identically.
+  private val q165: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val truth = Dedup
+      .prefixFilterJaccardJoin(docs, "doc_id", "text", 7, 10, shingleK = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = Dedup
+      .minHashLshPairs(docs, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
+    val scored = truth.join(
+        cand.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+    scored.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .select(col("n_true"), col("n_cand"), col("n_hits"),
+        expr("CASE WHEN n_true = 0 THEN 1000000 " +
+          "ELSE (n_hits * 1000000) div n_true END").as("recall_ppm"))
+  }
+
+  private val q165Sql =
+    s"""WITH $lshBandedCtes,
+       |$lshCandCte,
+       |tk3 AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |sh3 AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(t) < 3 THEN []
+       |         ELSE list_transform(range(0, len(t) - 2),
+       |                i -> array_to_string(list_slice(t, i+1, i+3), ' ')) END) AS s
+       |  FROM tk3),
+       |sz3 AS (SELECT doc_id, len(s) AS n FROM sh3 WHERE len(s) > 0),
+       |ex3 AS (SELECT doc_id, unnest(s) AS tok FROM sh3),
+       |shr3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ex3 a JOIN ex3 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT s.doc_a, s.doc_b FROM shr3 s
+       |  JOIN sz3 na ON na.doc_id = s.doc_a
+       |  JOIN sz3 nb ON nb.doc_id = s.doc_b
+       |  WHERE s.n_inter * 10 >= (na.n + nb.n - s.n_inter) * 7)
+       |SELECT CAST(t.n AS BIGINT) AS n_true, CAST(c.n AS BIGINT) AS n_cand,
+       |  CAST(h.n AS BIGINT) AS n_hits,
+       |  CAST(CASE WHEN t.n = 0 THEN 1000000
+       |    ELSE (h.n * 1000000) // t.n END AS BIGINT) AS recall_ppm
+       |FROM (SELECT count(*) AS n FROM truth) t,
+       |     (SELECT count(*) AS n FROM cand) c,
+       |     (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)) h""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  // Spark's BUILT-IN `session_window` operator, batch-executed and
+  // VALUE-checked: 30-minute-gap sessions per user with the engine's own
+  // session-merge operator (the watermark-managed streaming path's exact
+  // aggregation — q33 checks the lag+flag formulation, this checks the
+  // native operator the streaming quartet rides). Boundary semantics
+  // differ from q33 ON PURPOSE: session windows are [start, end)
+  // end-EXCLUSIVE, so an event landing exactly gap after its predecessor
+  // starts a NEW session — the oracle breaks on `>= gap` where q33's lag
+  // form breaks on `> gap`. session_end = last event + gap by definition.
+  private val q166: Q = (s, dir) =>
+    graft.streaming.StreamingRollup
+      .sessionWindow(Tables.events(s, dir), "ts", Seq("user_id"), "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  private val q166Sql =
+    """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |g AS (SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5789,7 +5880,9 @@ object Queries {
     "q161_ship_sla" -> q161,
     "q162_stream_leaders" -> q162,
     "q163_crosstab_composition" -> q163,
-    "q164_stream_file_rollup" -> q164
+    "q164_stream_file_rollup" -> q164,
+    "q165_lsh_recall_audit" -> q165,
+    "q166_session_window" -> q166
   )
 
   val oracles: Map[String, String] = Map(
@@ -5954,6 +6047,8 @@ object Queries {
     "q161_ship_sla" -> q161Sql,
     "q162_stream_leaders" -> q162Sql,
     "q163_crosstab_composition" -> q163Sql,
-    "q164_stream_file_rollup" -> q164Sql
+    "q164_stream_file_rollup" -> q164Sql,
+    "q165_lsh_recall_audit" -> q165Sql,
+    "q166_session_window" -> q166Sql
   )
 }
