@@ -5716,6 +5716,92 @@ object Queries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  // Cross-source duplication matrix: for every unordered source pair,
+  // how many EXACT near-dup pairs (3-shingle Jaccard ≥ 7/10, the q141
+  // operator) straddle or sit inside it, and how many distinct documents
+  // are involved — the "how much of source A is recycled in source B"
+  // table that decides which source to drop when curating a mixture
+  // (within-source rows measure internal redundancy on the same scale).
+  // The pair set is evaluated ONCE: sources label the pair table (two
+  // id-keyed joins, pair-table-sized), then a 2-row explode feeds a
+  // single aggregation where n_pairs = count div 2 exactly (each pair
+  // contributes both endpoints) and n_docs is the distinct endpoint
+  // count. Everything after the simjoin is output-sized.
+  private val q167: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def side(tag: String) = docs.select(
+      col("doc_id").as(s"doc_$tag"), col("source").as(s"__src_$tag"))
+    Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 7, 10, shingleK = 3)
+      .join(side("a"), Seq("doc_a"))
+      .join(side("b"), Seq("doc_b"))
+      .select(
+        least(col("__src_a"), col("__src_b")).as("source_x"),
+        greatest(col("__src_a"), col("__src_b")).as("source_y"),
+        explode(array(col("doc_a"), col("doc_b"))).as("__d"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(expr("count(*) div 2").as("n_pairs"),
+        countDistinct(col("__d")).as("n_docs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  private val q167Sql =
+    """WITH tk3 AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |sh3 AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_transform(range(0, len(t) - 2),
+      |                i -> array_to_string(list_slice(t, i+1, i+3), ' ')) END) AS s
+      |  FROM tk3),
+      |sz3 AS (SELECT doc_id, len(s) AS n FROM sh3 WHERE len(s) > 0),
+      |ex3 AS (SELECT doc_id, unnest(s) AS tok FROM sh3),
+      |shr3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM ex3 a JOIN ex3 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT s.doc_a, s.doc_b FROM shr3 s
+      |  JOIN sz3 na ON na.doc_id = s.doc_a
+      |  JOIN sz3 nb ON nb.doc_id = s.doc_b
+      |  WHERE s.n_inter * 10 >= (na.n + nb.n - s.n_inter) * 7),
+      |lab AS (SELECT least(sa.source, sb.source) AS source_x,
+      |    greatest(sa.source, sb.source) AS source_y, t.doc_a, t.doc_b
+      |  FROM truth t
+      |  JOIN documents sa ON sa.doc_id = t.doc_a
+      |  JOIN documents sb ON sb.doc_id = t.doc_b),
+      |ex2 AS (SELECT source_x, source_y, unnest([doc_a, doc_b]) AS d FROM lab)
+      |SELECT source_x, source_y,
+      |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      |FROM ex2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  // REAL image-codec round-trip, VALUE-oracled without the oracle ever
+  // decoding an image (Multimodal.codecRoundTrip): each doc_id expands
+  // deterministically to 8×8×3 channel bytes (mix64(id·192+i) & 255),
+  // Spark builds the real PNG, encodes and DECODES it through
+  // javax.imageio, and reports decoded dims + exact channel sum; DuckDB
+  // independently sums the same synthetic bytes (the splitmix64 replay).
+  // PNG is lossless, so any codec/stride/channel bug breaks the hash.
+  // Row-local mapPartitions, no shuffle — the q31 plumbing with the codec
+  // made load-bearing.
+  private val q168: Q = (s, dir) => {
+    import s.implicits._
+    graft.multimodal.Multimodal.codecRoundTrip(
+        Tables.documents(s, dir).select(col("doc_id")).as[java.lang.Long], 8, 8)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val q168Sql = {
+    val mh = DuckHash.mix64Inline("CAST(doc_id * 192 + i AS UBIGINT)")
+    s"""SELECT doc_id,
+       |  CAST(8 AS BIGINT) AS decoded_w, CAST(8 AS BIGINT) AS decoded_h,
+       |  CAST(sum(($mh) & 255) AS BIGINT) AS pixel_sum
+       |FROM (SELECT doc_id, unnest(range(0, 192)) AS i FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5882,7 +5968,9 @@ object Queries {
     "q163_crosstab_composition" -> q163,
     "q164_stream_file_rollup" -> q164,
     "q165_lsh_recall_audit" -> q165,
-    "q166_session_window" -> q166
+    "q166_session_window" -> q166,
+    "q167_cross_source_dup" -> q167,
+    "q168_codec_roundtrip" -> q168
   )
 
   val oracles: Map[String, String] = Map(
@@ -6049,6 +6137,8 @@ object Queries {
     "q163_crosstab_composition" -> q163Sql,
     "q164_stream_file_rollup" -> q164Sql,
     "q165_lsh_recall_audit" -> q165Sql,
-    "q166_session_window" -> q166Sql
+    "q166_session_window" -> q166Sql,
+    "q167_cross_source_dup" -> q167Sql,
+    "q168_codec_roundtrip" -> q168Sql
   )
 }

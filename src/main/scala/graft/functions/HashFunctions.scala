@@ -20,6 +20,16 @@ object HashFunctions {
     z2.bitwiseXOR(shiftrightunsigned(z2, 31))
   }
 
+  /** JVM twin of [[mix64]] for row-local kernels (mapPartitions codecs,
+    * test goldens) — same SplitMix64 finalizer on a plain Long, so
+    * Column-side, JVM-side, and the DuckDB oracle's replay all agree. */
+  def mix64Long(x: Long): Long = {
+    val z0 = x + -7046029254386353131L
+    val z1 = (z0 ^ (z0 >>> 30)) * -4658895280553007687L
+    val z2 = (z1 ^ (z1 >>> 27)) * -7723592293110705685L
+    z2 ^ (z2 >>> 31)
+  }
+
   /** Seeded re-hash of a base 64-bit hash: family member `seed` of a hash
     * family, h_seed(x) = mix64(x + seed * GOLDEN). */
   def seeded(base: Column, seed: Column): Column =

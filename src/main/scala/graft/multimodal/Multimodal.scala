@@ -216,6 +216,73 @@ object Multimodal {
     }
   }
 
+  /** One decoded round-trip record per input id: real decoded dimensions
+    * and the exact channel-value sum after PNG encode → decode. */
+  final case class CodecRoundTrip(
+      doc_id: Long,
+      decoded_w: Long,
+      decoded_h: Long,
+      pixel_sum: Long)
+
+  /** REAL-codec round-trip, value-checkable by an engine with no image
+    * library: each id deterministically expands to `w×h×3` channel bytes
+    * via SplitMix64 (`mix64(id·n + i) & 255` — the catalog's hash), the
+    * bytes become a real `w×h` RGB image, PNG-ENCODE → PNG-DECODE runs
+    * through [[ImageIoCodec]], and the output reports the decoded
+    * dimensions plus the exact channel sum. PNG is lossless and
+    * `TYPE_INT_RGB` stores 8-bit channels exactly, so the decoded sum
+    * MUST equal the direct sum of the synthetic bytes — which a SQL
+    * oracle computes without decoding anything. A lossy codec, a channel
+    * swap, a stride bug, or a truncated write all break the equality.
+    *
+    * Same batched partition-transform scale shape as [[extractFeatures]]:
+    * row-local, no shuffle, codec context per batch.
+    */
+  def codecRoundTrip(
+      ids: org.apache.spark.sql.Dataset[java.lang.Long],
+      w: Int,
+      h: Int): org.apache.spark.sql.Dataset[CodecRoundTrip] = {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import graft.functions.HashFunctions.mix64Long
+    import ids.sparkSession.implicits._
+    val n = w * h * 3
+    ids.mapPartitions { iter =>
+      iter.map { boxed =>
+        val id = boxed.longValue()
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var idx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def ch(i: Int): Int = (mix64Long(id * n + i) & 255L).toInt
+            img.setRGB(x, y, (ch(idx) << 16) | (ch(idx + 1) << 8) | ch(idx + 2))
+            idx += 3; x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        val back = ImageIoCodec.decode(bos.toByteArray).getOrElse(
+          throw new IllegalStateException(s"codecRoundTrip: self-encoded PNG for id=$id failed to decode"))
+        var sum = 0L
+        y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val p = back.getRGB(x, y)
+            sum += ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+            x += 1
+          }
+          y += 1
+        }
+        CodecRoundTrip(id, back.getWidth.toLong, back.getHeight.toLong, sum)
+      }
+    }
+  }
+
   /** Wrap any table with a binary payload column into MediaRecords (schema
     * adapter used by tests and the q31 catalog query). */
   def fromBinaryColumn(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[MediaRecord] = {
