@@ -5632,23 +5632,26 @@ object Queries {
   // "LSH probably finds the near-dups" into a number (recall_ppm) a
   // dataset card can print. The theoretical floor for 16 hashes / 2 rows
   // per band at J = 0.7 is 1−(1−0.49)⁸ ≈ 99.5%; this measures the real
-  // corpus. Truth is evaluated ONCE: the left join against candidates
-  // yields n_true and n_hits in the same aggregation, n_cand rides a
-  // separate count of the (already output-sized) candidate set. At scale
-  // you'd run this on a sampled stratum (the q122 ANN-recall pattern);
-  // the operators compose identically.
+  // corpus. BOTH inputs are evaluated exactly once: a full-outer join on
+  // the pair key feeds one aggregation where n_true / n_cand / n_hits
+  // are the non-null side counts (a left join would need a second pass
+  // over candidates for n_cand — the expensive legs here are the inputs,
+  // not the output-sized join). At scale you'd run this on a sampled
+  // stratum (the q122 ANN-recall pattern); the operators compose
+  // identically.
   private val q165: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val truth = Dedup
       .prefixFilterJaccardJoin(docs, "doc_id", "text", 7, 10, shingleK = 3)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__true"))
     val cand = Dedup
       .minHashLshPairs(docs, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
-    val scored = truth.join(
-        cand.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_true"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
-    scored.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .withColumn("__cand", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("__true")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__cand")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("__true") * col("__cand")), lit(0L)).as("n_hits"))
       .select(col("n_true"), col("n_cand"), col("n_hits"),
         expr("CASE WHEN n_true = 0 THEN 1000000 " +
           "ELSE (n_hits * 1000000) div n_true END").as("recall_ppm"))

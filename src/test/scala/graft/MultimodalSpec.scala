@@ -68,6 +68,29 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(3, 3) & 0xffffff) == 0xffffff)
   }
 
+  test("codecRoundTrip: JVM mix64 twin matches the Column form; decoded sum = byte sum") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.HashFunctions
+    // mix64Long must be the same function as the codegen Column mix64 —
+    // the oracle replays the Column/SQL form, the codec kernel the JVM one.
+    val xs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 987654321L)
+    val viaColumn = xs.toDF("x")
+      .select(HashFunctions.mix64(col("x")).as("h")).as[Long].collect().toSeq
+    assert(viaColumn == xs.map(HashFunctions.mix64Long))
+
+    // Round-trip: decoded dims are the requested 8×8 and the channel sum
+    // equals the direct sum of the synthetic bytes (PNG is lossless).
+    val out = Multimodal.codecRoundTrip(
+        Seq(7L, 123L).map(java.lang.Long.valueOf).toDS(), 8, 8)
+      .collect().sortBy(_.doc_id)
+    for (r <- out) {
+      assert(r.decoded_w == 8L && r.decoded_h == 8L)
+      val expected = (0 until 192).map(i =>
+        HashFunctions.mix64Long(r.doc_id * 192 + i) & 255L).sum
+      assert(r.pixel_sum == expected, s"doc ${r.doc_id}")
+    }
+  }
+
   test("frame sampling expands videos to per-frame rows, skips other kinds") {
     val df = Seq(
       (0L, "0123456789abcdef0123456789abcdef"), // 32 bytes → 4 full frames at 8 bytes
