@@ -515,4 +515,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("q165 recall audit: one full-outer pair join, no nested loop") {
+    val p = plan(SparkEntry.queries("q165_lsh_recall_audit")(spark, sf))
+    // the expensive legs (exact simjoin, LSH banding) meet in exactly one
+    // FullOuter equi-join on the pair key; a second evaluation of either
+    // leg (the left-join + recount formulation) would show a second
+    // FullOuter/aggregate pair or a nested loop
+    assert("FullOuter".r.findAllIn(p).length == 1, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q167 cross-source matrix: label joins stay hash joins, explode in codegen") {
+    val p = plan(SparkEntry.queries("q167_cross_source_dup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the 2-row endpoint explode is a plain CreateArray generate — a
+    // higher-order-function input would knock it out of codegen
+    assert(p.contains("Generate explode"), p.take(4000))
+  }
+
+  test("q168 codec round-trip is shuffle-free up to the final presentation sort") {
+    val df = SparkEntry.queries("q168_codec_roundtrip")(spark, sf)
+    val p = plan(df)
+    // row-local kernel: above the MapPartitions the ONLY exchange is the
+    // orderBy's range partitioning — an aggregation-style shuffle there
+    // would mean the codec kernel stopped being map-only. (The hash
+    // exchange BELOW it is Tables.spread's load-time fact repartition,
+    // which is what parallelizes the kernel off the single-rowgroup
+    // source parquet.)
+    val above = p.substring(0, p.indexOf("MapPartitions"))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(above).toList
+    assert(exchanges.length == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected exactly one range exchange above the kernel, got $exchanges\n" +
+        p.take(3000))
+  }
 }
