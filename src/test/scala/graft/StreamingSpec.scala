@@ -41,6 +41,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream processes chronological day-files one micro-batch each, accumulating to batch") {
+    // The reference's incremental shape (src/etl.py:102-109): day-files
+    // arrive in chronological order and each loads exactly once. Here the
+    // engine's own file source + checkpoint replaces the count-guard:
+    // three day parquet files, maxFilesPerTrigger=1 forces one micro-batch
+    // per file (state carries across batches, the watermark advances
+    // between them), and the terminal complete-mode result must equal the
+    // one-shot batch aggregation of all three days.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dayfiles").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dayfiles-ckpt").toString
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    val all = days.zipWithIndex.flatMap { case (day, d) =>
+      (0 until 48).map { i =>
+        (Timestamp.valueOf(s"$day ${"%02d".format(i / 2)}:${"%02d".format((i % 2) * 30)}:00"),
+          (i % 5).toLong, (d * 100 + i).toDouble)
+      }
+    }
+    days.zipWithIndex.foreach { case (day, d) =>
+      all.filter(_._1.toString.startsWith(day)).toDF("ts", "user_id", "value")
+        .coalesce(1).write.parquet(s"$dir/day_$d")
+    }
+    val schema = spark.read.parquet(s"$dir/day_0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false") // chronological, like the reference
+      .parquet(s"$dir/day_*")
+    val rolled = StreamingRollup.hourlyWindow(stream, "ts", Seq("user_id"), "value")
+    val q = rolled.writeStream
+      .format("memory").queryName("dayfile_test")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // one micro-batch per file
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      val streamed = spark.table("dayfile_test")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("hour"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      val batch = StreamingRollup
+        .hourlyWindow(all.toDF("ts", "user_id", "value"), "ts", Seq("user_id"), "value")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("hour"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(streamed == batch)
+      // 2 half-hour slots per hour → 2 distinct users per hour-window
+      assert(streamed.size == 3 * 24 * 2)
+    } finally q.stop()
+  }
+
   test("built-in session_window groups by event-time gap on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
