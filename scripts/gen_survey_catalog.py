@@ -39,13 +39,10 @@ def main():
     oracle_keys = set(re.findall(r'"(q\d+[a-z0-9_]*)"\s*->\s*q\d+Sql\b', src))
     seen, catalog = set(), []
     for key, q in entries:
-        if key in seen or key in oracle_keys and (key, q) not in entries:
+        if key in seen:
             continue
-        if re.match(r"^q\d+Sql$", q):
-            continue
-        if key not in seen:
-            seen.add(key)
-            catalog.append((key, q))
+        seen.add(key)
+        catalog.append((key, q))
 
     # qNN -> (description, body)
     blocks = {}

@@ -60,6 +60,17 @@ object Bench {
       if (worker.isAlive) {
         System.err.println(s"[bench] $name TIMED OUT after ${queryTimeoutSec}s — cancelling")
         spark.sparkContext.cancelJobGroup(group)
+        // Structured-Streaming executions (q164) submit their micro-batch
+        // jobs from the stream-execution thread under the query's OWN job
+        // group (its runId) — cancelJobGroup(group) never touches them and
+        // awaitTermination would block the worker forever. Stop any active
+        // streaming query: the bench runs queries one at a time, so
+        // anything active here belongs to the timed-out execution.
+        spark.streams.active.foreach { sq =>
+          System.err.println(s"[bench] stopping streaming query ${sq.name}")
+          try sq.stop() catch { case e: Exception =>
+            System.err.println(s"[bench] stop failed: $e") }
+        }
         worker.join(30000)
         // Spark cancellation is best-effort (tasks yield at record
         // boundaries): a worker still alive after the grace join keeps

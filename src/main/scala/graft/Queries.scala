@@ -1070,11 +1070,15 @@ object Queries {
   // sf0.1 (a scale-tier audit whose audit column costs more than the
   // thing it audits has the wrong shape). The sample rides the SAME
   // aggregation as a conditional percentile (`when(sampled, v)` — Spark's
-  // percentile skips nulls), so there is still exactly one shuffle; the
-  // sample's own rank noise is absorbed by widening the bracket to ±4%
-  // rank (4× the GK bound) and raising the vacuous floor to n < 600
-  // (≥ ~60 sampled rows). Value-level rank error is additionally pinned
-  // by PercentileSpec against the full data.
+  // percentile skips nulls), so there is still exactly one shuffle. The
+  // sample's own rank noise is absorbed with real headroom: the bracket
+  // widens to ±8% rank and the vacuous floor rises to n < 6000 (≥ ~600
+  // sampled rows). At the floor the sample quantile's rank SE is
+  // √(p(1−p)/600) ≈ 2%, so after the GK ±1% the margin is ≈ 3.4σ per
+  // boundary — and it only tightens as n grows (a ±4%/n<600 version
+  // would sit INSIDE one SE of the floor: deterministic-looking booleans
+  // that flip on the next corpus). Value-level rank error is additionally
+  // pinned by PercentileSpec against the full data.
   private val q41: Q = (s, dir) => {
     val key = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
     val sampled = graft.functions.HashFunctions.mix64(key)
@@ -1089,9 +1093,9 @@ object Queries {
         AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("__amed"),
         approx_percentile(col("l_extendedprice"),
           array(lit(0.25), lit(0.75)), lit(100)).as("__ap"),
-        percentile(col("__sq"), array(lit(0.46), lit(0.54))).as("__mb"),
+        percentile(col("__sq"), array(lit(0.42), lit(0.58))).as("__mb"),
         percentile(col("__sp"),
-          array(lit(0.21), lit(0.29), lit(0.71), lit(0.79))).as("__pb"),
+          array(lit(0.17), lit(0.33), lit(0.67), lit(0.83))).as("__pb"),
         count(lit(1)).as("n")
       )
       .select(
@@ -1100,17 +1104,17 @@ object Queries {
         // The GK estimate is a DATA ELEMENT while the bracket is an
         // INTERPOLATED sample quantile — on small groups the nearest
         // element legitimately sits outside it, and a group could even
-        // sample zero rows (null bracket). Below n=600 the bound is
+        // sample zero rows (null bracket). Below n=6000 the bound is
         // vacuous and the verdict passes unconditionally — mirrored in
         // the oracle, which asserts TRUE; coalesce keeps a null bracket
         // vacuous rather than null-poisoning the boolean.
-        coalesce(col("n") < 600 ||
+        coalesce(col("n") < 6000 ||
           (col("__amed") >= element_at(col("__mb"), 1) &&
             col("__amed") <= element_at(col("__mb"), 2)), lit(true)).as("median_ok"),
-        coalesce(col("n") < 600 ||
+        coalesce(col("n") < 6000 ||
           (element_at(col("__ap"), 1) >= element_at(col("__pb"), 1) &&
             element_at(col("__ap"), 1) <= element_at(col("__pb"), 2)), lit(true)).as("p25_ok"),
-        coalesce(col("n") < 600 ||
+        coalesce(col("n") < 6000 ||
           (element_at(col("__ap"), 2) >= element_at(col("__pb"), 3) &&
             element_at(col("__ap"), 2) <= element_at(col("__pb"), 4)), lit(true)).as("p75_ok"))
       .orderBy("l_returnflag")

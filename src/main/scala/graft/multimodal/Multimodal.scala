@@ -145,8 +145,14 @@ object Multimodal {
         batch.map { r =>
           md.reset()
           val digest = md.digest(r.payload).map("%02x".format(_)).mkString
-          val (w, h) = ImageIoCodec.decodeDims(r.payload)
-            .getOrElse(StubCodec.decodeDims(r.payload))
+          // Route by DECLARED kind first: only image records try the real
+          // decoder. An audio/video/other payload whose first bytes happen
+          // to pass the loose magic sniff (BMP needs just 'B''M') must
+          // still take the stub path — the q31 oracle replays the stub for
+          // non-decodable rows, and the declared-kind contract is what
+          // keeps that decision engine-independent.
+          val (w, h) = (if (r.kind == "image") ImageIoCodec.decodeDims(r.payload)
+            else None).getOrElse(StubCodec.decodeDims(r.payload))
           val frames = if (r.kind == "video") StubCodec.sampleFrameOffsets(r.payload, 8) else Seq.empty
           val hist = new Array[Long](16)
           r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
@@ -173,7 +179,11 @@ object Multimodal {
     ds.mapPartitions { iter =>
       iter.grouped(BatchSize).flatMap { batch =>
         batch.map { r =>
-          val resampled = ImageIoCodec.resample(r.payload, targetW, targetH)
+          // Same declared-kind routing as extractFeatures: only image
+          // records attempt the real decode→scale→encode.
+          val resampled = (if (r.kind == "image")
+              ImageIoCodec.resample(r.payload, targetW, targetH)
+            else None)
             .getOrElse(StubCodec.resample(r.payload, targetW, targetH))
           ResizedMedia(r.media_id, r.kind, resampled, targetW, targetH)
         }
@@ -235,8 +245,10 @@ object Multimodal {
     * oracle computes without decoding anything. A lossy codec, a channel
     * swap, a stride bug, or a truncated write all break the equality.
     *
-    * Same batched partition-transform scale shape as [[extractFeatures]]:
-    * row-local, no shuffle, codec context per batch.
+    * Row-local partition transform, no shuffle. Unlike
+    * [[extractFeatures]] there is no `grouped(BatchSize)` staging: ImageIO
+    * allocates its reader/writer per call, so there is no per-batch codec
+    * context to amortize, and record-at-a-time keeps buffering O(1 image).
     */
   def codecRoundTrip(
       ids: org.apache.spark.sql.Dataset[java.lang.Long],

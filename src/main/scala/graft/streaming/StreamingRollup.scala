@@ -68,7 +68,15 @@ object StreamingRollup {
     * correctness check and wrong at 100 TB — production streams write
     * through [[StreamingSink]]'s foreachBatch + idempotent-merge. Each
     * call uses a fresh checkpoint dir and memory-table name, so repeated
-    * gate/bench passes never share state.
+    * gate/bench passes never share state; the checkpoint dir is deleted
+    * and the memory table dropped from the catalog before returning (the
+    * returned DataFrame holds the already-resolved sink relation, so the
+    * drop only releases the NAME — repeated bench passes don't pile up
+    * catalog entries).
+    *
+    * NOTE this function is EAGER: it runs the stream to completion at
+    * call time (a terminal streaming result has no lazy form), so even a
+    * schema-only caller pays one full execution.
     */
   def hourlyWindowFileStream(
       spark: SparkSession,
@@ -86,11 +94,23 @@ object StreamingRollup {
     val raw =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(eventsPath)
-    // Parquet surfaces ts as TIMESTAMP_NTZ; watermarks require an instant
-    // type. Same recast as Tables.events — under the UTC session timezone
-    // the micros value is unchanged, so the batch twin's oracle still
-    // hash-matches.
-    val stream = raw.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    // Watermarks require an instant type; mirror Tables.events' FULL
+    // vintage dispatch, not just the NTZ recast — harness events.parquet
+    // has also shipped as TIMESTAMP(NANOS), which under
+    // spark.sql.legacy.parquet.nanosAsLong arrives as a LongType of
+    // nanoseconds. A bare cast("timestamp") would read that long as
+    // SECONDS since epoch (garbage windows that the q38 oracle, reading
+    // nanos correctly, would expose as a hash mismatch). Under the UTC
+    // session timezone both branches preserve the micros value, so the
+    // batch twin's oracle hash-matches.
+    val tsExpr = schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"timestamp_micros($tsCol DIV 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(tsCol).cast("timestamp")
+      case _ => col(tsCol)
+    }
+    val stream = raw.withColumn(tsCol, tsExpr)
     val rolled = hourlyWindow(stream, tsCol, keys, valueCol)
     val name = s"graft_stream_rollup_${runSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
@@ -101,8 +121,19 @@ object StreamingRollup {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    spark.table(name)
+    try q.awaitTermination()
+    finally {
+      // Terminal run: the checkpoint has no future reader. Best-effort
+      // recursive delete (deepest-first) keeps bench passes from littering.
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Gap-based sessions via Spark's BUILT-IN `session_window` — the
