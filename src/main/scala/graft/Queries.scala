@@ -5809,6 +5809,51 @@ object Queries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q169
+  // Deterministic hard-negative mining (Similarity.hardNegatives): every
+  // vector samples k=4 arithmetic pseudo-random negatives
+  // (mix64(id·k+j) mod_u64 (N−1), skip-self) and keeps the most similar —
+  // the contrastive-training pair-construction step, reproducible across
+  // runs/layouts/engines because the sample is pure integer arithmetic
+  // and the cosine is the exact-decimal q28 form. The oracle replays the
+  // u64 mod (true unsigned %, the cross-engine trap pmod fails), the
+  // skip-self map, the exact cosine, and the argmax.
+  private val q169: Q = (s, dir) =>
+    Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding", k = 4)
+      .orderBy("vec_id")
+
+  private val q169Sql = {
+    val mh = DuckHash.mix64Inline("CAST(vec_id * 4 + j AS UBIGINT)")
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |js AS (SELECT vec_id, unnest(range(0, 4)) AS j FROM embeddings),
+       |cand AS (SELECT DISTINCT vec_id,
+       |    CASE WHEN m >= vec_id THEN m + 1 ELSE m END AS neg_id
+       |  FROM (SELECT vec_id,
+       |      CAST(($mh) % CAST((SELECT n FROM nn) - 1 AS UBIGINT) AS BIGINT) AS m
+       |    FROM js)),
+       |p AS (SELECT c.vec_id, c.neg_id,
+       |    unnest(a.embedding) AS ae, unnest(b.embedding) AS be
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.vec_id
+       |  JOIN embeddings b ON b.vec_id = c.neg_id),
+       |d AS (SELECT vec_id, neg_id,
+       |  CAST(sum(CAST(CAST(ae AS DOUBLE) AS DECIMAL(18,6))
+       |    * CAST(CAST(be AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+       |  CAST(sum(CAST(CAST(ae AS DOUBLE) AS DECIMAL(18,6))
+       |    * CAST(CAST(ae AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS na,
+       |  CAST(sum(CAST(CAST(be AS DOUBLE) AS DECIMAL(18,6))
+       |    * CAST(CAST(be AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS nb
+       |  FROM p GROUP BY 1, 2),
+       |s AS (SELECT vec_id, neg_id, dot/sqrt(na*nb) AS cosine FROM d),
+       |r AS (SELECT vec_id, neg_id, cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neg_id) AS rn,
+       |    count(*) OVER (PARTITION BY vec_id) AS n_cand
+       |  FROM s)
+       |SELECT vec_id, neg_id AS hard_neg_id, cosine,
+       |  CAST(n_cand AS BIGINT) AS n_cand
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -5977,7 +6022,8 @@ object Queries {
     "q165_lsh_recall_audit" -> q165,
     "q166_session_window" -> q166,
     "q167_cross_source_dup" -> q167,
-    "q168_codec_roundtrip" -> q168
+    "q168_codec_roundtrip" -> q168,
+    "q169_hard_negatives" -> q169
   )
 
   val oracles: Map[String, String] = Map(
@@ -6146,6 +6192,7 @@ object Queries {
     "q165_lsh_recall_audit" -> q165Sql,
     "q166_session_window" -> q166Sql,
     "q167_cross_source_dup" -> q167Sql,
-    "q168_codec_roundtrip" -> q168Sql
+    "q168_codec_roundtrip" -> q168Sql,
+    "q169_hard_negatives" -> q169Sql
   )
 }

@@ -37,4 +37,25 @@ object HashFunctions {
 
   /** 64-bit hash of a string token (xxhash64 — codegen'd Spark built-in). */
   def tokenHash(token: Column): Column = xxhash64(token)
+
+  /** UNSIGNED-u64 `h mod n` computed from the signed long `h` —
+    * cross-engine-safe residues for non-power-of-two `n` (for powers of
+    * two, `& (n-1)` is simpler and used throughout the sketches). A naive
+    * signed `pmod(h, n)` does NOT equal DuckDB's `CAST(h AS UBIGINT) % n`
+    * when h is negative, because 2⁶⁴ mod n ≠ 0. Decompose into 32-bit
+    * halves: (hi·2³² + lo) mod n = ((hi mod n)·(2³² mod n) + lo mod n)
+    * mod n — every intermediate < 2⁶², no overflow, all nonneg.
+    * Requires 0 < n < 2³¹ (caller-guarded). */
+  def u64Mod(h: Column, n: Column): Column = {
+    val hi = shiftrightunsigned(h, 32)
+    val lo = h.bitwiseAND(lit(0xffffffffL))
+    ((hi % n) * (lit(4294967296L) % n) + lo % n) % n
+  }
+
+  /** JVM twin of [[u64Mod]] (same decomposition). */
+  def u64ModLong(h: Long, n: Long): Long = {
+    val hi = h >>> 32
+    val lo = h & 0xffffffffL
+    ((hi % n) * (4294967296L % n) + lo % n) % n
+  }
 }

@@ -374,4 +374,73 @@ object Similarity {
       .select(col("cluster"), col(idCol),
         coalesce(col("__d"), lit(false)).as("dropped"))
   }
+
+  /** Deterministic hard-negative mining for contrastive training: every
+    * vector samples `k` pseudo-random negatives and keeps the HARDEST —
+    * the sampled non-match most similar to the anchor, the pair a
+    * contrastive loss learns the most from (random negatives are mostly
+    * trivial; hardest-of-k is the standard cheap upgrade before true ANN
+    * mining).
+    *
+    * Sampling is pure arithmetic, reproducible anywhere: negative j of
+    * anchor `a` is `m = mix64(a·k + j) mod_u64 (N−1)`, skip-self mapped
+    * to `m ≥ a ? m+1 : m` — uniform over the other N−1 ids with no
+    * rejection loop, no RNG state, no shuffle to draw the sample
+    * (contrast `rand()`: layout-dependent, gone on resume). Requires
+    * CONTIGUOUS ids 0..N−1 and fails loudly otherwise (`raise_error` in
+    * the 1-row stats frame — checked before any work runs). The unsigned
+    * mod matters: signed `pmod` diverges from an independent engine's
+    * u64 `%` on negative hashes (2⁶⁴ mod n ≠ 0), see
+    * [[graft.functions.HashFunctions.u64Mod]].
+    *
+    * Scale shape: candidate generation is map-only (k rows per anchor,
+    * the corpus itself never shuffles to sample); the two id-keyed joins
+    * pull vectors for k·N pairs; scoring is the row-local exact-decimal
+    * cosine; the argmax is a struct-max aggregation (no window sort).
+    * Output: (vec_id, hard_neg_id, cosine, n_cand) — n_cand < k marks
+    * hash collisions among the k draws (pairs are deduped first).
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions
+    require(k >= 1, s"need k >= 1 negatives, got $k")
+    val stats = emb
+      .agg(count(lit(1)).as("__c"), min(col(idCol)).cast("long").as("__mn"),
+        max(col(idCol)).cast("long").as("__mx"))
+      .select(
+        when(col("__mn") =!= 0L || col("__mx") =!= col("__c") - 1L,
+          expr("CAST(raise_error('hardNegatives: ids must be contiguous " +
+            "0..N-1 for arithmetic sampling — reindex first') AS BIGINT)"))
+          .otherwise(col("__c")).as("__n"))
+    val cand = emb.select(col(idCol).cast("long").as("vec_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("__j"), col("__n"))
+      .select(col("vec_id"),
+        HashFunctions.u64Mod(
+          HashFunctions.mix64(col("vec_id") * k + col("__j")),
+          col("__n") - 1L).as("__m"))
+      .select(col("vec_id"),
+        when(col("__m") >= col("vec_id"), col("__m") + 1L)
+          .otherwise(col("__m")).as("neg_id"))
+      .distinct()
+    val anchors = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__va"))
+    val negs = emb.select(col(idCol).cast("long").as("neg_id"), col(vecCol).as("__vb"))
+    cand.join(anchors, Seq("vec_id")).join(negs, Seq("neg_id"))
+      .select(col("vec_id"), col("neg_id"),
+        VectorFunctions.cosineExact(col("__va"), col("__vb")).as("__cos"))
+      // struct-max argmax: highest cosine, smallest neg_id on ties (the
+      // negated id makes "larger struct" mean "smaller id")
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("__cos").as("c"), (col("neg_id") * -1L).as("ni"))).as("__best"),
+        count(lit(1)).as("n_cand"))
+      .select(col("vec_id"),
+        (col("__best.ni") * -1L).as("hard_neg_id"),
+        col("__best.c").as("cosine"),
+        col("n_cand"))
+  }
 }

@@ -168,4 +168,69 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
     assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
+
+  test("u64Mod: Column, JVM twin, and BigInteger unsigned mod all agree") {
+    import graft.functions.HashFunctions
+    val two64 = BigInt(1) << 64
+    val hs = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue,
+      -7046029254386353131L, 42L, -999999937L)
+    val ns = Seq(3L, 499L, 4999L, 2147483629L)
+    for (n <- ns) {
+      val viaCol = hs.toDF("h")
+        .select(HashFunctions.u64Mod(col("h"), lit(n)).as("m"))
+        .as[Long].collect().toSeq
+      val expected = hs.map { h =>
+        val u = if (h < 0) BigInt(h) + two64 else BigInt(h)
+        (u mod BigInt(n)).toLong
+      }
+      assert(viaCol == expected, s"n=$n")
+      assert(hs.map(HashFunctions.u64ModLong(_, n)) == expected, s"jvm n=$n")
+    }
+  }
+
+  test("hardNegatives: never self, hardest-of-k matches brute force, deterministic") {
+    import graft.functions.HashFunctions
+    val rng = new scala.util.Random(5)
+    val n = 20
+    val vecs = (0L until n.toLong).map(id =>
+      (id, Array.fill(8)(rng.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("hard_neg_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("n_cand"))).sortBy(_._1)
+    assert(out.length == n)
+    assert(out.forall { case (a, b, _, _) => a != b }, "self-negative leaked")
+    assert(out.forall { case (_, b, _, _) => b >= 0 && b < n }, "negative id out of range")
+    assert(out.forall(_._4 <= 4L))
+    // replay the arithmetic sample + exact argmax in plain Scala
+    val raw = vecs.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def q(x: Float) = BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val dot = a.zip(b).map { case (x, y) => q(x) * q(y) }.sum
+      val na = a.map(x => q(x) * q(x)).sum
+      val nb = b.map(x => q(x) * q(x)).sum
+      dot.toDouble / math.sqrt((na * nb).toDouble)
+    }
+    for ((a, b, c, nc) <- out) {
+      val cands = (0 until 4).map { j =>
+        val m = HashFunctions.u64ModLong(HashFunctions.mix64Long(a * 4 + j), n - 1L)
+        if (m >= a) m + 1 else m
+      }.distinct
+      assert(nc == cands.size.toLong)
+      val best = cands.map(id => (cos(raw(a), raw(id)), id))
+        .maxBy { case (cv, id) => (cv, -id) }
+      assert(b == best._2, s"anchor $a: got $b expected ${best._2}")
+      assert(math.abs(c - best._1) < 1e-9)
+    }
+  }
+
+  test("hardNegatives rejects non-contiguous ids loudly") {
+    val vecs = Seq((0L, Array(1.0f)), (2L, Array(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.hardNegatives(vecs, "vec_id", "embedding").count()
+    }
+    assert(e.getMessage.contains("contiguous"), e.getMessage.take(200))
+  }
 }
