@@ -5854,6 +5854,62 @@ object Queries {
        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q170
+  // Dataset-build CAPSTONE: the data-prep side's q159 — raw corpus →
+  // exact-dedup survivors (min-id per normalized-md5 group) → quality
+  // gate (score ≥ 0.5) → token counting → deterministic shard assignment
+  // → per-shard export manifest (docs, token mass, source diversity, id
+  // range). Four library operators composing in ONE lazy plan: the
+  // "make a training dataset" pipeline a user actually ships, each stage
+  // keeping its scale shape (dedup = one md5-keyed shuffle; gate + tokens
+  // + shard = map-only on the scan; manifest = 8-row rollup). The oracle
+  // replays ALL of it — md5 normalization, the quality formula (the same
+  // shared SQL fragments as q22/q73, so the oracles cannot drift), the
+  // splitmix64 shard — so the composition is value-checked end-to-end.
+  private val q170: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val survivors = docs.join(
+      Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val gated = survivors
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing.withShard(gated, "doc_id", 8)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
+  private val q170Sql = {
+    import DuckHash._
+    val shard = s"(((${signed("mh")}) % 8) + 8) % 8"
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |surv AS (SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |gated AS (SELECT doc_id, source,
+       |    CAST($duckNTokens AS BIGINT) AS n_tokens
+       |  FROM surv WHERE ($duckQualityScore) >= 0.5),
+       |mx0 AS (SELECT doc_id, source, n_tokens,
+       |    CAST(doc_id AS UBIGINT) AS sx FROM gated),
+       |${mix64Ctes("sx")},
+       |sh AS (SELECT doc_id, source, n_tokens,
+       |    CAST($shard AS BIGINT) AS shard FROM mx4)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6023,7 +6079,8 @@ object Queries {
     "q166_session_window" -> q166,
     "q167_cross_source_dup" -> q167,
     "q168_codec_roundtrip" -> q168,
-    "q169_hard_negatives" -> q169
+    "q169_hard_negatives" -> q169,
+    "q170_dataset_build" -> q170
   )
 
   val oracles: Map[String, String] = Map(
@@ -6193,6 +6250,7 @@ object Queries {
     "q166_session_window" -> q166Sql,
     "q167_cross_source_dup" -> q167Sql,
     "q168_codec_roundtrip" -> q168Sql,
-    "q169_hard_negatives" -> q169Sql
+    "q169_hard_negatives" -> q169Sql,
+    "q170_dataset_build" -> q170Sql
   )
 }
