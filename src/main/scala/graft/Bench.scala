@@ -64,14 +64,29 @@ object Bench {
         // jobs from the stream-execution thread under the query's OWN job
         // group (its runId) — cancelJobGroup(group) never touches them and
         // awaitTermination would block the worker forever. Stop any active
-        // streaming query: the bench runs queries one at a time, so
-        // anything active here belongs to the timed-out execution.
-        spark.streams.active.foreach { sq =>
+        // streaming query — from a BOUNDED daemon thread, because stop()
+        // itself joins the stream thread with stopTimeout=0 (wait forever
+        // by default): a stream stuck in uninterruptible IO would
+        // otherwise convert this per-query timeout into a whole-bench
+        // hang. The bench runs queries one at a time, so anything active
+        // belongs to the timed-out execution.
+        def stopActiveStreams(): Unit = spark.streams.active.foreach { sq =>
           System.err.println(s"[bench] stopping streaming query ${sq.name}")
-          try sq.stop() catch { case e: Exception =>
-            System.err.println(s"[bench] stop failed: $e") }
+          val stopper = new Thread(() =>
+            try sq.stop() catch { case e: Exception =>
+              System.err.println(s"[bench] stop failed: $e") })
+          stopper.setDaemon(true)
+          stopper.start()
+          stopper.join(15000)
+          if (stopper.isAlive)
+            System.err.println(s"[bench] ${sq.name} did not stop within 15s — abandoning")
         }
+        stopActiveStreams()
         worker.join(30000)
+        // A worker timed out BETWEEN schema read and start() registers its
+        // stream only after the first sweep — re-check once post-grace so
+        // a late-starting stream can't park in awaitTermination unnoticed.
+        if (worker.isAlive) stopActiveStreams()
         // Spark cancellation is best-effort (tasks yield at record
         // boundaries): a worker still alive after the grace join keeps
         // competing for executor threads and contaminates the NEXT queries'

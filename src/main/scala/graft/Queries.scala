@@ -5868,10 +5868,7 @@ object Queries {
   // splitmix64 shard — so the composition is value-checked end-to-end.
   private val q170: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val survivors = docs.join(
-      Dedup.exactGroups(docs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    val survivors = Dedup.dropExactDuplicates(docs, "doc_id", "text")
     val gated = survivors
       .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
       .select(col("doc_id"), col("source"),

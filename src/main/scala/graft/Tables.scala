@@ -66,11 +66,22 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts DIV 1000)")
-      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
-      case _ => col("ts")
-    }
-    spread(raw.withColumn("ts", ts), "user_id")
+    spread(raw.withColumn("ts", instantTs(raw.schema, "ts")), "user_id")
   }
+
+  /** The ts vintage dispatch as ONE shared helper — both the batch loader
+    * above and the streaming file source
+    * ([[graft.streaming.StreamingRollup.hourlyWindowFileStream]]) MUST
+    * apply the identical conversion: the two sites once drifted (the
+    * streaming copy kept only the NTZ recast and read a nanos LongType as
+    * SECONDS since epoch), and a future vintage added here would silently
+    * miss any second hand-maintained copy. */
+  def instantTs(schema: org.apache.spark.sql.types.StructType, tsCol: String): org.apache.spark.sql.Column =
+    schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"timestamp_micros($tsCol DIV 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(tsCol).cast("timestamp")
+      case _ => col(tsCol)
+    }
 }

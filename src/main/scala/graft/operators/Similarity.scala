@@ -407,13 +407,23 @@ object Similarity {
       k: Int = 4): DataFrame = {
     import graft.functions.HashFunctions
     require(k >= 1, s"need k >= 1 negatives, got $k")
+    // The guard must prove ids are EXACTLY {0..N−1}: distinct-count equal
+    // to count closes the duplicate-id-plus-gap loophole (ids {0,1,1,3}
+    // satisfy min/max/count alone, then gap-mapped candidates silently
+    // vanish in the join while the duplicated anchor double-counts), and
+    // N ≥ 2 keeps the modulus positive (N = 1 would be `mod 0`: null in
+    // non-ANSI Spark but an ERROR in the oracle — a silent cross-engine
+    // divergence instead of this loud one).
     val stats = emb
-      .agg(count(lit(1)).as("__c"), min(col(idCol)).cast("long").as("__mn"),
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col(idCol)).as("__d"),
+        min(col(idCol)).cast("long").as("__mn"),
         max(col(idCol)).cast("long").as("__mx"))
       .select(
-        when(col("__mn") =!= 0L || col("__mx") =!= col("__c") - 1L,
-          expr("CAST(raise_error('hardNegatives: ids must be contiguous " +
-            "0..N-1 for arithmetic sampling — reindex first') AS BIGINT)"))
+        when(col("__c") < 2L || col("__d") =!= col("__c") ||
+            col("__mn") =!= 0L || col("__mx") =!= col("__c") - 1L,
+          expr("CAST(raise_error('hardNegatives: need >= 2 vectors with " +
+            "distinct contiguous ids 0..N-1 — reindex first') AS BIGINT)"))
           .otherwise(col("__c")).as("__n"))
     val cand = emb.select(col(idCol).cast("long").as("vec_id"))
       .crossJoin(broadcast(stats))

@@ -94,23 +94,12 @@ object StreamingRollup {
     val raw =
       if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(eventsPath)
-    // Watermarks require an instant type; mirror Tables.events' FULL
-    // vintage dispatch, not just the NTZ recast — harness events.parquet
-    // has also shipped as TIMESTAMP(NANOS), which under
-    // spark.sql.legacy.parquet.nanosAsLong arrives as a LongType of
-    // nanoseconds. A bare cast("timestamp") would read that long as
-    // SECONDS since epoch (garbage windows that the q38 oracle, reading
-    // nanos correctly, would expose as a hash mismatch). Under the UTC
-    // session timezone both branches preserve the micros value, so the
-    // batch twin's oracle hash-matches.
-    val tsExpr = schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        expr(s"timestamp_micros($tsCol DIV 1000)")
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        col(tsCol).cast("timestamp")
-      case _ => col(tsCol)
-    }
-    val stream = raw.withColumn(tsCol, tsExpr)
+    // Watermarks require an instant type; apply Tables.instantTs — the
+    // SHARED vintage dispatch (TIMESTAMP(NANOS)-as-LongType needs
+    // timestamp_micros(ts DIV 1000); a bare cast would read the long as
+    // SECONDS since epoch and produce garbage windows). One helper, not a
+    // copy: the two sites drifting is exactly how that bug shipped once.
+    val stream = raw.withColumn(tsCol, graft.Tables.instantTs(schema, tsCol))
     val rolled = hourlyWindow(stream, tsCol, keys, valueCol)
     val name = s"graft_stream_rollup_${runSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
@@ -121,19 +110,27 @@ object StreamingRollup {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally {
-      // Terminal run: the checkpoint has no future reader. Best-effort
-      // recursive delete (deepest-first) keeps bench passes from littering.
+    try {
+      q.awaitTermination()
+      // Resolve BEFORE dropping the name: Dataset construction analyzes
+      // eagerly, so the returned frame holds the sink relation itself.
+      spark.table(name)
+    } finally {
+      // Runs on success AND failure: a failed stream must not leak its
+      // memory-sink catalog entry (start() registers the view immediately)
+      // or its checkpoint. Terminal run — the checkpoint has no future
+      // reader; best-effort deepest-first delete, walk stream closed
+      // (it holds open directory handles until closed).
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       } catch { case _: Exception => () }
     }
-    val out = spark.table(name)
-    spark.catalog.dropTempView(name)
-    out
   }
 
   /** Gap-based sessions via Spark's BUILT-IN `session_window` — the
