@@ -60,10 +60,15 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
+    import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
-    // One-time: in-memory ImageInputStreams, never temp-file cache — the
-    // executor-local disk is not where per-row decode scratch belongs.
-    ImageIO.setUseCache(false)
+    // In-memory ImageInputStream/OutputStream wrappers PER CALL — the
+    // executor-local disk is not where per-row decode scratch belongs, but
+    // the process-global `ImageIO.setUseCache(false)` would silently
+    // reconfigure any co-resident application code that relies on the disk
+    // cache (very large images on memory-constrained executors). Keeping
+    // the no-disk-cache choice local to each decode/encode costs one
+    // wrapper allocation and mutates nothing outside this codec.
 
     /** Cheap magic-byte check for the JDK-decodable formats. */
     def looksDecodable(payload: Array[Byte]): Boolean = {
@@ -78,9 +83,24 @@ object Multimodal {
     /** Decode to a BufferedImage; None on non-image or corrupt payload. */
     def decode(payload: Array[Byte]): Option[BufferedImage] =
       if (!looksDecodable(payload)) None
-      else
-        try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      else {
+        val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+        try Option(ImageIO.read(iis))
         catch { case _: Exception => None }
+        // ImageIO.read(ImageInputStream) closes the stream itself after a
+        // successful read — this close covers the null/throw paths only.
+        finally try iis.close() catch { case _: java.io.IOException => () }
+      }
+
+    /** PNG-encode through an explicit in-memory ImageOutputStream (see
+      * class note — never the process-global cache setting). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try { ImageIO.write(img, "png", ios); ios.flush() }
+      finally ios.close()
+      bos.toByteArray
+    }
 
     /** Real decoded dimensions, if this payload is a decodable image. */
     def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
@@ -93,9 +113,7 @@ object Multimodal {
         val g = out.createGraphics()
         try g.drawImage(img, 0, 0, targetW, targetH, null)
         finally g.dispose()
-        val bos = new ByteArrayOutputStream()
-        ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        encodePng(out)
       }
   }
 
@@ -255,8 +273,6 @@ object Multimodal {
       w: Int,
       h: Int): org.apache.spark.sql.Dataset[CodecRoundTrip] = {
     import java.awt.image.BufferedImage
-    import java.io.ByteArrayOutputStream
-    import javax.imageio.ImageIO
     import graft.functions.HashFunctions.mix64Long
     import ids.sparkSession.implicits._
     val n = w * h * 3
@@ -275,9 +291,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new ByteArrayOutputStream()
-        ImageIO.write(img, "png", bos)
-        val back = ImageIoCodec.decode(bos.toByteArray).getOrElse(
+        val back = ImageIoCodec.decode(ImageIoCodec.encodePng(img)).getOrElse(
           throw new IllegalStateException(s"codecRoundTrip: self-encoded PNG for id=$id failed to decode"))
         var sum = 0L
         y = 0

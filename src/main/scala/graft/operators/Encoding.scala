@@ -53,14 +53,18 @@ object Encoding {
     * fine until two engines round it differently at hash-compare time).
     * Single-row groups encode 0 (no spread to place the row in).
     *
-    * NULL values are REJECTED up front (`isNotNull` filter on the scan):
-    * a null feature has no rank, and engines disagree on where nulls
+    * NULL features have no rank, and engines disagree on where nulls
     * sort (Spark NULLS FIRST vs DuckDB NULLS LAST in ascending order —
     * the exact cross-engine divergence valueRuns documents for order
     * keys), so keeping them would silently shift every non-null row's
-    * rank by the engine's null placement. Callers who need the null
-    * rows keep them aside and re-join; the encoder's contract is
-    * non-null features only.
+    * rank by the engine's null placement. The encoder's contract is
+    * therefore non-null features only, and it is LOUD by default: a null
+    * `valueCol` fails the job via `raise_error` inside the rank's order
+    * key (the codebase's loud-guard convention — a caller upgrading from
+    * a version that silently dropped nulls gets an error naming the fix,
+    * never quietly fewer rows). Pass `dropNulls = true` to opt into
+    * dropping them instead (row count shrinks by the null count); either
+    * way, callers who need the null rows keep them aside and re-join.
     *
     * Scale shape: one rank window per group — a per-group total order is
     * intrinsic to rank normalization, so this is the exact tier; at
@@ -70,13 +74,22 @@ object Encoding {
   def percentRankPpm(
       df: DataFrame,
       groupCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      dropNulls: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    // The guard rides the window's ORDER key, which the sort evaluates for
+    // every row — it cannot be pruned away like a dangling check column.
+    val orderKey =
+      if (dropNulls) col(valueCol)
+      else when(col(valueCol).isNull,
+        expr(s"raise_error('percentRankPpm: null $valueCol — engines " +
+          "disagree on null rank placement; filter nulls first or pass " +
+          "dropNulls = true')").cast(df.schema(valueCol).dataType))
+        .otherwise(col(valueCol))
+    val w = Window.partitionBy(g: _*).orderBy(orderKey)
     val wg = Window.partitionBy(g: _*)
-    df
-      .filter(col(valueCol).isNotNull)
+    (if (dropNulls) df.filter(col(valueCol).isNotNull) else df)
       .withColumn("__rnk", rank().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wg))
       .withColumn("pr_ppm",

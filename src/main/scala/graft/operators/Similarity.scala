@@ -413,7 +413,11 @@ object Similarity {
     // vanish in the join while the duplicated anchor double-counts), and
     // N ≥ 2 keeps the modulus positive (N = 1 would be `mod 0`: null in
     // non-ANSI Spark but an ERROR in the oracle — a silent cross-engine
-    // divergence instead of this loud one).
+    // divergence instead of this loud one). The upper bound enforces
+    // u64Mod's documented precondition 0 < n < 2^31 on the modulus N−1:
+    // past it the 32-bit-halves decomposition overflows SILENTLY and the
+    // sample diverges from any true-unsigned-mod replay — exactly the
+    // cross-engine drift this guard exists to make loud.
     val stats = emb
       .agg(count(lit(1)).as("__c"),
         countDistinct(col(idCol)).as("__d"),
@@ -424,6 +428,9 @@ object Similarity {
             col("__mn") =!= 0L || col("__mx") =!= col("__c") - 1L,
           expr("CAST(raise_error('hardNegatives: need >= 2 vectors with " +
             "distinct contiguous ids 0..N-1 — reindex first') AS BIGINT)"))
+          .when(col("__c") > 2147483648L,
+            expr("CAST(raise_error('hardNegatives: N-1 exceeds u64Mod range " +
+              "(need N-1 < 2^31) — shard or reindex the corpus first') AS BIGINT)"))
           .otherwise(col("__c")).as("__n"))
     val cand = emb.select(col(idCol).cast("long").as("vec_id"))
       .crossJoin(broadcast(stats))

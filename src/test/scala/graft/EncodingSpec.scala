@@ -66,13 +66,18 @@ class EncodingSpec extends SparkSpec {
       ("i", 1.0, 0L), ("i", 2.0, 1000000L)))
   }
 
-  test("percentRankPpm drops null features instead of letting them shift ranks") {
+  test("percentRankPpm fails loudly on null features by default, drops on opt-in") {
     // Engines place nulls at opposite ends of an ascending sort (Spark
     // NULLS FIRST, DuckDB NULLS LAST) — with nulls kept, every non-null
-    // row's rank would differ cross-engine. The contract filters them.
+    // row's rank would differ cross-engine. Default contract: loud error
+    // (never silently fewer rows); dropNulls = true opts into filtering.
     val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(30.0)))
       .toDF("grp", "v")
-    val got = Encoding.percentRankPpm(df, Seq("grp"), "v")
+    val e = intercept[Exception] {
+      Encoding.percentRankPpm(df, Seq("grp"), "v").collect()
+    }
+    assert(e.getMessage.contains("percentRankPpm"))
+    val got = Encoding.percentRankPpm(df, Seq("grp"), "v", dropNulls = true)
       .select("v", "pr_ppm").as[(Option[Double], Long)].collect().toSet
     // Null row gone; the two real rows rank over n=2, unaffected by it.
     assert(got == Set((Some(10.0), 0L), (Some(30.0), 1000000L)))
