@@ -521,6 +521,22 @@ object Dedup {
     * Key frequency counts row-occurrences, not distinct ids ("aa" emits
     * key "a" twice and both count) — the oracle replays the same rule.
     *
+    * Keys that SURVIVE the prune can still dominate a reducer: a key at
+    * freq f costs f² candidate comparisons, all on one task under plain
+    * hash partitioning, and a same-key aggregation downstream is exactly
+    * where AQE's skew split cannot help (measured 15× max/mean task skew
+    * on the q159 ER capstone — at 100× the hot key IS the wall-clock).
+    * So the join is TWO-TIER, split by the same frequency table the
+    * prune already builds: keys at freq ≤ `hotKeyFreq` equi-join on the
+    * key as usual, hotter keys join on (key, salt) — the probe side
+    * bucketed by `mix64(id) mod hotSalts` ([[SkewJoin.saltedJoin]]'s
+    * deterministic spread), the build side replicated over all salts —
+    * which divides each hot key's f² bucket across `hotSalts` reducers
+    * for the cost of replicating only the hot rows. LOSSLESS: every pair
+    * still meets on exactly one (key, salt) cell (the probe row's single
+    * bucket), so the output is bit-identical to the unsalted join —
+    * DedupSpec pins it. `hotKeyFreq <= 0` or `hotSalts <= 1` disables.
+    *
     * Output: (id_a, id_b, str_a, str_b, dist) with id_a < id_b, dist ∈
     * {0, 1} — distance-0 pairs are distinct ids carrying identical
     * strings, the exact-dup tier's finding, kept here so the blocking
@@ -529,8 +545,23 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       strCol: String,
-      maxKeyFreq: Long = 1000L): DataFrame = {
+      maxKeyFreq: Long = 1000L,
+      hotKeyFreq: Long = 64L,
+      hotSalts: Int = 8): DataFrame = {
+    // Spread the (id, str) projection before the ×(len+1) key explosion:
+    // the natural input here is a DIMENSION (names, SKUs — often a
+    // single-rowgroup scan, Spark's atomic split), and without this the
+    // whole deletion-key build runs in ONE task while the cluster idles —
+    // measured as the dominant task skew in the q159 ER capstone, dwarfing
+    // any per-key heat. One light shuffle of two short columns buys
+    // key-build parallelism ∝ cluster size. EXPLICIT count: the key build
+    // and (when the other side broadcasts) the candidate join itself run
+    // in this exchange's partitions, and their per-row cost is string CPU
+    // that AQE's byte-based coalescer systematically underestimates —
+    // measured 3× wall on this stage when left advisory.
+    val para = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .repartition(math.min(para, 8), col("__id"))
     val keys = base
       .select(col("__id"), col("__s"),
         explode(sequence(lit(0), length(col("__s")))).as("__i"))
@@ -540,20 +571,36 @@ object Dedup {
             col("__s").substr(lit(1), col("__i") - 1),
             col("__s").substr(col("__i") + 1, length(col("__s")))))
           .as("__k"))
+    val saltOn = hotKeyFreq > 0 && hotSalts > 1
+    // One frequency pass serves both the prune and the hot-tier split.
+    val freq = keys.groupBy(col("__k")).agg(count(lit(1)).as("__kf"))
     val pruned =
-      if (maxKeyFreq <= 0) keys
+      if (maxKeyFreq <= 0 && !saltOn) keys.withColumn("__kf", lit(1L))
+      else keys.join(
+        if (maxKeyFreq <= 0) freq else freq.filter(col("__kf") <= maxKeyFreq),
+        Seq("__k"))
+    def sideCols(tag: String)(d: DataFrame) = d.select(
+      col("__k") +: d.columns.filter(_ == "__g").map(col).toSeq ++: Seq(
+        col("__i").as(s"__i$tag"), col("__id").as(s"id_$tag"),
+        col("__s").as(s"str_$tag")): _*)
+    val candidates =
+      if (!saltOn) sideCols("a")(pruned).join(sideCols("b")(pruned), Seq("__k"))
       else {
-        val keep = keys.groupBy(col("__k"))
-          .agg(count(lit(1)).as("__kf"))
-          .filter(col("__kf") <= maxKeyFreq)
-          .select(col("__k"))
-        keys.join(keep, Seq("__k"), "left_semi")
+        val light = pruned.filter(col("__kf") <= hotKeyFreq)
+        val hot = pruned.filter(col("__kf") > hotKeyFreq)
+        // Build side replicated over every salt; probe side lands in its
+        // one deterministic bucket — each pair meets exactly once.
+        val hotA = hot.withColumn("__g",
+          explode(sequence(lit(0), lit(hotSalts - 1))))
+        val hotB = hot.withColumn("__g",
+          pmod(graft.functions.HashFunctions.mix64(col("__id")),
+            lit(hotSalts.toLong)).cast("int"))
+        sideCols("a")(light).join(sideCols("b")(light), Seq("__k"))
+          .unionByName(
+            sideCols("a")(hotA).join(sideCols("b")(hotB), Seq("__k", "__g"))
+              .drop("__g"))
       }
-    val a = pruned.select(col("__k"), col("__i").as("__ia"),
-      col("__id").as("id_a"), col("__s").as("str_a"))
-    val b = pruned.select(col("__k"), col("__i").as("__ib"),
-      col("__id").as("id_b"), col("__s").as("str_b"))
-    a.join(b, Seq("__k"))
+    candidates
       .filter(col("id_a") < col("id_b") &&
         (col("__ia") === col("__ib") || col("__ia") === 0 || col("__ib") === 0))
       // same pair can qualify through several keys (an equal-string pair
@@ -561,8 +608,15 @@ object Dedup {
       // which is 0 exactly for equal strings
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"),
         when(col("__ia") === 0 && col("__ib") === 0, 0).otherwise(1).as("__d"))
-      .groupBy(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
-      .agg(min(col("__d")).as("dist"))
+      // Pin the pair-dedup exchange like the base spread: its input is the
+      // full candidate stream (CPU-dense, byte-light — the same AQE
+      // coalescer blind spot). Group on the id pair alone: the strings are
+      // functionally dependent on their ids, so min() re-emits them without
+      // paying string hashing in the grouping key.
+      .repartition(math.min(para, 8), col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("str_a")).as("str_a"), min(col("str_b")).as("str_b"),
+        min(col("__d")).as("dist"))
   }
 
   /** Quality-aware survivor election: given a `components` table

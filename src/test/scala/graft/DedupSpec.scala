@@ -86,6 +86,25 @@ class DedupSpec extends SparkSpec {
     assert(unpruned == 45L) // all C(10,2) pairs are substitutions at pos 2
   }
 
+  test("editOnePairs hot-key salting is lossless: salted == unsalted, pair-for-pair") {
+    // Adversarial fixture: one scorching key family (every "k<d><d>" shares
+    // deletion keys at freq ≫ hotKeyFreq) plus a cold tail — pairs must
+    // be identical whether the hot tier joins on (key, salt) or the plain
+    // key, including each pair's min-dist label.
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 120L).map(i =>
+      (i, if (i < 60) f"k${rnd.nextInt(30)}%02d" else s"cold-$i-${rnd.nextInt(4)}"))
+      .toDF("id", "name")
+    def run(salts: Int, hotAt: Long) =
+      Dedup.editOnePairs(rows, "id", "name", maxKeyFreq = 0L,
+          hotKeyFreq = hotAt, hotSalts = salts)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val unsalted = run(salts = 1, hotAt = 0L)
+    assert(run(salts = 8, hotAt = 4L) == unsalted)   // nearly everything hot
+    assert(run(salts = 3, hotAt = 64L) == unsalted)  // default-ish split
+    assert(unsalted.nonEmpty)
+  }
+
   test("minhash signatures are identical for identical texts, close for near-dups") {
     val sig = docs.select(col("doc_id"), Dedup.minHashSignature(col("text"), 3, 64).as("sig"))
     val est = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
