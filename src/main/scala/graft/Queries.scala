@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{AggFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Linkage, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, TfIdf}
+import graft.functions.{AggFunctions, GeoFunctions, PiiFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Linkage, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, Spatial, SyntheticGeo, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -5914,6 +5914,275 @@ object Queries {
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q171
+  // Spatial containment, BROADCAST tier (Spatial.containsJoin, §2.6 J5 —
+  // the reference's PostGIS GiST capability, driver-gate visible at last):
+  // deterministic diamond tiles (some with concentric holes) synthesized
+  // from nation ids, hash-placed customer points, even-odd containment,
+  // plus the §2.10 envelope surface (boundsString / envelopeWkt) on the
+  // same tiles. The oracle REBUILDS the identical geometry from mix64
+  // arithmetic (SyntheticGeo's contract: every coordinate is exact binary)
+  // and replays the even-odd crossing test edge-by-edge — the containment
+  // DECISIONS are value-checked, not just counted, because sum_pt_ids
+  // fingerprints exactly WHICH points each tile contains. Diamonds keep
+  // every edge slanted (the general crossing test, never just the bounds
+  // box); hole tiles prove multi-ring parity. Map-only: 25 tiles broadcast,
+  // points never shuffle until the tile-keyed rollup.
+  private val q171: Q = (s, dir) => {
+    val tiles = SyntheticGeo.tilePolygons(Tables.nation(s, dir), "n_nationkey")
+    val pts = SyntheticGeo.hashPoints(Tables.customer(s, dir), "c_custkey")
+    val contained = Spatial.containsJoin(pts, tiles, "x", "y", "coords")
+      .groupBy(col("tile_id"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("point_id")).as("sum_pt_ids"))
+    tiles
+      .withColumn("__b", GeoFunctions.polygonBounds(col("coords")))
+      .join(contained, Seq("tile_id"), "left")
+      .select(col("tile_id"),
+        coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+        coalesce(col("sum_pt_ids"), lit(0L)).as("sum_pt_ids"),
+        GeoFunctions.boundsString(col("__b")).as("bounds_str"),
+        GeoFunctions.envelopeWkt(col("__b")).as("envelope_wkt"))
+      .orderBy("tile_id")
+  }
+
+  /** Tile + ring-edge CTEs shared by q171/q172: the SyntheticGeo diamond
+    * grid rebuilt in DuckDB from the same mix64 arithmetic, ending in
+    * `edges(tile_id, xi, yi, xj, yj)` — one row per directed ring edge
+    * (vertex i ← its predecessor), holes included. */
+  private val geoTileCtes: String = {
+    import DuckHash._
+    s"""mx0 AS (SELECT n_nationkey, CAST(n_nationkey AS UBIGINT) AS sx FROM nation),
+       |${mix64Ctes("sx")},
+       |tiles AS (SELECT CAST(n_nationkey AS BIGINT) AS tile_id,
+       |    CAST((n_nationkey % 5) * 20 + 10 AS DOUBLE) AS cx,
+       |    CAST(((n_nationkey // 5) % 5) * 20 + 10 AS DOUBLE) AS cy,
+       |    CAST((mh & 3) + 6 AS DOUBLE) AS r,
+       |    CAST(((mh & 3) + 6) // 2 AS DOUBLE) AS hr,
+       |    (mh & 4) <> 0 AS hole
+       |  FROM mx4),
+       |rings AS (SELECT tile_id, cx, cy, r AS rr FROM tiles
+       |  UNION ALL SELECT tile_id, cx, cy, hr FROM tiles WHERE hole),
+       |edges AS (SELECT tile_id,
+       |    CASE i WHEN 0 THEN cx - rr WHEN 1 THEN cx WHEN 2 THEN cx + rr ELSE cx END AS xi,
+       |    CASE i WHEN 0 THEN cy WHEN 1 THEN cy - rr WHEN 2 THEN cy ELSE cy + rr END AS yi,
+       |    CASE (i + 3) % 4 WHEN 0 THEN cx - rr WHEN 1 THEN cx WHEN 2 THEN cx + rr ELSE cx END AS xj,
+       |    CASE (i + 3) % 4 WHEN 0 THEN cy WHEN 1 THEN cy - rr WHEN 2 THEN cy ELSE cy + rr END AS yj
+       |  FROM rings, unnest(range(0, 4)) AS t(i))""".stripMargin
+  }
+
+  /** Hash-point + even-odd containment CTEs shared by q171/q172, ending in
+    * `agg(tile_id, n_pts, sum_pt_ids)`. The HAVING counts ray crossings
+    * over ALL ring edges (crossing parity over outer ∪ holes is exactly
+    * the even-odd rule Spatial.pointInRings implements) with the SAME
+    * IEEE expression tree as the Scala kernel, so boundary-grazing points
+    * decide identically on both engines. */
+  private def geoContainCtes(table: String, idCol: String): String = {
+    import DuckHash._
+    s"""px0 AS (SELECT $idCol, CAST($idCol AS UBIGINT) AS gx FROM $table),
+       |${mix64Ctes("gx", "px")},
+       |pts AS (SELECT CAST($idCol AS BIGINT) AS point_id,
+       |    CAST(mh & 16383 AS DOUBLE) * 100.0 / 16384.0 AS x,
+       |    CAST((mh >> 20) & 16383 AS DOUBLE) * 100.0 / 16384.0 AS y
+       |  FROM px4),
+       |inside AS (SELECT p.point_id, e.tile_id
+       |  FROM pts p, edges e
+       |  GROUP BY p.point_id, e.tile_id
+       |  HAVING count(*) FILTER (WHERE ((e.yi > p.y) <> (e.yj > p.y))
+       |      AND p.x < (e.xj - e.xi) * (p.y - e.yi) / (e.yj - e.yi) + e.xi) % 2 = 1),
+       |agg AS (SELECT tile_id, count(*) AS n_pts,
+       |    CAST(sum(point_id) AS BIGINT) AS sum_pt_ids
+       |  FROM inside GROUP BY tile_id)""".stripMargin
+  }
+
+  private val q171Sql =
+    s"""WITH $geoTileCtes,
+       |${geoContainCtes("customer", "c_custkey")}
+       |SELECT t.tile_id,
+       |  coalesce(a.n_pts, 0) AS n_pts,
+       |  coalesce(a.sum_pt_ids, 0) AS sum_pt_ids,
+       |  CAST(cx - r AS VARCHAR) || ',' || CAST(cy - r AS VARCHAR) || ',' ||
+       |    CAST(cx + r AS VARCHAR) || ',' || CAST(cy + r AS VARCHAR) AS bounds_str,
+       |  'POLYGON((' ||
+       |    CAST(cx - r AS VARCHAR) || ' ' || CAST(cy - r AS VARCHAR) || ', ' ||
+       |    CAST(cx + r AS VARCHAR) || ' ' || CAST(cy - r AS VARCHAR) || ', ' ||
+       |    CAST(cx + r AS VARCHAR) || ' ' || CAST(cy + r AS VARCHAR) || ', ' ||
+       |    CAST(cx - r AS VARCHAR) || ' ' || CAST(cy + r AS VARCHAR) || ', ' ||
+       |    CAST(cx - r AS VARCHAR) || ' ' || CAST(cy - r AS VARCHAR) || '))' AS envelope_wkt
+       |FROM tiles t LEFT JOIN agg a USING (tile_id)
+       |ORDER BY tile_id""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  // Spatial containment, BUCKETED (big-big) tier: the SAME even-odd
+  // semantics as q171 through Spatial.bucketedContainsJoin — polygons
+  // exploded to the fixed-grid buckets their envelopes cover, points
+  // equi-joined on their single bucket (one hash shuffle, never the cross
+  // product; the shape that survives 100 TB where nothing broadcasts).
+  // cellSize 8 deliberately misaligns with the 20-unit tile grid so
+  // envelopes straddle 2-3 buckets per axis and the dedup-free
+  // exactly-once meeting property is actually exercised. Same oracle
+  // construction as q171 over the orders points — tier-independence: two
+  // physical strategies, one value-checked answer.
+  private val q172: Q = (s, dir) => {
+    val tiles = SyntheticGeo.tilePolygons(Tables.nation(s, dir), "n_nationkey")
+    val pts = SyntheticGeo.hashPoints(Tables.orders(s, dir), "o_orderkey")
+    val contained = Spatial
+      .bucketedContainsJoin(pts, tiles, "x", "y", "coords", cellSize = 8.0)
+      .groupBy(col("tile_id"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("point_id")).as("sum_pt_ids"))
+    tiles.select(col("tile_id"))
+      .join(contained, Seq("tile_id"), "left")
+      .select(col("tile_id"),
+        coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+        coalesce(col("sum_pt_ids"), lit(0L)).as("sum_pt_ids"))
+      .orderBy("tile_id")
+  }
+
+  private val q172Sql =
+    s"""WITH $geoTileCtes,
+       |${geoContainCtes("orders", "o_orderkey")}
+       |SELECT t.tile_id,
+       |  coalesce(a.n_pts, 0) AS n_pts,
+       |  coalesce(a.sum_pt_ids, 0) AS sum_pt_ids
+       |FROM tiles t LEFT JOIN agg a USING (tile_id)
+       |ORDER BY tile_id""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+  // CRS reprojection in the gate (§2.10 G1, reference src/etl.py:34-35):
+  // a deterministic 5×5 lon/lat grid over UTM zone 32N (8–10°E, 44–46°N)
+  // through GeoFunctions.wgs84ToUtm32n, presented as integer MILLIMETRES.
+  // The oracle replays the Snyder transverse-Mercator series in DuckDB SQL
+  // with the projection's exact double constants embedded as shortest-repr
+  // literals and the identical IEEE operation tree (explicit power
+  // products, no libm pow) — elementary-function ulp drift is 9+ orders of
+  // magnitude below the mm presentation, so the hash is tolerance-free.
+  // Upgrades G1's correctness evidence from one driver-side Duomo golden
+  // to 25 cross-engine value checks.
+  private val q173: Q = (s, dir) =>
+    Tables.nation(s, dir)
+      .select(
+        col("n_nationkey").cast("long").as("grid_id"),
+        (lit(8.0) + expr("n_nationkey % 5").cast("double") * 0.5).as("lon"),
+        (lit(44.0) + expr("n_nationkey div 5").cast("double") * 0.5).as("lat"))
+      .withColumn("__p", GeoFunctions.reprojectPointUdf(col("lon"), col("lat")))
+      .select(col("grid_id"),
+        expr("CAST(round(lon * 1000.0) AS BIGINT)").as("lon_milli"),
+        expr("CAST(round(lat * 1000.0) AS BIGINT)").as("lat_milli"),
+        expr("CAST(round(__p._1 * 1000.0) AS BIGINT)").as("easting_mm"),
+        expr("CAST(round(__p._2 * 1000.0) AS BIGINT)").as("northing_mm"))
+      .orderBy("grid_id")
+
+  private val q173Sql = {
+    // Shortest-repr double literals round-trip to identical bits in DuckDB.
+    def d(v: Double) = v.toString
+    val pi = d(math.Pi)
+    val (aa, k0, e2, ep2, lon0, fe) = (d(GeoFunctions.A), d(GeoFunctions.K0),
+      d(GeoFunctions.E2), d(GeoFunctions.EP2), d(GeoFunctions.Lon0),
+      d(GeoFunctions.FalseEasting))
+    val (m0, m2, m4, m6) = (d(GeoFunctions.M0), d(GeoFunctions.M2),
+      d(GeoFunctions.M4), d(GeoFunctions.M6))
+    s"""WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS grid_id,
+       |    8.0 + CAST(n_nationkey % 5 AS DOUBLE) * 0.5 AS lon,
+       |    44.0 + CAST(n_nationkey // 5 AS DOUBLE) * 0.5 AS lat
+       |  FROM nation),
+       |r0 AS (SELECT *, lat / 180.0 * $pi AS phi, lon / 180.0 * $pi AS lam FROM g),
+       |r1 AS (SELECT *, sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi FROM r0),
+       |r2 AS (SELECT *,
+       |    $aa / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |    tphi * tphi AS tt,
+       |    $ep2 * cphi * cphi AS cc,
+       |    cphi * (lam - $lon0) AS a0 FROM r1),
+       |r3 AS (SELECT *, a0 * a0 AS a2 FROM r2),
+       |r4 AS (SELECT *, a2 * a0 AS a3, a2 * a2 AS a4 FROM r3),
+       |r5 AS (SELECT *, a4 * a0 AS a5, a4 * a2 AS a6,
+       |    $aa * ($m0 * phi - $m2 * sin(2.0 * phi)
+       |      + $m4 * sin(4.0 * phi) - $m6 * sin(6.0 * phi)) AS mm
+       |  FROM r4),
+       |xy AS (SELECT grid_id, lon, lat,
+       |    $k0 * nn * (a0 + (1.0 - tt + cc) * a3 / 6.0
+       |      + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0)
+       |      + $fe AS x,
+       |    $k0 * (mm + nn * tphi * (a2 / 2.0
+       |      + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |      + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) AS y
+       |  FROM r5)
+       |SELECT grid_id,
+       |  CAST(round(lon * 1000.0) AS BIGINT) AS lon_milli,
+       |  CAST(round(lat * 1000.0) AS BIGINT) AS lat_milli,
+       |  CAST(round(x * 1000.0) AS BIGINT) AS easting_mm,
+       |  CAST(round(y * 1000.0) AS BIGINT) AS northing_mm
+       |FROM xy ORDER BY grid_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q174
+  // CUSTOM STATE through the REAL streaming engine (the q164 move applied
+  // to flatMapGroupsWithState): readStream file source → watermark →
+  // StreamingSessionize's state-store fold with EVENT-TIME TIMEOUT →
+  // checkpointed append-mode sink, run to completion. This is the one
+  // streaming path q164 leaves unproven — user-defined state (de)serial-
+  // ization through the state store and watermark-driven timeout eviction.
+  // The oracle replays the engine's emission rule exactly: in-data-gap
+  // sessions (q91's set) PLUS each user's final session iff its timeout
+  // deadline — ceil_ms(last event μs) + gap — sits STRICTLY below the
+  // drained watermark, floor_ms(global max event μs) − 0 delay. Both μs→ms
+  // roundings and the strict compare are Spark's own
+  // (GroupStateImpl.setTimeoutTimestamp; EventTimeStatsAccum floors to ms;
+  // FlatMapGroupsWithStateExec evicts on `timeout < watermark`) — a
+  // tolerance-free cross-engine check of timeout semantics.
+  private val q174: Q = (s, dir) =>
+    graft.streaming.StreamingSessionize
+      .sessionsFileStream(s, s"$dir/events.parquet")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val q174Sql =
+    """WITH t AS (
+      |  SELECT user_id, ts, "value",
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, "value")),
+      |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, "value"
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM t),
+      |g AS (SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |        CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events,
+      |        max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |      FROM s GROUP BY user_id, sid),
+      |last AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY user_id),
+      |wm AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 AS wm_ms FROM events)
+      |SELECT g.user_id, g.session_start, g.session_end, g.n_events
+      |FROM g JOIN last l ON g.user_id = l.user_id CROSS JOIN wm
+      |WHERE g.sid < l.last_sid
+      |   OR (g.last_us + 999) // 1000 + 1800000 < wm.wm_ms
+      |ORDER BY g.user_id, g.session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q175
+  // REAL audio-codec round-trip (Multimodal.audioRoundTrip) — q168's WAV
+  // sibling, retiring the audio stub: each doc_id expands deterministically
+  // to 256 signed 16-bit samples ((mix64(id·256+i) & 0xFFFF) − 32768),
+  // Spark writes a real mono WAV through javax.sound.sampled, DECODES it
+  // back, and reports decoded sample/channel counts + the exact sample
+  // sum; DuckDB independently sums the same synthetic samples without any
+  // audio library. PCM is lossless, so a byte-order flip, header-length
+  // bug, dropped sample, or signedness error all break the hash.
+  private val q175: Q = (s, dir) => {
+    import s.implicits._
+    graft.multimodal.Multimodal.audioRoundTrip(
+        Tables.documents(s, dir).select(col("doc_id")).as[java.lang.Long], 256)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val q175Sql = {
+    val mh = DuckHash.mix64Inline("CAST(doc_id * 256 + i AS UBIGINT)")
+    s"""SELECT doc_id,
+       |  CAST(256 AS BIGINT) AS n_samples, CAST(1 AS BIGINT) AS n_channels,
+       |  CAST(sum(CAST(($mh) & 65535 AS BIGINT) - 32768) AS BIGINT) AS sample_sum
+       |FROM (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6084,7 +6353,12 @@ object Queries {
     "q167_cross_source_dup" -> q167,
     "q168_codec_roundtrip" -> q168,
     "q169_hard_negatives" -> q169,
-    "q170_dataset_build" -> q170
+    "q170_dataset_build" -> q170,
+    "q171_geo_contains" -> q171,
+    "q172_geo_bucketed" -> q172,
+    "q173_utm_reproject" -> q173,
+    "q174_stream_real_sessions" -> q174,
+    "q175_audio_roundtrip" -> q175
   )
 
   val oracles: Map[String, String] = Map(
@@ -6255,6 +6529,11 @@ object Queries {
     "q167_cross_source_dup" -> q167Sql,
     "q168_codec_roundtrip" -> q168Sql,
     "q169_hard_negatives" -> q169Sql,
-    "q170_dataset_build" -> q170Sql
+    "q170_dataset_build" -> q170Sql,
+    "q171_geo_contains" -> q171Sql,
+    "q172_geo_bucketed" -> q172Sql,
+    "q173_utm_reproject" -> q173Sql,
+    "q174_stream_real_sessions" -> q174Sql,
+    "q175_audio_roundtrip" -> q175Sql
   )
 }

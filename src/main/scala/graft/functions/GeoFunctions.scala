@@ -68,36 +68,52 @@ object GeoFunctions {
   // Working Manual", USGS PP 1395, eqs. 8-9..8-15). Public-domain math;
   // accuracy ~1 mm inside the zone.
 
-  private val A = 6378137.0 // WGS84 semi-major
+  // Every constant below is exposed (package-visible) so the q173 DuckDB
+  // oracle can embed the EXACT double values as literals (shortest-repr
+  // decimal round-trips to identical bits) and replay the series with the
+  // same IEEE operation tree — cross-engine agreement at integer-millimetre
+  // presentation needs the arithmetic identical, not just the formula.
+  private[graft] val A = 6378137.0 // WGS84 semi-major
   private val F = 1.0 / 298.257223563
-  private val K0 = 0.9996
-  private val E2 = F * (2 - F)
-  private val EP2 = E2 / (1 - E2)
-  private val Lon0 = math.toRadians(9.0) // UTM zone 32 central meridian
-  private val FalseEasting = 500000.0
+  private[graft] val K0 = 0.9996
+  private[graft] val E2 = F * (2 - F)
+  private[graft] val EP2 = E2 / (1 - E2)
+  private[graft] val Lon0 = math.toRadians(9.0) // UTM zone 32 central meridian
+  private[graft] val FalseEasting = 500000.0
+  // Meridian-arc series coefficients (Snyder eq. 3-21), precomputed once so
+  // the oracle embeds the same binary values the projection multiplies by.
+  private val E4 = E2 * E2
+  private val E6 = E4 * E2
+  private[graft] val M0 = 1 - E2 / 4 - 3 * E4 / 64 - 5 * E6 / 256
+  private[graft] val M2 = 3 * E2 / 8 + 3 * E4 / 32 + 45 * E6 / 1024
+  private[graft] val M4 = 15 * E4 / 256 + 45 * E6 / 1024
+  private[graft] val M6 = 35 * E6 / 3072
 
   /** Forward projection of one WGS84 (lon, lat) degree pair to UTM 32N
-    * (easting, northing) metres. */
+    * (easting, northing) metres.
+    *
+    * Powers of a0 are explicit products (a2·a0, a2·a2, …), not
+    * `math.pow`: one multiply each is faster, and — load-bearing for the
+    * q173 oracle — a product tree is reproducible operation-for-operation
+    * in any engine's double arithmetic, where `pow` implementations
+    * differ by ulps between libms. */
   def wgs84ToUtm32n(lonDeg: Double, latDeg: Double): (Double, Double) = {
-    val lat = math.toRadians(latDeg)
-    val lon = math.toRadians(lonDeg)
+    val lat = latDeg / 180.0 * math.Pi
+    val lon = lonDeg / 180.0 * math.Pi
     val sinLat = math.sin(lat); val cosLat = math.cos(lat); val tanLat = math.tan(lat)
     val n = A / math.sqrt(1 - E2 * sinLat * sinLat)
     val t = tanLat * tanLat
     val c = EP2 * cosLat * cosLat
     val a0 = cosLat * (lon - Lon0)
-    val e4 = E2 * E2; val e6 = e4 * E2
-    val m = A * (
-      (1 - E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat -
-        (3 * E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * lat) +
-        (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * lat) -
-        (35 * e6 / 3072) * math.sin(6 * lat)
-      )
-    val x = K0 * n * (a0 + (1 - t + c) * math.pow(a0, 3) / 6 +
-      (5 - 18 * t + t * t + 72 * c - 58 * EP2) * math.pow(a0, 5) / 120) + FalseEasting
-    val y = K0 * (m + n * tanLat * (a0 * a0 / 2 +
-      (5 - t + 9 * c + 4 * c * c) * math.pow(a0, 4) / 24 +
-      (61 - 58 * t + t * t + 600 * c - 330 * EP2) * math.pow(a0, 6) / 720))
+    val a2 = a0 * a0; val a3 = a2 * a0; val a4 = a2 * a2
+    val a5 = a4 * a0; val a6 = a4 * a2
+    val m = A * (M0 * lat - M2 * math.sin(2 * lat) +
+      M4 * math.sin(4 * lat) - M6 * math.sin(6 * lat))
+    val x = K0 * n * (a0 + (1 - t + c) * a3 / 6 +
+      (5 - 18 * t + t * t + 72 * c - 58 * EP2) * a5 / 120) + FalseEasting
+    val y = K0 * (m + n * tanLat * (a2 / 2 +
+      (5 - t + 9 * c + 4 * c * c) * a4 / 24 +
+      (61 - 58 * t + t * t + 600 * c - 330 * EP2) * a6 / 720))
     (x, y)
   }
 

@@ -117,10 +117,84 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec over JDK `javax.sound.sampled` — like
+    * [[ImageIoCodec]], zero native deps: WAV/AIFF/AU containers with PCM
+    * payloads are what the JDK decodes out of the box, and WAV-PCM is the
+    * interchange format a training-data audio pipeline actually stages
+    * (compressed formats get transcoded to PCM upstream, once, not per
+    * read). Compressed codecs (MP3/Opus/AAC) have no JDK decoder — those
+    * payloads fail the RIFF sniff and fall back to [[StubCodec]], the same
+    * row-level never-throw contract as images.
+    *
+    * All streams are in-memory (`ByteArrayInputStream` both directions):
+    * nothing touches executor-local disk and nothing mutates process-global
+    * JVM state (the ImageIoCodec lesson applied from day one here). */
+  object WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Cheap magic-byte check: RIFF....WAVE. Mirrors
+      * [[ImageIoCodec.looksDecodable]] — `AudioSystem.getAudioInputStream`
+      * probes every registered reader on arbitrary bytes, and at 100 TB the
+      * mislabeled rows must not each pay that. */
+    def looksWav(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+
+    /** Encode signed 16-bit little-endian PCM mono samples as a WAV
+      * container via the JDK writer (header laid down by the codec, not by
+      * hand — the decode leg then proves the round trip). */
+    def encodeWav(samples: Array[Short], sampleRate: Float = 16000f): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false) // PCM signed, LE
+      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload to `(sampleRateHz, channels, interleaved 16-bit
+      * samples)`; non-16-bit PCM (8/24/32-bit, a-law/µ-law) converts through
+      * the JDK's format-conversion chain. None on non-WAV or corrupt. */
+    def decodeWav(payload: Array[Byte]): Option[(Float, Int, Array[Short])] =
+      if (!looksWav(payload)) None
+      else
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          try {
+            val src = ais.getFormat
+            val target = new AudioFormat(src.getSampleRate, 16, src.getChannels, true, false)
+            val pcm =
+              if (src.matches(target)) ais
+              else AudioSystem.getAudioInputStream(target, ais)
+            try {
+              val raw = pcm.readAllBytes()
+              val n = raw.length / 2
+              val out = new Array[Short](n)
+              var i = 0
+              while (i < n) {
+                out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+                i += 1
+              }
+              Some((src.getSampleRate, src.getChannels, out))
+            } finally pcm.close()
+          } finally ais.close()
+        } catch { case _: Exception => None }
+  }
+
   /** STUB CODEC — deterministic fake decode for the formats the JVM can't
-    * touch without native libs (audio/video; exotic image formats). Image
-    * payloads route through [[ImageIoCodec]] first; this is the fallback
-    * contract a JNI/javacpp build would replace. */
+    * touch without native libs (video; compressed audio; exotic image
+    * formats). Image payloads route through [[ImageIoCodec]] and WAV audio
+    * through [[WavCodec]] first; this is the fallback contract a
+    * JNI/javacpp build would replace. */
   object StubCodec {
     /** "Decode" dimensions from content bytes (deterministic fake). */
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
@@ -163,14 +237,22 @@ object Multimodal {
         batch.map { r =>
           md.reset()
           val digest = md.digest(r.payload).map("%02x".format(_)).mkString
-          // Route by DECLARED kind first: only image records try the real
-          // decoder. An audio/video/other payload whose first bytes happen
-          // to pass the loose magic sniff (BMP needs just 'B''M') must
-          // still take the stub path — the q31 oracle replays the stub for
-          // non-decodable rows, and the declared-kind contract is what
-          // keeps that decision engine-independent.
-          val (w, h) = (if (r.kind == "image") ImageIoCodec.decodeDims(r.payload)
-            else None).getOrElse(StubCodec.decodeDims(r.payload))
+          // Route by DECLARED kind first: only image records try the image
+          // decoder, only audio records the WAV decoder. A payload of some
+          // OTHER kind whose first bytes happen to pass a loose magic sniff
+          // (BMP needs just 'B''M') must still take the stub path — the
+          // q31 oracle replays the stub for non-decodable rows, and the
+          // declared-kind contract is what keeps that decision
+          // engine-independent. Audio "dims" are (frames-per-channel,
+          // channels) — the two axes of a PCM buffer.
+          val (w, h) = (r.kind match {
+            case "image" => ImageIoCodec.decodeDims(r.payload)
+            case "audio" =>
+              WavCodec.decodeWav(r.payload).map { case (_, ch, samples) =>
+                (samples.length / math.max(ch, 1), ch)
+              }
+            case _ => None
+          }).getOrElse(StubCodec.decodeDims(r.payload))
           val frames = if (r.kind == "video") StubCodec.sampleFrameOffsets(r.payload, 8) else Seq.empty
           val hist = new Array[Long](16)
           r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
@@ -305,6 +387,52 @@ object Multimodal {
           y += 1
         }
         CodecRoundTrip(id, back.getWidth.toLong, back.getHeight.toLong, sum)
+      }
+    }
+  }
+
+  /** One decoded audio round-trip record per input id. */
+  final case class AudioRoundTrip(
+      doc_id: Long,
+      n_samples: Long,
+      n_channels: Long,
+      sample_sum: Long)
+
+  /** REAL audio-codec round-trip — [[codecRoundTrip]]'s WAV sibling, same
+    * oracle design: each id deterministically expands to `n` signed 16-bit
+    * samples via SplitMix64 (`(mix64(id·n + i) & 0xFFFF) − 32768`), the
+    * samples become a real mono 16 kHz WAV through the JDK writer, WAV
+    * DECODE runs back through [[WavCodec]], and the output reports the
+    * decoded sample count, channel count, and exact sample sum. PCM is
+    * lossless, so the decoded sum MUST equal the direct sum of the
+    * synthetic samples — which a SQL engine computes without touching any
+    * audio library. A byte-order flip, a header-length bug, a dropped
+    * sample, or a signedness error all break the equality (endianness
+    * especially: LE/BE confusion survives "did it decode" checks and dies
+    * on an exact sum).
+    *
+    * Row-local partition transform, no shuffle; record-at-a-time for the
+    * same reason as [[codecRoundTrip]] (no per-batch codec context in
+    * javax.sound — `AudioSystem` resolves its provider per call). */
+  def audioRoundTrip(
+      ids: org.apache.spark.sql.Dataset[java.lang.Long],
+      nSamples: Int): org.apache.spark.sql.Dataset[AudioRoundTrip] = {
+    import graft.functions.HashFunctions.mix64Long
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { iter =>
+      iter.map { boxed =>
+        val id = boxed.longValue()
+        val samples = Array.tabulate(nSamples) { i =>
+          ((mix64Long(id * nSamples + i) & 0xffffL) - 32768L).toShort
+        }
+        val wav = WavCodec.encodeWav(samples)
+        val (_, channels, back) = WavCodec.decodeWav(wav).getOrElse(
+          throw new IllegalStateException(
+            s"audioRoundTrip: self-encoded WAV for id=$id failed to decode"))
+        var sum = 0L
+        var i = 0
+        while (i < back.length) { sum += back(i); i += 1 }
+        AudioRoundTrip(id, back.length.toLong, channels.toLong, sum)
       }
     }
   }

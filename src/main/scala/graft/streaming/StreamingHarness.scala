@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Shared scaffolding for running a streaming frame through the REAL
+  * Structured-Streaming engine to a terminal, value-checkable result:
+  * checkpointed memory sink + `Trigger.AvailableNow()`, fresh
+  * checkpoint/table name per run, full cleanup on success AND failure.
+  * Factored out of the q164 rollup so every gate query that drives the real
+  * engine (windowed agg, custom-state sessionize, …) exercises the SAME
+  * run-to-completion contract instead of re-growing its own.
+  *
+  * The memory sink is the GATE harness, not the production path: it
+  * materializes the result on the driver, which is fine for a correctness
+  * check and wrong at 100 TB — production streams write through
+  * [[StreamingSink]]'s foreachBatch + idempotent-merge.
+  */
+private[streaming] object StreamingHarness {
+
+  private val runSeq = new AtomicLong(0L)
+
+  /** `readStream` file source over a parquet path. The streaming file
+    * source tracks a DIRECTORY (new files appear, get processed once,
+    * recorded in the checkpoint); a single-file dataset streams as its
+    * parent dir + a glob filter pinning the one file. */
+  def fileSource(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
+    if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  /** Run `df` (a streaming frame) to completion under
+    * `Trigger.AvailableNow()` into a checkpointed memory sink; return the
+    * terminal result. EAGER by necessity — a terminal streaming result has
+    * no lazy form — so even a schema-only caller pays one execution.
+    *
+    * Each call uses a fresh checkpoint dir and memory-table name, so
+    * repeated gate/bench passes never share state; the checkpoint dir is
+    * deleted and the memory table dropped from the catalog before
+    * returning (the returned DataFrame holds the already-resolved sink
+    * relation, so the drop only releases the NAME — repeated bench passes
+    * don't pile up catalog entries). */
+  def runToMemorySink(spark: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_run_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-ckpt-$name").toString
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      // Resolve BEFORE dropping the name: Dataset construction analyzes
+      // eagerly, so the returned frame holds the sink relation itself.
+      spark.table(name)
+    } finally {
+      // Runs on success AND failure: a failed stream must not leak its
+      // memory-sink catalog entry (start() registers the view immediately)
+      // or its checkpoint. Terminal run — the checkpoint has no future
+      // reader; best-effort deepest-first delete, walk stream closed
+      // (it holds open directory handles until closed).
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Exception => () }
+    }
+  }
+}

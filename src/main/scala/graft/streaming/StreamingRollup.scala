@@ -1,10 +1,7 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicLong
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.AggFunctions
 
@@ -47,8 +44,6 @@ object StreamingRollup {
       )
   }
 
-  private val runSeq = new AtomicLong(0L)
-
   /** [[hourlyWindow]] driven through the REAL Structured-Streaming engine:
     * `readStream` file source over the events parquet → watermarked
     * tumbling-window aggregation → checkpointed sink, run to completion
@@ -63,16 +58,9 @@ object StreamingRollup {
     * hash-checks this path. (Append mode would hold back the windows still
     * inside the watermark when the stream drains — rows-only at best.)
     *
-    * The memory sink is the GATE harness, not the production path: it
-    * materializes the result on the driver, which is fine for a
-    * correctness check and wrong at 100 TB — production streams write
-    * through [[StreamingSink]]'s foreachBatch + idempotent-merge. Each
-    * call uses a fresh checkpoint dir and memory-table name, so repeated
-    * gate/bench passes never share state; the checkpoint dir is deleted
-    * and the memory table dropped from the catalog before returning (the
-    * returned DataFrame holds the already-resolved sink relation, so the
-    * drop only releases the NAME — repeated bench passes don't pile up
-    * catalog entries).
+    * Run-to-completion scaffolding (fresh checkpoint + memory sink + full
+    * cleanup) lives in [[StreamingHarness]], shared with the stateful
+    * sibling `StreamingSessionize.sessionsFileStream`.
     *
     * NOTE this function is EAGER: it runs the stream to completion at
     * call time (a terminal streaming result has no lazy form), so even a
@@ -85,52 +73,15 @@ object StreamingRollup {
       keys: Seq[String] = Seq("event_type"),
       valueCol: String = "value"
   ): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    // The streaming file source tracks a DIRECTORY (new files appear, get
-    // processed once, recorded in the checkpoint); a single-file dataset
-    // streams as its parent dir + a glob filter pinning the one file.
-    val f = new java.io.File(eventsPath)
-    val reader = spark.readStream.schema(schema)
-    val raw =
-      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else reader.parquet(eventsPath)
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
     // Watermarks require an instant type; apply Tables.instantTs — the
     // SHARED vintage dispatch (TIMESTAMP(NANOS)-as-LongType needs
     // timestamp_micros(ts DIV 1000); a bare cast would read the long as
     // SECONDS since epoch and produce garbage windows). One helper, not a
     // copy: the two sites drifting is exactly how that bug shipped once.
-    val stream = raw.withColumn(tsCol, graft.Tables.instantTs(schema, tsCol))
+    val stream = raw.withColumn(tsCol, graft.Tables.instantTs(raw.schema, tsCol))
     val rolled = hourlyWindow(stream, tsCol, keys, valueCol)
-    val name = s"graft_stream_rollup_${runSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft-ckpt-$name").toString
-    val q = rolled.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      q.awaitTermination()
-      // Resolve BEFORE dropping the name: Dataset construction analyzes
-      // eagerly, so the returned frame holds the sink relation itself.
-      spark.table(name)
-    } finally {
-      // Runs on success AND failure: a failed stream must not leak its
-      // memory-sink catalog entry (start() registers the view immediately)
-      // or its checkpoint. Terminal run — the checkpoint has no future
-      // reader; best-effort deepest-first delete, walk stream closed
-      // (it holds open directory handles until closed).
-      try spark.catalog.dropTempView(name)
-      catch { case _: Exception => () }
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      } catch { case _: Exception => () }
-    }
+    StreamingHarness.runToMemorySink(spark, rolled, "complete")
   }
 
   /** Gap-based sessions via Spark's BUILT-IN `session_window` — the

@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming sessionization — the Structured-Streaming upgrade of
@@ -92,5 +93,50 @@ object StreamingSessionize {
             closed.result().iterator
           }
         })
+  }
+
+  /** [[sessions]] driven through the REAL Structured-Streaming engine —
+    * the custom-STATE sibling of `StreamingRollup.hourlyWindowFileStream`
+    * (q164): `readStream` file source over the events parquet → watermark →
+    * `flatMapGroupsWithState` fold through the engine's state store →
+    * checkpointed sink, run to completion with `Trigger.AvailableNow()`.
+    * This is the one streaming path q164 does NOT cover: user-defined state
+    * serialization through the state store plus EVENT-TIME TIMEOUT
+    * eviction, driven by the engine's own watermark.
+    *
+    * Emission semantics under AvailableNow (what the oracle must replay):
+    * the file source delivers all available files in one data batch, where
+    * the eviction watermark is still at its initial value — so sessions
+    * closed by IN-DATA gaps are emitted (exactly the batch-mode q91 set
+    * minus each user's final session, which stays open in state with an
+    * event-time timeout at `ceilMs(last) + gapMs`). The engine then runs
+    * one no-data batch (AvailableNow, unlike the deprecated Trigger.Once,
+    * honors `spark.sql.streaming.noDataMicroBatches.enabled`) with the
+    * watermark advanced to `floorMs(max event time) − delay`; every open
+    * session whose timeout is STRICTLY below that fires and is emitted
+    * too. The remainder — users active within `gap + delay` of the global
+    * max — stay in state, exactly as they would on a live feed. Both
+    * boundary roundings (timeout ceils μs→ms at set time, the watermark
+    * floors μs→ms at collection) and the strict `<` eviction compare are
+    * pinned by the q174 DuckDB oracle.
+    *
+    * EAGER like the q164 twin: a terminal streaming result has no lazy
+    * form. Default watermark delay 0: on a drained bounded stream a delay
+    * only widens the never-emitted tail, and late data is impossible once
+    * the source is exhausted. */
+  def sessionsFileStream(
+      spark: SparkSession,
+      eventsPath: String,
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
+    val ev = raw
+      .withColumn("ts", graft.Tables.instantTs(raw.schema, "ts"))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+    StreamingHarness.runToMemorySink(spark, sessions(ev, gapMs).toDF(), "append")
   }
 }
