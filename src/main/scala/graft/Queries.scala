@@ -6183,6 +6183,47 @@ object Queries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q176
+  // INGEST-pipeline gate row (IngestHarness): the Milan load path —
+  // discover glob → distributed CSV scan → cleaning chain → partitioned
+  // idempotent append → ledger — run TWICE over deterministic day-file
+  // CSVs synthesized from customer ids, emitting the hourly rollup plus
+  // both ingest counts. The oracle replays every cleaning branch from the
+  // same ids (bad-datetime drop, null→0 fill, negative clamp, cell-range
+  // filter, decimal-exact rollup) and asserts the (2, 0) file counts — the
+  // second pass MUST be a ledger no-op, and any duplicate append would
+  // double the sums. S1/S6/K1/K4/C1–C3/F1–F2 under the driver's hash at
+  // last (previously MilanPipelineSpec-only).
+  private val q176: Q = (s, dir) =>
+    graft.pipeline.IngestHarness.ingestTwiceRollup(
+      s, Tables.customer(s, dir).select(col("c_custkey")))
+
+  private val q176Sql = {
+    def mh(j: Int) = DuckHash.mix64Inline(s"CAST(k * 8 + $j AS UBIGINT)")
+    def met(j: Int) =
+      s"""CASE WHEN (${mh(j)}) & 7 = 7 THEN 0.0
+         |      ELSE greatest((CAST((${mh(j)}) & 1023 AS BIGINT) - 100) / 10.0, 0.0) END"""
+        .stripMargin
+    s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |rows0 AS (SELECT k,
+       |    CAST(1 + k % 2 AS INT) AS d, CAST(k % 24 AS INT) AS h,
+       |    k % 12000 AS cell_id,
+       |    ${met(1)} AS smsin, ${met(2)} AS smsout, ${met(3)} AS callin,
+       |    ${met(4)} AS callout, ${met(5)} AS internet
+       |  FROM base WHERE k % 97 <> 0 AND k % 12000 <= 9999),
+       |r AS (SELECT make_timestamp(2013, 11, d, h, 0, 0) AS hour, cell_id,
+       |    smsin, smsout, callin, callout, internet,
+       |    smsin + smsout + callin + callout + internet AS activity
+       |  FROM rows0)
+       |SELECT hour, cell_id,
+       |  ${dSum("smsin")} AS total_smsin, ${dSum("smsout")} AS total_smsout,
+       |  ${dSum("callin")} AS total_callin, ${dSum("callout")} AS total_callout,
+       |  ${dSum("internet")} AS total_internet,
+       |  ${dSum("activity")} AS total_activity,
+       |  CAST(2 AS BIGINT) AS n_files_first, CAST(0 AS BIGINT) AS n_files_second
+       |FROM r GROUP BY hour, cell_id ORDER BY hour, cell_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6358,7 +6399,8 @@ object Queries {
     "q172_geo_bucketed" -> q172,
     "q173_utm_reproject" -> q173,
     "q174_stream_real_sessions" -> q174,
-    "q175_audio_roundtrip" -> q175
+    "q175_audio_roundtrip" -> q175,
+    "q176_ingest_idempotent" -> q176
   )
 
   val oracles: Map[String, String] = Map(
@@ -6534,6 +6576,7 @@ object Queries {
     "q172_geo_bucketed" -> q172Sql,
     "q173_utm_reproject" -> q173Sql,
     "q174_stream_real_sessions" -> q174Sql,
-    "q175_audio_roundtrip" -> q175Sql
+    "q175_audio_roundtrip" -> q175Sql,
+    "q176_ingest_idempotent" -> q176Sql
   )
 }

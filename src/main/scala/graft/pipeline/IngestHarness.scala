@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Driver-gate harness for the Milan INGEST path (SURVEY.md §2.1 S1/S6 +
+  * §2.2 K1/K4): synthesizes deterministic Milan-format traffic day-file
+  * CSVs from a harness table's ids, runs them through the REAL pipeline —
+  * `MilanCsvSource.discover` glob → distributed CSV scan →
+  * `Cleaning.cleanTraffic` → partitioned idempotent `writeFacts` → ledger —
+  * TWICE, and emits the hourly rollup plus the two ingest counts. A DuckDB
+  * oracle replays every branch from the same ids (the q168/q171 move
+  * applied to ingest): the bad-datetime drop, the null→0 fill, the
+  * negative clamp, the cell-id range filter, the rollup sums — and the
+  * (2, 0) file counts prove the second pass was a ledger no-op. Previously
+  * this path had only spec coverage (MilanPipelineSpec); this makes
+  * load-idempotency visible to the driver's hash.
+  *
+  * Fixture branches, all pure integer/mix64 arithmetic on id `k`:
+  *   - datetime: `2013-11-0{1+(k%2)} {k%24}:{(k·7)%60}:00`, except
+  *     `k % 97 == 0` rows carry an unparseable string (C1/F1 drop);
+  *   - CellID: `k % 12000` — ids ≥ 10000 exercise the F2 range filter;
+  *   - metrics j=1..5: null when `mix64(k·8+j) & 7 == 7` (C2 fill-0),
+  *     else `((mix64(k·8+j) & 1023) − 100) / 10` — negative when the
+  *     masked value is < 100 (C3 clamp).
+  */
+object IngestHarness {
+
+  private def metric(j: Int): Column = {
+    val mh = HashFunctions.mix64(col("k") * 8 + j)
+    when(mh.bitwiseAND(lit(7L)) === 7L, lit(null).cast("double"))
+      .otherwise((mh.bitwiseAND(lit(1023L)) - 100L).cast("double") / 10.0)
+  }
+
+  /** The synthetic day-file rows, Milan traffic header layout. */
+  private def synthRows(ids: DataFrame): DataFrame = {
+    val day = (col("k") % 2 + 1).cast("int")
+    val dt = when(col("k") % 97 === 0, lit("not-a-timestamp"))
+      .otherwise(format_string("2013-11-%02d %02d:%02d:00",
+        day, (col("k") % 24).cast("int"), ((col("k") * 7) % 60).cast("int")))
+    ids
+      .select(col("k"), day.as("__day"),
+        dt.as("datetime"), (col("k") % 12000).as("CellID"),
+        lit(39L).as("countrycode"),
+        metric(1).as("smsin"), metric(2).as("smsout"), metric(3).as("callin"),
+        metric(4).as("callout"), metric(5).as("internet"))
+      .drop("k")
+  }
+
+  /** Write the two day-files with Spark (repartition(1) per file — a
+    * day-file IS one file by contract), then rename the part files to the
+    * reference's `sms-call-internet-mi-<date>.csv` naming that
+    * `MilanCsvSource.discover`'s glob expects. */
+  private def writeDayFiles(spark: SparkSession, ids: DataFrame, dataDir: Path): Unit = {
+    val rows = synthRows(ids)
+    Seq(1, 2).foreach { d =>
+      val stage = dataDir.resolve(s"__stage_$d")
+      rows.filter(col("__day") === d).drop("__day")
+        .repartition(1)
+        .write.option("header", "true").mode("overwrite")
+        .csv(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".csv"))
+        .getOrElse(sys.error(s"ingest fixture: no csv part written under $stage"))
+      Files.move(part, dataDir.resolve(f"sms-call-internet-mi-2013-11-0$d%d.csv"))
+    }
+  }
+
+  /** Synthesize from `ids` (one long column named anything), ingest TWICE,
+    * return `hourlyTraffic ⨯ (n_files_first, n_files_second)` ordered by
+    * (hour, cell_id). EAGER by necessity: the loads run at call time (the
+    * ingest counts have no lazy form). The fixture CSVs are deleted after
+    * the loads; the warehouse parquet must outlive the call (the returned
+    * frame reads it lazily) and lives under java.io.tmpdir for the session.
+    */
+  def ingestTwiceRollup(spark: SparkSession, ids: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-ingest")
+    val dataDir = Files.createDirectories(tmp.resolve("data"))
+    val keyed = ids.select(ids.columns.head).toDF("k")
+      .select(col("k").cast("long").as("k"))
+    writeDayFiles(spark, keyed, dataDir)
+    val pipe = new MilanPipeline(spark, tmp.resolve("wh").toString)
+    val first = pipe.loadTraffic(dataDir.toString)
+    val second = pipe.loadTraffic(dataDir.toString) // ledger no-op, must be 0
+    // fixture CSVs served their purpose; the warehouse stays (see scaladoc)
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
+      if (Files.isRegularFile(p)) Files.deleteIfExists(p)
+    }
+    pipe.hourlyTraffic
+      .withColumn("n_files_first", lit(first.toLong))
+      .withColumn("n_files_second", lit(second.toLong))
+      .orderBy("hour", "cell_id")
+  }
+}

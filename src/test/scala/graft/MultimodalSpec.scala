@@ -91,6 +91,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: REAL WAV encode/decode — lossless round trip, conversion, dirty fallback") {
+    // Codec-level: 16-bit PCM round-trips bit-exactly, including the
+    // endianness-sensitive extremes.
+    val samples = Array[Short](0, 1, -1, 1000, -1000, Short.MaxValue, Short.MinValue, 258)
+    val wav = Multimodal.WavCodec.encodeWav(samples, 16000f)
+    assert(Multimodal.WavCodec.looksWav(wav))
+    val Some((rate, channels, back)) = Multimodal.WavCodec.decodeWav(wav)
+    assert(rate == 16000f && channels == 1)
+    assert(back.toSeq == samples.toSeq)
+
+    // Non-WAV payloads: sniff rejects, decode is None, never a throw —
+    // including a payload that LIES with a RIFF header.
+    assert(!Multimodal.WavCodec.looksWav("not audio".getBytes))
+    assert(Multimodal.WavCodec.decodeWav("not audio".getBytes).isEmpty)
+    val liar = ("RIFF1234WAVEgarbage" + "x" * 64).getBytes
+    assert(Multimodal.WavCodec.looksWav(liar))
+    assert(Multimodal.WavCodec.decodeWav(liar).isEmpty)
+
+    // 8-bit unsigned source converts through the JDK chain instead of
+    // failing. The exact widening rule is the provider's (observed: range
+    // scaling, e.g. 255 → 32767, not a plain <<8), so pin it only to
+    // within one 8-bit quantization step of the nominal (s−128)·256.
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw8 = Array[Byte](0, 64.toByte, 128.toByte, 255.toByte)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw8), fmt8, raw8.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais8, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((r8, c8, s8)) = Multimodal.WavCodec.decodeWav(bos.toByteArray)
+    assert(r8 == 8000f && c8 == 1 && s8.length == raw8.length)
+    raw8.indices.foreach { i =>
+      val nominal = ((raw8(i) & 0xff) - 128) * 256
+      assert(math.abs(s8(i) - nominal) <= 256, s"i=$i got ${s8(i)} nominal $nominal")
+    }
+
+    // Pipeline-level: an audio record with a real WAV payload reports PCM
+    // dims (frames, channels); a junk audio payload falls back to the stub.
+    val df = Seq((7L, wav), (8L, "junk bytes".getBytes)).toDF("doc_id", "payload")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.fromBinaryColumn(df, "doc_id", "payload", "audio"))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).decoded_width == samples.length && feats(0).decoded_height == 1)
+    val junkLen = "junk bytes".getBytes.length
+    assert(feats(1).decoded_width == 32 + junkLen % 480)
+  }
+
+  test("audioRoundTrip: decoded sample sum equals the direct mix64 sum") {
+    import graft.functions.HashFunctions
+    val out = Multimodal.audioRoundTrip(
+        Seq(5L, 321L).map(java.lang.Long.valueOf).toDS(), 64)
+      .collect().sortBy(_.doc_id)
+    for (r <- out) {
+      assert(r.n_samples == 64L && r.n_channels == 1L)
+      val expected = (0 until 64).map(i =>
+        (HashFunctions.mix64Long(r.doc_id * 64 + i) & 0xffffL) - 32768L).sum
+      assert(r.sample_sum == expected, s"doc ${r.doc_id}")
+    }
+  }
+
   test("frame sampling expands videos to per-frame rows, skips other kinds") {
     val df = Seq(
       (0L, "0123456789abcdef0123456789abcdef"), // 32 bytes → 4 full frames at 8 bytes

@@ -163,6 +163,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionsFileStream: real engine emits gap-closed + timed-out sessions, retains the live tail") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-stream").toString
+    try {
+      Seq(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 12:10:00"), 5.0), // user 1's final session
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 9.0), // user 2's only session
+        (3L, Timestamp.valueOf("2024-01-01 23:59:00"), 4.0)  // live tail: within gap of max
+      ).toDF("user_id", "ts", "value")
+        .repartition(1).write.parquet(s"$tmp/events.parquet")
+      val out = StreamingSessionize
+        .sessionsFileStream(spark, s"$tmp/events.parquet")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString, r.getAs[Long]("n_events")))
+        .toSet
+      // Watermark drains to 23:59; user 1's 12:10 and user 2's 10:00
+      // sessions have deadlines 12:40 / 10:30 < 23:59 → timeout-emitted;
+      // user 3's deadline is 00:29 next day → stays open in state, exactly
+      // as on a live feed. User 1's first session closed on the in-data gap.
+      assert(out == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L),
+        (1L, "2024-01-01 12:10:00.0", 1L),
+        (2L, "2024-01-01 10:00:00.0", 1L)), s"got: $out")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(tmp)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("dedupStream drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
