@@ -561,7 +561,7 @@ object Dedup {
     // measured 3× wall on this stage when left advisory.
     val para = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .repartition(math.min(para, 8), col("__id"))
+      .repartition(math.min(para, 16), col("__id"))
     val keys = base
       .select(col("__id"), col("__s"),
         explode(sequence(lit(0), length(col("__s")))).as("__i"))
@@ -613,7 +613,7 @@ object Dedup {
       // coalescer blind spot). Group on the id pair alone: the strings are
       // functionally dependent on their ids, so min() re-emits them without
       // paying string hashing in the grouping key.
-      .repartition(math.min(para, 8), col("id_a"), col("id_b"))
+      .repartition(math.min(para, 16), col("id_a"), col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("str_a")).as("str_a"), min(col("str_b")).as("str_b"),
         min(col("__d")).as("dist"))

@@ -17,10 +17,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * (ConcurrentHashMap + synchronized leaf updates): the listener bus is
   * asynchronous and must never become the bottleneck it is measuring.
   *
-  * Task skew is reported as `max_task_ms / mean_task_ms` per group — the
-  * first-order signal that a key is hot: at 1000 executors a skew of 30
-  * means 97% of the cluster idles while one partition finishes, which is
-  * invisible in wall-clock-only benchmarks at local scale.
+  * Task skew is reported two ways. `task_skew` = `max_task_ms /
+  * mean_task_ms` over ALL the query's tasks — the first-order signal that
+  * a key is hot: at 1000 executors a skew of 30 means 97% of the cluster
+  * idles while one partition finishes, which is invisible in
+  * wall-clock-only benchmarks at local scale. But that quotient conflates
+  * PARTITION imbalance with inter-STAGE size variance: an iterative query
+  * (connected components, k-core) legitimately runs dozens of tiny
+  * AQE-coalesced 1-task rounds after its heavy stages, diluting the mean
+  * and inflating the quotient with no idle cluster anywhere. So
+  * `hot_stage_skew` = `max/mean` WITHIN the stage carrying the most task
+  * time — the number that actually measures whether the expensive work is
+  * balanced (a hot shuffle key shows up here; a long convergence tail does
+  * not).
   */
 final class MetricsListener extends SparkListener {
 
@@ -36,10 +45,21 @@ final class MetricsListener extends SparkListener {
     var memorySpillBytes: Long = 0L
     var diskSpillBytes: Long = 0L
     var failedTasks: Long = 0L
+    // per-stage (n, totalMs, maxMs) — feeds hot_stage_skew
+    val stageTasks = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
 
     def skew: Double =
       if (nTasks == 0 || totalTaskMs == 0) 1.0
       else maxTaskMs.toDouble / (totalTaskMs.toDouble / nTasks)
+
+    /** max/mean within the stage carrying the most task time (see class
+      * doc — partition balance without inter-stage dilution). */
+    def hotStageSkew: Double =
+      if (stageTasks.isEmpty) 1.0
+      else {
+        val (n, total, max) = stageTasks.values.maxBy(_._2)
+        if (n == 0 || total == 0) 1.0 else max.toDouble / (total.toDouble / n)
+      }
 
     def json: String =
       s"""{"n_tasks":$nTasks,"failed_tasks":$failedTasks,""" +
@@ -48,6 +68,7 @@ final class MetricsListener extends SparkListener {
         // and a comma-decimal locale (de_DE …) would emit 1,234 here —
         // unparseable JSON, silently zeroing the round's metrics artifact
         s""""task_skew":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(skew))},""" +
+        s""""hot_stage_skew":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(hotStageSkew))},""" +
         s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
         s""""output_records":$outputRecords,""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
@@ -73,6 +94,9 @@ final class MetricsListener extends SparkListener {
       if (!taskEnd.taskInfo.successful) g.failedTasks += 1
       g.totalTaskMs += taskEnd.taskInfo.duration
       g.maxTaskMs = math.max(g.maxTaskMs, taskEnd.taskInfo.duration)
+      val d = taskEnd.taskInfo.duration
+      val (sn, st, sm) = g.stageTasks.getOrElse(taskEnd.stageId, (0L, 0L, 0L))
+      g.stageTasks(taskEnd.stageId) = (sn + 1, st + d, math.max(sm, d))
       if (m != null) {
         g.inputRecords += m.inputMetrics.recordsRead
         g.inputBytes += m.inputMetrics.bytesRead
