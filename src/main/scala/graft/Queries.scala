@@ -6071,7 +6071,15 @@ object Queries {
         expr("CAST(round(__p._2 * 1000.0) AS BIGINT)").as("northing_mm"))
       .orderBy("grid_id")
 
-  private val q173Sql = {
+  /** CTE chain replaying `GeoFunctions.wgs84ToUtm32n` in DuckDB SQL over
+    * an input CTE exposing `lon`/`lat` degrees (every other column flows
+    * through `SELECT *`): appends `<p>0..<p>5` and `<p>xy`, the last
+    * adding `x` (easting m) and `y` (northing m). Constants are the
+    * projection's exact doubles as shortest-repr literals and the
+    * operation tree matches the Scala kernel exactly (explicit power
+    * products, no libm pow) — see q173's comment. Shared by q173 (point
+    * grid) and q178 (GeoJSON polygon vertices). */
+  private def utmSeriesCtes(src: String, p: String = "utm"): String = {
     // Shortest-repr double literals round-trip to identical bits in DuckDB.
     def d(v: Double) = v.toString
     val pi = d(math.Pi)
@@ -6080,38 +6088,41 @@ object Queries {
       d(GeoFunctions.FalseEasting))
     val (m0, m2, m4, m6) = (d(GeoFunctions.M0), d(GeoFunctions.M2),
       d(GeoFunctions.M4), d(GeoFunctions.M6))
-    s"""WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS grid_id,
-       |    8.0 + CAST(n_nationkey % 5 AS DOUBLE) * 0.5 AS lon,
-       |    44.0 + CAST(n_nationkey // 5 AS DOUBLE) * 0.5 AS lat
-       |  FROM nation),
-       |r0 AS (SELECT *, lat / 180.0 * $pi AS phi, lon / 180.0 * $pi AS lam FROM g),
-       |r1 AS (SELECT *, sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi FROM r0),
-       |r2 AS (SELECT *,
+    s"""${p}0 AS (SELECT *, lat / 180.0 * $pi AS phi, lon / 180.0 * $pi AS lam FROM $src),
+       |${p}1 AS (SELECT *, sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi FROM ${p}0),
+       |${p}2 AS (SELECT *,
        |    $aa / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
        |    tphi * tphi AS tt,
        |    $ep2 * cphi * cphi AS cc,
-       |    cphi * (lam - $lon0) AS a0 FROM r1),
-       |r3 AS (SELECT *, a0 * a0 AS a2 FROM r2),
-       |r4 AS (SELECT *, a2 * a0 AS a3, a2 * a2 AS a4 FROM r3),
-       |r5 AS (SELECT *, a4 * a0 AS a5, a4 * a2 AS a6,
+       |    cphi * (lam - $lon0) AS a0 FROM ${p}1),
+       |${p}3 AS (SELECT *, a0 * a0 AS a2 FROM ${p}2),
+       |${p}4 AS (SELECT *, a2 * a0 AS a3, a2 * a2 AS a4 FROM ${p}3),
+       |${p}5 AS (SELECT *, a4 * a0 AS a5, a4 * a2 AS a6,
        |    $aa * ($m0 * phi - $m2 * sin(2.0 * phi)
        |      + $m4 * sin(4.0 * phi) - $m6 * sin(6.0 * phi)) AS mm
-       |  FROM r4),
-       |xy AS (SELECT grid_id, lon, lat,
+       |  FROM ${p}4),
+       |${p}xy AS (SELECT *,
        |    $k0 * nn * (a0 + (1.0 - tt + cc) * a3 / 6.0
        |      + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0)
        |      + $fe AS x,
        |    $k0 * (mm + nn * tphi * (a2 / 2.0
        |      + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
        |      + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) AS y
-       |  FROM r5)
+       |  FROM ${p}5)""".stripMargin
+  }
+
+  private val q173Sql =
+    s"""WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS grid_id,
+       |    8.0 + CAST(n_nationkey % 5 AS DOUBLE) * 0.5 AS lon,
+       |    44.0 + CAST(n_nationkey // 5 AS DOUBLE) * 0.5 AS lat
+       |  FROM nation),
+       |${utmSeriesCtes("g")}
        |SELECT grid_id,
        |  CAST(round(lon * 1000.0) AS BIGINT) AS lon_milli,
        |  CAST(round(lat * 1000.0) AS BIGINT) AS lat_milli,
        |  CAST(round(x * 1000.0) AS BIGINT) AS easting_mm,
        |  CAST(round(y * 1000.0) AS BIGINT) AS northing_mm
-       |FROM xy ORDER BY grid_id""".stripMargin
-  }
+       |FROM utmxy ORDER BY grid_id""".stripMargin
 
   // ---------------------------------------------------------------- q174
   // CUSTOM STATE through the REAL streaming engine (the q164 move applied
@@ -6222,6 +6233,169 @@ object Queries {
        |  ${dSum("activity")} AS total_activity,
        |  CAST(2 AS BIGINT) AS n_files_first, CAST(0 AS BIGINT) AS n_files_second
        |FROM r GROUP BY hour, cell_id ORDER BY hour, cell_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q177
+  // MOBILITY ingest gate row — q176's sibling over loadMobility, whose
+  // cleaning chain additionally runs pandas-title() case folding, the
+  // reference's 7-entry province-normalization map, and the broadcast
+  // semi-join against the provinces dimension (J3/X1/X2/J4, reference
+  // src/etl.py:232-274). The fixture's provinceName vocabulary is FINITE
+  // and cycles by k % 12 (cased variants over apostrophes/hyphens/slashes
+  // — exactly where initcap would diverge from pandas title(), plus one
+  // name the dimension lacks), so the oracle replays normalization as a
+  // 12-way CASE — no title-case logic cross-engine. Mobility metrics are
+  // filled-0 but NOT clamped (reference clamps traffic only): the sums
+  // value-check that negatives survive. (2, 0) file counts prove the
+  // second load was a ledger no-op.
+  private val q177: Q = (s, dir) =>
+    graft.pipeline.IngestHarness.mobilityIngestTwiceRollup(
+      s, Tables.customer(s, dir).select(col("c_custkey")))
+
+  private val q177Sql = {
+    def mh(j: Int) = DuckHash.mix64Inline(s"CAST(k * 8 + $j AS UBIGINT)")
+    def met(j: Int) =
+      s"""CASE WHEN (${mh(j)}) & 7 = 7 THEN 0.0
+         |      ELSE (CAST((${mh(j)}) & 1023 AS BIGINT) - 100) / 10.0 END"""
+        .stripMargin
+    val caseArms = graft.pipeline.IngestHarness.MobilityCleanNames.zipWithIndex
+      .map { case (n, i) => s"WHEN $i THEN '${n.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |rows0 AS (SELECT k, CASE k % 12 $caseArms END AS provincia,
+       |    ${met(6)} AS c2p, ${met(7)} AS p2c
+       |  FROM base
+       |  WHERE k % 97 <> 0 AND k % 12000 <= 9999 AND k % 12 <> 9)
+       |SELECT provincia, count(*) AS n_rows,
+       |  ${dSum("c2p")} AS sum_c2p, ${dSum("p2c")} AS sum_p2c,
+       |  CAST(2 AS BIGINT) AS n_files_first, CAST(0 AS BIGINT) AS n_files_second
+       |FROM rows0 GROUP BY provincia ORDER BY provincia""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q178
+  // GeoJSON GRID source under the gate (§2.1 S4 + P3/G1-G3, reference
+  // src/etl.py:11-54): a deterministic FeatureCollection of diamond
+  // Polygons (GeoJsonFixture — exact-binary sixteenth-degree coordinates
+  // on the q173 grid) goes through the REAL multiLine JSON scan →
+  // posexplode feature_idx → reproject 4326→32632 → bounds. The output
+  // pins the geopandas surrogate-key semantics (0-based feature_idx vs the
+  // file's 1-based cellId property — the reference's off-by-one, SURVEY
+  // §1.4) and the projected envelope at integer millimetres; the oracle
+  // rebuilds the vertices from nation ids and replays the Snyder series
+  // (the shared utmSeriesCtes) — JSON parsing, feature order, ring shape,
+  // projection, and bounds all value-checked without the oracle reading
+  // any file. The 25-row driver collect builds the fixture FILE (a
+  // dimension-sized generator, like q168's synthetic payloads).
+  private val q178: Q = (s, dir) => {
+    val ids = Tables.nation(s, dir).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val path = graft.sources.GeoJsonFixture.write(
+      java.nio.file.Files.createTempDirectory("graft-geojson"), "grid.geojson",
+      graft.sources.GeoJsonFixture.gridJson(ids))
+    graft.sources.GeoJsonSource.readFeatures(s, path)
+      .select(
+        col("feature_idx").cast("long").as("cell_id"),
+        col("properties.cellId").cast("long").as("cellid_prop"),
+        GeoFunctions.reprojectPolygonUdf(col("geometry.coordinates")).as("coords"))
+      .withColumn("b", GeoFunctions.polygonBounds(col("coords")))
+      .select(col("cell_id"), col("cellid_prop"),
+        expr("CAST(round(b.minx * 1000.0) AS BIGINT)").as("min_x_mm"),
+        expr("CAST(round(b.miny * 1000.0) AS BIGINT)").as("min_y_mm"),
+        expr("CAST(round(b.maxx * 1000.0) AS BIGINT)").as("max_x_mm"),
+        expr("CAST(round(b.maxy * 1000.0) AS BIGINT)").as("max_y_mm"),
+        size(element_at(col("coords"), 1)).cast("long").as("n_ring_pts"))
+      .orderBy("cell_id")
+  }
+
+  private val q178Sql = {
+    val mh = DuckHash.mix64Inline("CAST(id AS UBIGINT)")
+    s"""WITH ids AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+       |feat AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS fid,
+       |    CAST((($mh) & 3) + 1 AS DOUBLE) / 16.0 AS r,
+       |    8.0 + CAST(id % 5 AS DOUBLE) * 0.5 AS cx,
+       |    44.0 + CAST((id // 5) % 5 AS DOUBLE) * 0.5 AS cy
+       |  FROM ids),
+       |verts AS (SELECT fid, id,
+       |    CASE vi WHEN 0 THEN cx - r WHEN 1 THEN cx WHEN 2 THEN cx + r ELSE cx END AS lon,
+       |    CASE vi WHEN 0 THEN cy WHEN 1 THEN cy - r WHEN 2 THEN cy ELSE cy + r END AS lat
+       |  FROM feat, unnest(range(0, 4)) AS t(vi)),
+       |${utmSeriesCtes("verts")}
+       |SELECT fid AS cell_id, id + 1 AS cellid_prop,
+       |  CAST(round(min(x) * 1000.0) AS BIGINT) AS min_x_mm,
+       |  CAST(round(min(y) * 1000.0) AS BIGINT) AS min_y_mm,
+       |  CAST(round(max(x) * 1000.0) AS BIGINT) AS max_x_mm,
+       |  CAST(round(max(y) * 1000.0) AS BIGINT) AS max_y_mm,
+       |  CAST(5 AS BIGINT) AS n_ring_pts
+       |FROM utmxy GROUP BY fid, id ORDER BY cell_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q179
+  // Conditional backfill UPDATE under the gate (§2.2 K5, reference
+  // src/etl.py:21-29's COALESCE-where-NULL): a fixture table whose `val`
+  // is null on a mix64 mask goes through MilanPipeline.backfillColumn —
+  // the crash-safe snapshot-rewrite (write new snapshot → two-rename swap)
+  // that stands in for parquet's missing in-place UPDATE — and the query
+  // returns the POST-backfill table read from disk. The oracle replays
+  // the coalesce arithmetic per id: nulls got id/4, non-nulls kept their
+  // original value bit-for-bit (a rewrite that perturbed surviving rows
+  // would break the hash).
+  private val q179: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-backfill")
+    val tableDir = tmp.resolve("t").toString
+    val mh = graft.functions.HashFunctions.mix64(col("c_custkey") * 8 + 9)
+    Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"),
+        when(mh.bitwiseAND(lit(3L)) === 0L, lit(null).cast("double"))
+          .otherwise((mh.bitwiseAND(lit(1023L)) - 100L).cast("double") / 10.0)
+          .as("val"))
+      .write.parquet(tableDir)
+    graft.pipeline.MilanPipeline.backfillColumn(
+      s, tableDir, "val", col("id").cast("double") / 4.0)
+    s.read.parquet(tableDir).orderBy("id")
+  }
+
+  private val q179Sql = {
+    val mh = DuckHash.mix64Inline("CAST(c_custkey * 8 + 9 AS UBIGINT)")
+    s"""SELECT CAST(c_custkey AS BIGINT) AS id,
+       |  CASE WHEN ($mh) & 3 = 0 THEN CAST(c_custkey AS DOUBLE) / 4.0
+       |       ELSE (CAST(($mh) & 1023 AS BIGINT) - 100) / 10.0 END AS "val"
+       |FROM customer ORDER BY id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q180
+  // GeoJSON PROVINCES source under the gate (§2.1 S5 + C4, reference
+  // src/etl.py:57-95): the provinces fixture carries PROVINCIA plus a
+  // STRING population property that is digits on most rows and an
+  // unparseable "n/a" on a mix64 mask — GeoJsonSource.provinces must
+  // coerce-or-0 and int-cast it (the reference's to_numeric(errors=
+  // 'coerce').fillna(0).astype(int)). Aggregated per provincia so the
+  // hash checks name fallback, the coercion branches, and the int cast.
+  private val q180: Q = (s, dir) => {
+    val ids = Tables.nation(s, dir).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val path = graft.sources.GeoJsonFixture.write(
+      java.nio.file.Files.createTempDirectory("graft-geojson"), "provinces.geojson",
+      graft.sources.GeoJsonFixture.provincesJson(ids))
+    graft.sources.GeoJsonSource.provinces(s, path)
+      .groupBy(col("provincia"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("population").cast("long")).as("sum_population"))
+      .orderBy("provincia")
+  }
+
+  private val q180Sql = {
+    val mh = DuckHash.mix64Inline("CAST(id AS UBIGINT)")
+    val caseArms = graft.pipeline.IngestHarness.MobilityCleanNames.zipWithIndex
+      .map { case (n, i) => s"WHEN $i THEN '${n.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""WITH ids AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+       |f AS (SELECT id, CASE id % 12 $caseArms END AS provincia,
+       |    CASE WHEN ($mh) & 3 = 0 THEN 0
+       |         ELSE CAST((($mh) >> 8) & 65535 AS BIGINT) END AS pop
+       |  FROM ids)
+       |SELECT provincia, count(*) AS n_features,
+       |  CAST(sum(pop) AS BIGINT) AS sum_population
+       |FROM f GROUP BY provincia ORDER BY provincia""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -6400,7 +6574,11 @@ object Queries {
     "q173_utm_reproject" -> q173,
     "q174_stream_real_sessions" -> q174,
     "q175_audio_roundtrip" -> q175,
-    "q176_ingest_idempotent" -> q176
+    "q176_ingest_idempotent" -> q176,
+    "q177_mobility_ingest" -> q177,
+    "q178_geojson_grid" -> q178,
+    "q179_backfill_update" -> q179,
+    "q180_geojson_provinces" -> q180
   )
 
   val oracles: Map[String, String] = Map(
@@ -6577,6 +6755,10 @@ object Queries {
     "q173_utm_reproject" -> q173Sql,
     "q174_stream_real_sessions" -> q174Sql,
     "q175_audio_roundtrip" -> q175Sql,
-    "q176_ingest_idempotent" -> q176Sql
+    "q176_ingest_idempotent" -> q176Sql,
+    "q177_mobility_ingest" -> q177Sql,
+    "q178_geojson_grid" -> q178Sql,
+    "q179_backfill_update" -> q179Sql,
+    "q180_geojson_provinces" -> q180Sql
   )
 }

@@ -54,10 +54,9 @@ object IngestHarness {
 
   /** Write the two day-files with Spark (repartition(1) per file — a
     * day-file IS one file by contract), then rename the part files to the
-    * reference's `sms-call-internet-mi-<date>.csv` naming that
+    * reference's day-file naming (`<prefix>-<date>.csv`) that
     * `MilanCsvSource.discover`'s glob expects. */
-  private def writeDayFiles(spark: SparkSession, ids: DataFrame, dataDir: Path): Unit = {
-    val rows = synthRows(ids)
+  private def writeDayFiles(spark: SparkSession, rows: DataFrame, dataDir: Path, prefix: String): Unit = {
     Seq(1, 2).foreach { d =>
       val stage = dataDir.resolve(s"__stage_$d")
       rows.filter(col("__day") === d).drop("__day")
@@ -67,7 +66,7 @@ object IngestHarness {
       val part = Files.list(stage).iterator().asScala
         .find(_.getFileName.toString.endsWith(".csv"))
         .getOrElse(sys.error(s"ingest fixture: no csv part written under $stage"))
-      Files.move(part, dataDir.resolve(f"sms-call-internet-mi-2013-11-0$d%d.csv"))
+      Files.move(part, dataDir.resolve(f"$prefix%s-2013-11-0$d%d.csv"))
     }
   }
 
@@ -79,21 +78,98 @@ object IngestHarness {
     * frame reads it lazily) and lives under java.io.tmpdir for the session.
     */
   def ingestTwiceRollup(spark: SparkSession, ids: DataFrame): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-ingest")
-    val dataDir = Files.createDirectories(tmp.resolve("data"))
-    val keyed = ids.select(ids.columns.head).toDF("k")
-      .select(col("k").cast("long").as("k"))
-    writeDayFiles(spark, keyed, dataDir)
-    val pipe = new MilanPipeline(spark, tmp.resolve("wh").toString)
-    val first = pipe.loadTraffic(dataDir.toString)
-    val second = pipe.loadTraffic(dataDir.toString) // ledger no-op, must be 0
-    // fixture CSVs served their purpose; the warehouse stays (see scaladoc)
-    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
-      if (Files.isRegularFile(p)) Files.deleteIfExists(p)
-    }
+    val (pipe, dataDir) = stageFixture(spark, ids, synthRows, "sms-call-internet-mi")
+    val first = pipe.loadTraffic(dataDir)
+    val second = pipe.loadTraffic(dataDir) // ledger no-op, must be 0
+    cleanupCsvs(dataDir)
     pipe.hourlyTraffic
       .withColumn("n_files_first", lit(first.toLong))
       .withColumn("n_files_second", lit(second.toLong))
       .orderBy("hour", "cell_id")
   }
+
+  /** The mobility fixture's provinceName vocabulary, cycled by `k % 12`:
+    * cased/mapped variants that drive every branch of
+    * `Cleaning.normalizeProvince` — pandas-title() over apostrophes,
+    * hyphens, and slashes (where Spark's initcap differs), all seven
+    * entries of the reference's normalization map, and one name absent
+    * from the dimension ("atlantis") that the semi-join must drop. The
+    * vocabulary is FINITE, so the oracle replays normalization as a
+    * 12-way CASE on `k % 12` — no title-case logic cross-engine. */
+  val MobilityRawNames: Seq[String] = Seq(
+    "MILANO", "TORINO", "monza e della brianza", "VALLE D'AOSTA",
+    "reggio nell'emilia", "BOLZANO/BOZEN", "massa-carrara",
+    "pesaro e urbino", "NAPOLI", "atlantis", "REGGIO DI CALABRIA", "roma")
+
+  /** Normalized forms of [[MobilityRawNames]] (index-aligned; "atlantis"
+    * normalizes to "Atlantis" but is NOT in the dimension). */
+  val MobilityCleanNames: Seq[String] = Seq(
+    "Milano", "Torino", "Monza e della Brianza", "Aosta",
+    "Reggio nell'Emilia", "Bolzano", "Massa Carrara",
+    "Pesaro e Urbino", "Napoli", "Atlantis", "Reggio di Calabria", "Roma")
+
+  /** The valid-provinces dimension: every normalized name except the
+    * deliberately-unknown "Atlantis". */
+  def provincesDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    MobilityCleanNames.filterNot(_ == "Atlantis").toDF("provincia")
+  }
+
+  private def synthMobilityRows(ids: DataFrame): DataFrame = {
+    val day = (col("k") % 2 + 1).cast("int")
+    val dt = when(col("k") % 97 === 0, lit("not-a-timestamp"))
+      .otherwise(format_string("2013-11-%02d %02d:%02d:00",
+        day, (col("k") % 24).cast("int"), ((col("k") * 7) % 60).cast("int")))
+    val nameArr = array(MobilityRawNames.map(lit): _*)
+    ids
+      .select(col("k"), day.as("__day"),
+        dt.as("datetime"), (col("k") % 12000).as("CellID"),
+        element_at(nameArr, (col("k") % 12).cast("int") + 1).as("provinceName"),
+        metric(6).as("cell2Province"), metric(7).as("Province2cell"))
+      .drop("k")
+  }
+
+  /** The mobility twin of [[ingestTwiceRollup]] — same double-load ledger
+    * proof over `loadMobility`, whose cleaning chain additionally runs
+    * title-case + the 7-entry province map + the broadcast semi-join
+    * against the provinces dimension (J3/X1/X2/J4, reference
+    * src/etl.py:232-274). NOTE mobility metrics are filled-0 but NOT
+    * clamped (the reference clamps traffic only) — negatives survive into
+    * the sums, and the oracle checks they do. */
+  def mobilityIngestTwiceRollup(spark: SparkSession, ids: DataFrame): DataFrame = {
+    val (pipe, dataDir) = stageFixture(spark, ids, synthMobilityRows, "mi-to-provinces")
+    val dim = provincesDim(spark)
+    val first = pipe.loadMobility(dataDir, dim)
+    val second = pipe.loadMobility(dataDir, dim) // ledger no-op, must be 0
+    cleanupCsvs(dataDir)
+    pipe.mobilityFact
+      .groupBy(col("provincia"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.AggFunctions.sumExact(col("cell2province")).as("sum_c2p"),
+        graft.functions.AggFunctions.sumExact(col("province2cell")).as("sum_p2c"))
+      .withColumn("n_files_first", lit(first.toLong))
+      .withColumn("n_files_second", lit(second.toLong))
+      .orderBy("provincia")
+  }
+
+  private def stageFixture(
+      spark: SparkSession,
+      ids: DataFrame,
+      synth: DataFrame => DataFrame,
+      prefix: String): (MilanPipeline, String) = {
+    val tmp = Files.createTempDirectory("graft-ingest")
+    val dataDir = Files.createDirectories(tmp.resolve("data"))
+    val keyed = ids.select(ids.columns.head).toDF("k")
+      .select(col("k").cast("long").as("k"))
+    writeDayFiles(spark, synth(keyed), dataDir, prefix)
+    (new MilanPipeline(spark, tmp.resolve("wh").toString), dataDir.toString)
+  }
+
+  /** Fixture CSVs served their purpose after the loads; the warehouse
+    * parquet must outlive the call (the returned frame reads it lazily)
+    * and lives under java.io.tmpdir for the session. */
+  private def cleanupCsvs(dataDir: String): Unit =
+    Files.list(java.nio.file.Paths.get(dataDir)).iterator().asScala.toSeq.foreach { p =>
+      if (Files.isRegularFile(p)) Files.deleteIfExists(p)
+    }
 }

@@ -105,6 +105,8 @@ final class MilanPipeline(spark: SparkSession, warehouseDir: String) {
 
   def trafficFact: DataFrame = spark.read.parquet(tablePath("fact_traffic_milan"))
 
+  def mobilityFact: DataFrame = spark.read.parquet(tablePath("fact_mobility_provinces"))
+
   /** v_hourly_traffic (reference src/database.py:101-112). */
   def hourlyTraffic: DataFrame = Rollup.hourlyTraffic(trafficFact)
 
