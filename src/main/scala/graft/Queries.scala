@@ -6398,6 +6398,41 @@ object Queries {
        |FROM f GROUP BY provincia ORDER BY provincia""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q181
+  // REAL video-codec round-trip (Multimodal.videoRoundTrip) — q168/q175's
+  // GIF sibling, retiring the video stub: each doc_id expands to 6 frames
+  // of 16×8 gray pixels (mix64((id·6+f)·128+i) & 255), Spark writes a real
+  // animated GIF through the JDK sequence writer, demuxes+DECODES it back,
+  // samples 4 of the 6 frames evenly (src 0,1,3,4 — the stride is itself
+  // value-checked via src_frame), and reports per-frame decoded dims +
+  // exact pixel sums; DuckDB sums the same synthetic bytes with no image
+  // library. The 256-gray palette makes GIF lossless, so a frame-order
+  // bug, dropped/duplicated frame, palette remap, or stride error all
+  // break the hash — and pixel_possum (Σ (i+1)·vᵢ) additionally breaks on
+  // ROW reordering inside a frame, the one corruption a plain sum can't
+  // see (it's how the JDK writer's default interlace flag was caught).
+  private val q181: Q = (s, dir) => {
+    import s.implicits._
+    graft.multimodal.Multimodal.videoRoundTrip(
+        Tables.documents(s, dir).select(col("doc_id")).as[java.lang.Long],
+        nFrames = 6, w = 16, h = 8, maxFrames = 4)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val q181Sql = {
+    val mh = DuckHash.mix64Inline("CAST((doc_id * 6 + src) * 128 + i AS UBIGINT)")
+    s"""WITH sel AS (SELECT doc_id, fi, fi * 6 // 4 AS src
+       |  FROM (SELECT doc_id, unnest(range(0, 4)) AS fi FROM documents)),
+       |px AS (SELECT doc_id, fi, src, unnest(range(0, 128)) AS i FROM sel)
+       |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       |  CAST(src AS BIGINT) AS src_frame,
+       |  CAST(16 AS BIGINT) AS decoded_w, CAST(8 AS BIGINT) AS decoded_h,
+       |  CAST(sum(($mh) & 255) AS BIGINT) AS pixel_sum,
+       |  CAST(sum((i + 1) * (($mh) & 255)) AS BIGINT) AS pixel_possum
+       |FROM px GROUP BY doc_id, fi, src ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6578,7 +6613,8 @@ object Queries {
     "q177_mobility_ingest" -> q177,
     "q178_geojson_grid" -> q178,
     "q179_backfill_update" -> q179,
-    "q180_geojson_provinces" -> q180
+    "q180_geojson_provinces" -> q180,
+    "q181_video_roundtrip" -> q181
   )
 
   val oracles: Map[String, String] = Map(
@@ -6759,6 +6795,7 @@ object Queries {
     "q177_mobility_ingest" -> q177Sql,
     "q178_geojson_grid" -> q178Sql,
     "q179_backfill_update" -> q179Sql,
-    "q180_geojson_provinces" -> q180Sql
+    "q180_geojson_provinces" -> q180Sql,
+    "q181_video_roundtrip" -> q181Sql
   )
 }

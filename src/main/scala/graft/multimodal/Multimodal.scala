@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * a Pandas-UDF `mapInPandas`: fixed-size record batches through a
   * vectorizable kernel).
   *
-  * Image payloads decode for REAL via JDK `javax.imageio`
-  * ([[ImageIoCodec]] — PNG/BMP/GIF/JPEG, zero native deps). Audio/video
-  * and undecodable payloads fall back to [[StubCodec]], a clearly-marked
-  * deterministic fake standing in for the native decoders this container
-  * doesn't ship — the Spark-side contract (schema, batching,
-  * partitioning, output shape) is real and tested either way, and a
-  * production codec drops into the same `decode` signature.
+  * All three modalities decode for REAL with zero native deps: images via
+  * JDK `javax.imageio` ([[ImageIoCodec]] — PNG/BMP/GIF/JPEG), audio via
+  * `javax.sound.sampled` ([[WavCodec]] — WAV/PCM), video via the JDK GIF
+  * sequence reader/writer ([[GifVideoCodec]] — frame-addressable animated
+  * GIF). Payloads in formats the JRE can't touch (H.264, MP3, WebP, …)
+  * fall back to [[StubCodec]], a clearly-marked deterministic fake
+  * standing in for the native decoders this container doesn't ship — the
+  * Spark-side contract (schema, batching, partitioning, output shape) is
+  * real and tested either way, and a production codec drops into the same
+  * `decode` signature.
   */
 object Multimodal {
 
@@ -190,11 +193,119 @@ object Multimodal {
         } catch { case _: Exception => None }
   }
 
+  /** REAL video codec over the JDK GIF reader/writer — the third leg of
+    * the zero-native-deps codec family ([[ImageIoCodec]] images,
+    * [[WavCodec]] audio): an animated GIF is a genuine multi-frame video
+    * container the JRE both writes (`ImageWriter.writeToSequence`) and
+    * reads frame-addressably (`ImageReader.getNumImages`/`read(i)`), so
+    * frame extraction — the operation a training pipeline actually runs on
+    * the video column — exercises a real demux/decode loop, not a byte
+    * slicer. GIF is 8-bit indexed; with an explicit 256-gray
+    * [[grayFrame]] palette the encode→decode round trip is LOSSLESS
+    * (index bytes stored verbatim), which is what makes an exact-sum
+    * oracle possible. Compressed codecs (H.264/VP9/AV1) have no JDK
+    * decoder — those payloads fail the GIF sniff and fall back to
+    * [[StubCodec]], the same row-level never-throw contract as the other
+    * two codecs. */
+  object GifVideoCodec {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+    import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+
+    /** Cheap magic-byte check (GIF87a/GIF89a) — same rationale as
+      * [[ImageIoCodec.looksDecodable]]/[[WavCodec.looksWav]]. */
+    def looksGif(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= 6 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8'
+
+    private val grayPalette: IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** One grayscale frame from raw pixel bytes (row-major, `w*h` long):
+      * TYPE_BYTE_INDEXED over the 256-gray palette stores each byte as a
+      * palette index the GIF container carries exactly. */
+    def grayFrame(w: Int, h: Int, pix: Array[Byte]): BufferedImage = {
+      require(pix.length == w * h, s"grayFrame: ${pix.length} bytes for ${w}x$h")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      img
+    }
+
+    /** Encode frames as one animated GIF via the JDK sequence writer.
+      * In-memory streams only (the [[ImageIoCodec]] convention).
+      *
+      * Interlace is forced OFF per frame: the JDK writer's default image
+      * metadata sets the GIF interlace flag, and the JDK READER
+      * mis-deinterlaces small frames (observed: a 4×2 frame comes back
+      * with its second row zeroed — caught by the per-pixel spec, and
+      * invisible to any sum-only check because interlacing only REORDERS
+      * rows). Sequential row order makes the round trip exact at every
+      * size. */
+    def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "encodeGif: no frames")
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // MODE_DISABLED kills the interlace flag while leaving metadata
+        // null — the writer then derives the color table from each frame's
+        // own IndexColorModel (hand-built image metadata loses it and
+        // falls back to a web-safe-ish quantizing palette).
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), param))
+        writer.endWriteSequence()
+        ios.flush()
+      } finally {
+        writer.dispose()
+        try ios.close() catch { case _: java.io.IOException => () }
+      }
+      bos.toByteArray
+    }
+
+    /** Demux+decode every frame; None on non-GIF or corrupt payload. Each
+      * frame comes back as its own raster (the GIF reader does not
+      * composite disposal methods — full-size frames round-trip 1:1). */
+    def decodeFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+      if (!looksGif(payload)) None
+      else {
+        val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              // 0 frames = a payload that only LOOKS like a GIF (valid
+              // header, no decodable image data) — that's a failed decode,
+              // not an empty video.
+              if (n <= 0) None else Some((0 until n).map(reader.read))
+            } finally reader.dispose()
+          }
+        } catch { case _: Exception => None }
+        finally try iis.close() catch { case _: java.io.IOException => () }
+      }
+
+    /** Real decoded (width, height, frameCount), if this payload is a
+      * decodable GIF container. */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int, Int)] =
+      decodeFrames(payload).collect {
+        case fs if fs.nonEmpty => (fs.head.getWidth, fs.head.getHeight, fs.length)
+      }
+  }
+
   /** STUB CODEC — deterministic fake decode for the formats the JVM can't
-    * touch without native libs (video; compressed audio; exotic image
-    * formats). Image payloads route through [[ImageIoCodec]] and WAV audio
-    * through [[WavCodec]] first; this is the fallback contract a
-    * JNI/javacpp build would replace. */
+    * touch without native libs (compressed video and audio; exotic image
+    * formats). Image payloads route through [[ImageIoCodec]], WAV audio
+    * through [[WavCodec]], and GIF video through [[GifVideoCodec]] first;
+    * this is the fallback contract a JNI/javacpp build would replace. */
   object StubCodec {
     /** "Decode" dimensions from content bytes (deterministic fake). */
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
@@ -245,18 +356,25 @@ object Multimodal {
           // declared-kind contract is what keeps that decision
           // engine-independent. Audio "dims" are (frames-per-channel,
           // channels) — the two axes of a PCM buffer.
+          val videoDims = if (r.kind == "video") GifVideoCodec.decodeDims(r.payload) else None
           val (w, h) = (r.kind match {
             case "image" => ImageIoCodec.decodeDims(r.payload)
             case "audio" =>
               WavCodec.decodeWav(r.payload).map { case (_, ch, samples) =>
                 (samples.length / math.max(ch, 1), ch)
               }
+            case "video" => videoDims.map { case (vw, vh, _) => (vw, vh) }
             case _ => None
           }).getOrElse(StubCodec.decodeDims(r.payload))
-          val frames = if (r.kind == "video") StubCodec.sampleFrameOffsets(r.payload, 8) else Seq.empty
+          val nFrames = r.kind match {
+            case "video" =>
+              videoDims.map { case (_, _, n) => math.min(n, 8) }
+                .getOrElse(StubCodec.sampleFrameOffsets(r.payload, 8).size)
+            case _ => 0
+          }
           val hist = new Array[Long](16)
           r.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
-          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest, w, h, frames.size, hist)
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest, w, h, nFrames, hist)
         }
       }
     }
@@ -321,6 +439,56 @@ object Multimodal {
           case (off, i) =>
             val end = math.min(off + frameBytes, r.payload.length)
             SampledFrame(r.media_id, i, off.toLong, r.payload.slice(off, end))
+        }
+      }
+    }
+  }
+
+  /** One REAL decoded video frame: the row-per-frame shape downstream
+    * image work (embed, dedup, caption) starts from. `src_frame` is the
+    * frame's index in the container (sampling is sparse — it differs from
+    * `frame_idx`, the dense output ordinal); the pixels travel re-encoded
+    * as lossless PNG. */
+  final case class DecodedFrame(
+      media_id: Long,
+      frame_idx: Int,
+      src_frame: Int,
+      width: Int,
+      height: Int,
+      frame_png: Array[Byte])
+
+  /** REAL frame sampling — [[sampleFrames]]'s decoded sibling for payloads
+    * that are genuine GIF containers: demux → pick up to `maxFrames`
+    * evenly-spaced frames → re-encode each as PNG. Non-video records and
+    * payloads the JDK can't demux yield nothing (callers route those
+    * through the stub slicer if they need a fallback row). Record-at-a-time
+    * partition transform, no shuffle, O(1 payload) buffering. */
+  def sampleGifFrames(
+      ds: Dataset[MediaRecord],
+      maxFrames: Int = 8): Dataset[DecodedFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { iter =>
+      iter.filter(_.kind == "video").flatMap { r =>
+        GifVideoCodec.decodeFrames(r.payload).toSeq.flatMap { frames =>
+          val n = frames.length
+          val take = math.min(maxFrames, n)
+          (0 until take).map { i =>
+            val src = (i.toLong * n / take).toInt
+            val img = frames(src)
+            // Copy to INT_RGB before the PNG leg: a gray-palette indexed
+            // image round-trips PNG with its SAMPLES intact but comes back
+            // under a linear-gray ColorModel, so getRGB reinterprets the
+            // values (observed: 50 → 122, the linear→sRGB curve). sRGB
+            // INT_RGB is the colorspace-stable carrier (q168-proven
+            // lossless).
+            val rgb = new java.awt.image.BufferedImage(
+              img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = rgb.createGraphics()
+            try g.drawImage(img, 0, 0, null)
+            finally g.dispose()
+            DecodedFrame(r.media_id, i, src, img.getWidth, img.getHeight,
+              ImageIoCodec.encodePng(rgb))
+          }
         }
       }
     }
@@ -433,6 +601,85 @@ object Multimodal {
         var i = 0
         while (i < back.length) { sum += back(i); i += 1 }
         AudioRoundTrip(id, back.length.toLong, channels.toLong, sum)
+      }
+    }
+  }
+
+  /** One decoded video-frame round-trip record per (id, sampled frame).
+    * `pixel_possum` is the POSITION-WEIGHTED sum Σ (i+1)·vᵢ (i = y·w + x):
+    * unlike the plain sum it breaks if rows come back reordered — exactly
+    * the failure mode a mis-deinterlaced GIF produces (rows permuted,
+    * plain sum unchanged; see [[GifVideoCodec.encodeGif]]). */
+  final case class VideoRoundTrip(
+      doc_id: Long,
+      frame_idx: Long,
+      src_frame: Long,
+      decoded_w: Long,
+      decoded_h: Long,
+      pixel_sum: Long,
+      pixel_possum: Long)
+
+  /** REAL video-codec round-trip — [[codecRoundTrip]]'s GIF sibling, same
+    * oracle design extended to the FRAME axis: each id deterministically
+    * expands to `nFrames` frames of `w×h` gray pixels via SplitMix64
+    * (`mix64((id·nFrames + f)·w·h + i) & 255`), the frames become a real
+    * animated GIF through the JDK sequence writer, demux+decode runs back
+    * through [[GifVideoCodec]], `maxFrames` frames are sampled
+    * evenly-spaced (the [[sampleGifFrames]] stride), and each sampled
+    * frame reports its source index, decoded dimensions, and exact pixel
+    * sum. The gray palette makes GIF lossless here, so each sum MUST equal
+    * the direct sum of that frame's synthetic bytes — which a SQL engine
+    * replays without any image library. A frame-order bug, a dropped or
+    * duplicated frame, a palette remap, or a stride error all break the
+    * per-frame equality; the sampling stride itself is value-checked via
+    * `src_frame`.
+    *
+    * Row-local partition transform, no shuffle; record-at-a-time (no
+    * per-batch codec context in ImageIO — see [[codecRoundTrip]]). */
+  def videoRoundTrip(
+      ids: org.apache.spark.sql.Dataset[java.lang.Long],
+      nFrames: Int,
+      w: Int,
+      h: Int,
+      maxFrames: Int): org.apache.spark.sql.Dataset[VideoRoundTrip] = {
+    import graft.functions.HashFunctions.mix64Long
+    import ids.sparkSession.implicits._
+    val fpix = w * h
+    ids.mapPartitions { iter =>
+      iter.flatMap { boxed =>
+        val id = boxed.longValue()
+        val frames = (0 until nFrames).map { f =>
+          GifVideoCodec.grayFrame(w, h, Array.tabulate(fpix) { i =>
+            (mix64Long((id * nFrames + f).toLong * fpix + i) & 255L).toByte
+          })
+        }
+        val gif = GifVideoCodec.encodeGif(frames)
+        val back = GifVideoCodec.decodeFrames(gif).getOrElse(
+          throw new IllegalStateException(
+            s"videoRoundTrip: self-encoded GIF for id=$id failed to decode"))
+        if (back.length != nFrames)
+          throw new IllegalStateException(
+            s"videoRoundTrip: id=$id wrote $nFrames frames, decoded ${back.length}")
+        val take = math.min(maxFrames, nFrames)
+        (0 until take).map { i =>
+          val src = (i.toLong * nFrames / take).toInt
+          val img = back(src)
+          var sum = 0L
+          var possum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = (img.getRGB(x, y) >> 16) & 255 // gray palette: R==G==B==index
+              sum += v
+              possum += (y.toLong * img.getWidth + x + 1) * v
+              x += 1
+            }
+            y += 1
+          }
+          VideoRoundTrip(id, i.toLong, src.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, sum, possum)
+        }
       }
     }
   }

@@ -151,6 +151,90 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GifVideoCodec: REAL multi-frame GIF — lossless gray round trip, dirty fallback") {
+    import Multimodal.GifVideoCodec
+    // Three 4×2 frames with distinct, extreme-valued pixels: the indexed
+    // gray palette must carry every byte 0..255 exactly.
+    val pix = Seq(
+      Array[Byte](0, 1, 127, -128, -1, 50, 100, -56), // unsigned: 0,1,127,128,255,50,100,200
+      Array.tabulate(8)(i => (i * 31).toByte),
+      Array.fill(8)(-1: Byte))
+    val frames = pix.map(GifVideoCodec.grayFrame(4, 2, _))
+    val gif = GifVideoCodec.encodeGif(frames)
+    assert(GifVideoCodec.looksGif(gif))
+    val Some(back) = GifVideoCodec.decodeFrames(gif)
+    assert(back.length == 3)
+    assert(GifVideoCodec.decodeDims(gif).contains((4, 2, 3)))
+    for ((expected, img) <- pix.zip(back)) {
+      assert(img.getWidth == 4 && img.getHeight == 2)
+      val got = for (y <- 0 until 2; x <- 0 until 4)
+        yield ((img.getRGB(x, y) >> 16) & 255).toByte
+      assert(got.toSeq == expected.toSeq)
+      // gray palette: all three channels agree
+      assert(((img.getRGB(0, 0) >> 8) & 255) == (img.getRGB(0, 0) & 255))
+    }
+
+    // Dirty payloads: sniff rejects junk; a payload that LIES with a GIF
+    // header decodes to None, never a throw.
+    assert(!GifVideoCodec.looksGif("not a video".getBytes))
+    assert(GifVideoCodec.decodeFrames("not a video".getBytes).isEmpty)
+    val liar = ("GIF89a" + "garbage" * 16).getBytes
+    assert(GifVideoCodec.looksGif(liar))
+    assert(GifVideoCodec.decodeFrames(liar).isEmpty)
+
+    // Pipeline-level: a video record with a real GIF payload reports the
+    // real frame dims and TRUE frame count (capped at 8); junk falls back
+    // to the stub.
+    val df = Seq((7L, gif), (8L, "junk bytes".getBytes)).toDF("doc_id", "payload")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.fromBinaryColumn(df, "doc_id", "payload", "video"))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).decoded_width == 4 && feats(0).decoded_height == 2)
+    assert(feats(0).n_frames_sampled == 3)
+    val junkLen = "junk bytes".getBytes.length
+    assert(feats(1).decoded_width == 32 + junkLen % 480)
+  }
+
+  test("sampleGifFrames: real demux → evenly-strided frames → lossless PNG re-encode") {
+    import Multimodal.GifVideoCodec
+    // Six 2×2 frames, each filled with its own index-scaled value: the
+    // stride and per-frame identity are both observable in the output.
+    val frames = (0 until 6).map(f =>
+      GifVideoCodec.grayFrame(2, 2, Array.fill(4)((f * 40).toByte)))
+    val gif = GifVideoCodec.encodeGif(frames)
+    val df = Seq((9L, gif), (10L, "not a gif".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal
+      .sampleGifFrames(Multimodal.fromBinaryColumn(df, "doc_id", "payload", "video"), maxFrames = 4)
+      .collect().sortBy(_.frame_idx)
+    // undecodable payload yields nothing; decodable one yields 4 of 6
+    assert(out.map(_.media_id).toSet == Set(9L))
+    assert(out.map(_.src_frame).toSeq == Seq(0, 1, 3, 4)) // i*6/4 stride
+    for (f <- out) {
+      assert(f.width == 2 && f.height == 2)
+      val img = Multimodal.ImageIoCodec.decode(f.frame_png).get
+      assert(((img.getRGB(1, 1) >> 16) & 255) == f.src_frame * 40)
+    }
+  }
+
+  test("videoRoundTrip: decoded per-frame pixel sums equal the direct mix64 sums") {
+    import graft.functions.HashFunctions
+    val out = Multimodal.videoRoundTrip(
+        Seq(5L, 321L).map(java.lang.Long.valueOf).toDS(),
+        nFrames = 6, w = 16, h = 8, maxFrames = 4)
+      .collect().sortBy(r => (r.doc_id, r.frame_idx))
+    assert(out.length == 8)
+    for (r <- out) {
+      assert(r.decoded_w == 16L && r.decoded_h == 8L)
+      assert(r.src_frame == r.frame_idx * 6 / 4)
+      val bytes = (0 until 128).map(i =>
+        HashFunctions.mix64Long((r.doc_id * 6 + r.src_frame) * 128 + i) & 255L)
+      assert(r.pixel_sum == bytes.sum, s"doc ${r.doc_id} frame ${r.frame_idx}")
+      // position-weighted: breaks if rows come back reordered (interlace)
+      val possum = bytes.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+      assert(r.pixel_possum == possum, s"possum doc ${r.doc_id} frame ${r.frame_idx}")
+    }
+  }
+
   test("frame sampling expands videos to per-frame rows, skips other kinds") {
     val df = Seq(
       (0L, "0123456789abcdef0123456789abcdef"), // 32 bytes → 4 full frames at 8 bytes
