@@ -1058,65 +1058,61 @@ object Queries {
   // op in the catalog; a demonstrative scale tier wants small digests.
   //
   // Sketch VALUES are engine-specific (and merge-order-sensitive), so the
-  // catalog row emits the ERROR-BOUND VERDICT instead: the estimate is a
-  // real data element whose rank the GK guarantee puts within ±1% of the
-  // target, hence its value must sit inside a bracket of quantiles
-  // straddling the target rank — booleans the DuckDB oracle asserts as
-  // TRUE, making this a hash-checkable row rather than rows-only.
+  // catalog row emits the ERROR-BOUND VERDICT instead — booleans the
+  // DuckDB oracle asserts as TRUE, making this a hash-checkable row
+  // rather than rows-only.
   //
-  // The BRACKETS come from q76's deterministic ~10% SplitMix64 sample,
-  // not a second exact-percentile pass over the full group: the exact
-  // sort buffers were the cost that regressed the query 0.66 → 1.30 s at
-  // sf0.1 (a scale-tier audit whose audit column costs more than the
-  // thing it audits has the wrong shape). The sample rides the SAME
-  // aggregation as a conditional percentile (`when(sampled, v)` — Spark's
-  // percentile skips nulls), so there is still exactly one shuffle. The
-  // sample's own rank noise is absorbed with real headroom: the bracket
-  // widens to ±8% rank and the vacuous floor rises to n < 6000 (≥ ~600
-  // sampled rows). At the floor the sample quantile's rank SE is
-  // √(p(1−p)/600) ≈ 2%, so after the GK ±1% the margin is ≈ 3.4σ per
-  // boundary — and it only tightens as n grows (a ±4%/n<600 version
-  // would sit INSIDE one SE of the floor: deterministic-looking booleans
-  // that flip on the next corpus). Value-level rank error is additionally
-  // pinned by PercentileSpec against the full data.
+  // The audit is an EXACT RANK CHECK, not a sampled bracket (the round-7
+  // form): the 3-row estimate table broadcasts back onto the scan and a
+  // pure-codegen pass counts #{v < est} and #{v ≤ est} per group. The GK
+  // guarantee says the returned element occupies SOME rank position r
+  // with |r − p·n| ≤ ε·n, and with ties r can be any position in
+  // [lt+1, le] — so the verdict is interval overlap: lt ≤ (p+ε')·n AND
+  // le ≥ (p−ε')·n, evaluated as integer cross-multiplies (no doubles).
+  // ε' = 3% = 3× the nominal ε = 1/accuracy: digest MERGES can degrade
+  // the bound toward ε₁+ε₂ in the worst case, and the margin must not
+  // sit at the theoretical edge. Exactness buys three things over the
+  // sampled bracket: no sample noise (the old ±8% margin and its n<6000
+  // vacuous floor are gone — every group is audited), tie-safety (an
+  // integer-valued column can hold >ε of its mass on one value; the
+  // lt/le interval handles that, a value bracket does not), and COST —
+  // the sampled form kept two exact-percentile value buffers riding the
+  // aggregation, which is exactly the "audit costs more than the thing
+  // it audits" shape this tier exists to avoid. The audit leg here is a
+  // broadcast hash join + codegen conditional sums: at 100 TB it is one
+  // map-side pass, while the GK digests remain the only stateful
+  // operators. Value-level rank error is additionally pinned by
+  // PercentileSpec against the full data.
   private val q41: Q = (s, dir) => {
-    val key = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
-    val sampled = graft.functions.HashFunctions.mix64(key)
-      .bitwiseAND(lit(1023L)) < lit(102L)
-    Tables.lineitem(s, dir)
-      .withColumn("__sq", when(sampled, col("l_quantity")))
-      .withColumn("__sp", when(sampled, col("l_extendedprice")))
-      // ARRAY-form percentiles throughout: one digest/sort buffer per
-      // COLUMN, not per quantile.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val est = li
       .groupBy(col("l_returnflag"))
       .agg(
         AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("__amed"),
+        // ARRAY-form: one digest per COLUMN, not per quantile.
         approx_percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.75)), lit(100)).as("__ap"),
-        percentile(col("__sq"), array(lit(0.42), lit(0.58))).as("__mb"),
-        percentile(col("__sp"),
-          array(lit(0.17), lit(0.33), lit(0.67), lit(0.83))).as("__pb"),
-        count(lit(1)).as("n")
-      )
+          array(lit(0.25), lit(0.75)), lit(100)).as("__ap"))
+    // rank-interval verdict: lt·1000 ≤ (p‰+30)·n AND le·1000 ≥ (p‰−30)·n
+    def rankOk(pPerMil: Int, lt: String, le: String) =
+      (col(lt) * 1000L <= lit(pPerMil + 30L) * col("n")) &&
+        (col(le) * 1000L >= lit(pPerMil - 30L) * col("n"))
+    li.join(broadcast(est), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("l_quantity") < col("__amed"), 1)).as("__ltm"),
+        count(when(col("l_quantity") <= col("__amed"), 1)).as("__lem"),
+        count(when(col("l_extendedprice") < element_at(col("__ap"), 1), 1)).as("__lt25"),
+        count(when(col("l_extendedprice") <= element_at(col("__ap"), 1), 1)).as("__le25"),
+        count(when(col("l_extendedprice") < element_at(col("__ap"), 2), 1)).as("__lt75"),
+        count(when(col("l_extendedprice") <= element_at(col("__ap"), 2), 1)).as("__le75"))
       .select(
         col("l_returnflag"),
         col("n"),
-        // The GK estimate is a DATA ELEMENT while the bracket is an
-        // INTERPOLATED sample quantile — on small groups the nearest
-        // element legitimately sits outside it, and a group could even
-        // sample zero rows (null bracket). Below n=6000 the bound is
-        // vacuous and the verdict passes unconditionally — mirrored in
-        // the oracle, which asserts TRUE; coalesce keeps a null bracket
-        // vacuous rather than null-poisoning the boolean.
-        coalesce(col("n") < 6000 ||
-          (col("__amed") >= element_at(col("__mb"), 1) &&
-            col("__amed") <= element_at(col("__mb"), 2)), lit(true)).as("median_ok"),
-        coalesce(col("n") < 6000 ||
-          (element_at(col("__ap"), 1) >= element_at(col("__pb"), 1) &&
-            element_at(col("__ap"), 1) <= element_at(col("__pb"), 2)), lit(true)).as("p25_ok"),
-        coalesce(col("n") < 6000 ||
-          (element_at(col("__ap"), 2) >= element_at(col("__pb"), 3) &&
-            element_at(col("__ap"), 2) <= element_at(col("__pb"), 4)), lit(true)).as("p75_ok"))
+        rankOk(500, "__ltm", "__lem").as("median_ok"),
+        rankOk(250, "__lt25", "__le25").as("p25_ok"),
+        rankOk(750, "__lt75", "__le75").as("p75_ok"))
       .orderBy("l_returnflag")
   }
 

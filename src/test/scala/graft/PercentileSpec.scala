@@ -34,6 +34,34 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("q41 exact-rank audit: GK estimates pass the lt/le rank-interval check on every group") {
+    // The q41 catalog form (estimate → broadcast → exact rank counts)
+    // distilled: the GK element's true rank interval [lt+1, le] must
+    // overlap [p−ε', p+ε']·n with ε' = 3% = 3× nominal 1/accuracy.
+    // Exercised here on a TIE-HEAVY column (23 distinct values over 20k
+    // rows — the case a value-bracket audit cannot handle).
+    val df = (1 to 20000)
+      .map(i => (if (i % 2 == 0) "a" else "b", (i * i % 23).toDouble))
+      .toDF("g", "v")
+    val est = df.groupBy($"g")
+      .agg(AggFunctions.percentileApprox($"v", 0.5, 100).as("m"))
+    val audit = df.join(broadcast(est), Seq("g"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        count(when($"v" < $"m", 1)).as("lt"),
+        count(when($"v" <= $"m", 1)).as("le"))
+      .collect()
+    assert(audit.length == 2)
+    for (r <- audit) {
+      val (n, lt, le) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lt * 1000 <= 530 * n, s"group ${r.getString(0)}: lt=$lt n=$n")
+      assert(le * 1000 >= 470 * n, s"group ${r.getString(0)}: le=$le n=$n")
+      // and on tie-heavy data the interval really is wide — the check
+      // exercised the tie path, not a degenerate lt==le
+      assert(le > lt, "expected ties at the median value")
+    }
+  }
+
   test("q87 hash-sampled bin edges bracket the exact quartiles (scale-tier audit)") {
     // The catalog q87 feeds its CASE binning from the deterministic ~10%
     // hash sample (the exact global percentile is a single-buffer sort
