@@ -6268,6 +6268,17 @@ object Queries {
        |FROM rows0 GROUP BY provincia ORDER BY provincia""".stripMargin
   }
 
+  /** Session-stable fixture directory for the queries that must stage a
+    * FILE (GeoJSON sources, the backfill table): one deterministic
+    * directory per input sf dir, OVERWRITTEN on re-invocation — a gate +
+    * bench session calls each query builder many times, and per-pass
+    * `createTempDirectory` dirs would accumulate orphaned copies of the
+    * fixtures in java.io.tmpdir. Keyed by the sf dir so frames built for
+    * different scale factors in one JVM never read each other's files. */
+  private def fixtureDir(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      f"graft-fixtures-${math.abs(dir.hashCode)}%08x")
+
   // ---------------------------------------------------------------- q178
   // GeoJSON GRID source under the gate (§2.1 S4 + P3/G1-G3, reference
   // src/etl.py:11-54): a deterministic FeatureCollection of diamond
@@ -6286,7 +6297,7 @@ object Queries {
     val ids = Tables.nation(s, dir).select(col("n_nationkey").cast("long"))
       .collect().map(_.getLong(0)).toSeq
     val path = graft.sources.GeoJsonFixture.write(
-      java.nio.file.Files.createTempDirectory("graft-geojson"), "grid.geojson",
+      fixtureDir(dir), "grid.geojson",
       graft.sources.GeoJsonFixture.gridJson(ids))
     graft.sources.GeoJsonSource.readFeatures(s, path)
       .select(
@@ -6336,15 +6347,16 @@ object Queries {
   // original value bit-for-bit (a rewrite that perturbed surviving rows
   // would break the hash).
   private val q179: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-backfill")
-    val tableDir = tmp.resolve("t").toString
+    val tableDir = fixtureDir(dir).resolve("backfill_t").toString
     val mh = graft.functions.HashFunctions.mix64(col("c_custkey") * 8 + 9)
     Tables.customer(s, dir)
       .select(col("c_custkey").cast("long").as("id"),
         when(mh.bitwiseAND(lit(3L)) === 0L, lit(null).cast("double"))
           .otherwise((mh.bitwiseAND(lit(1023L)) - 100L).cast("double") / 10.0)
           .as("val"))
-      .write.parquet(tableDir)
+      // overwrite: re-invocations rebuild the pre-backfill state in place
+      // (see fixtureDir — bounded disk, not a per-pass temp dir)
+      .write.mode("overwrite").parquet(tableDir)
     graft.pipeline.MilanPipeline.backfillColumn(
       s, tableDir, "val", col("id").cast("double") / 4.0)
     s.read.parquet(tableDir).orderBy("id")
@@ -6370,7 +6382,7 @@ object Queries {
     val ids = Tables.nation(s, dir).select(col("n_nationkey").cast("long"))
       .collect().map(_.getLong(0)).toSeq
     val path = graft.sources.GeoJsonFixture.write(
-      java.nio.file.Files.createTempDirectory("graft-geojson"), "provinces.geojson",
+      fixtureDir(dir), "provinces.geojson",
       graft.sources.GeoJsonFixture.provincesJson(ids))
     graft.sources.GeoJsonSource.provinces(s, path)
       .groupBy(col("provincia"))

@@ -559,9 +559,20 @@ object Dedup {
     // in this exchange's partitions, and their per-row cost is string CPU
     // that AQE's byte-based coalescer systematically underestimates —
     // measured 3× wall on this stage when left advisory.
-    val para = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Pinned at HALF the session's shuffle parallelism (floor 16) —
+    // explicit, so AQE's byte-based coalescer can't shrink it (string CPU
+    // per row is what it underestimates; measured 3× wall when left
+    // advisory); CLUSTER-PROPORTIONAL, not a fixed cap (an absolute pin
+    // of 16 would idle every core past the 16th at the design scale);
+    // and 2× coarser than the session default because both pinned stages
+    // are CPU-dense and byte-light — at full width their per-task
+    // constant costs dominate the mean and the whole-job skew ratio
+    // degrades on fixture-scale inputs (measured 2.6 → 7.6 max/mean at
+    // 16 → 32 tasks with the hot stage itself balanced at 1.2).
+    val para = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions / 2, 16)
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .repartition(math.min(para, 16), col("__id"))
+      .repartition(para, col("__id"))
     val keys = base
       .select(col("__id"), col("__s"),
         explode(sequence(lit(0), length(col("__s")))).as("__i"))
@@ -610,13 +621,18 @@ object Dedup {
         when(col("__ia") === 0 && col("__ib") === 0, 0).otherwise(1).as("__d"))
       // Pin the pair-dedup exchange like the base spread: its input is the
       // full candidate stream (CPU-dense, byte-light — the same AQE
-      // coalescer blind spot). Group on the id pair alone: the strings are
-      // functionally dependent on their ids, so min() re-emits them without
-      // paying string hashing in the grouping key.
-      .repartition(math.min(para, 16), col("id_a"), col("id_b"))
+      // coalescer blind spot). Group on the id pair alone — the strings
+      // are functionally dependent on their ids FOR KEYED INPUT, so
+      // re-emitting them costs no string hashing in the grouping key. The
+      // single struct-min keeps (dist, str_a, str_b) from ONE source row:
+      // independent min()s could pair one duplicate-id row's string with
+      // another's distance label — a combination no candidate pair ever
+      // had — if a dirty feed violates id-uniqueness.
+      .repartition(para, col("id_a"), col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("str_a")).as("str_a"), min(col("str_b")).as("str_b"),
-        min(col("__d")).as("dist"))
+      .agg(min(struct(col("__d"), col("str_a"), col("str_b"))).as("__m"))
+      .select(col("id_a"), col("id_b"),
+        col("__m.str_a"), col("__m.str_b"), col("__m.__d").as("dist"))
   }
 
   /** Quality-aware survivor election: given a `components` table

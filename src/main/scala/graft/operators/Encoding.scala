@@ -80,12 +80,15 @@ object Encoding {
     val g = groupCols.map(col)
     // The guard rides the window's ORDER key, which the sort evaluates for
     // every row — it cannot be pruned away like a dangling check column.
+    // Message built with lit(), NOT interpolated into an expr() SQL string:
+    // a column name containing a quote is legal in Spark, and splicing it
+    // into SQL text would turn the guard into a ParseException.
     val orderKey =
       if (dropNulls) col(valueCol)
       else when(col(valueCol).isNull,
-        expr(s"raise_error('percentRankPpm: null $valueCol — engines " +
+        raise_error(lit(s"percentRankPpm: null $valueCol — engines " +
           "disagree on null rank placement; filter nulls first or pass " +
-          "dropNulls = true')").cast(df.schema(valueCol).dataType))
+          "dropNulls = true")).cast(df.schema(valueCol).dataType))
         .otherwise(col(valueCol))
     val w = Window.partitionBy(g: _*).orderBy(orderKey)
     val wg = Window.partitionBy(g: _*)

@@ -63,9 +63,14 @@ object IngestHarness {
         .repartition(1)
         .write.option("header", "true").mode("overwrite")
         .csv(stage.toString)
-      val part = Files.list(stage).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".csv"))
-        .getOrElse(sys.error(s"ingest fixture: no csv part written under $stage"))
+      // Files.list holds an open directory handle — close it (the
+      // StreamingHarness Files.walk convention), don't leak one per pass.
+      val listing = Files.list(stage)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".csv"))
+          .getOrElse(sys.error(s"ingest fixture: no csv part written under $stage"))
+        finally listing.close()
       Files.move(part, dataDir.resolve(f"$prefix%s-2013-11-0$d%d.csv"))
     }
   }
@@ -168,8 +173,11 @@ object IngestHarness {
   /** Fixture CSVs served their purpose after the loads; the warehouse
     * parquet must outlive the call (the returned frame reads it lazily)
     * and lives under java.io.tmpdir for the session. */
-  private def cleanupCsvs(dataDir: String): Unit =
-    Files.list(java.nio.file.Paths.get(dataDir)).iterator().asScala.toSeq.foreach { p =>
-      if (Files.isRegularFile(p)) Files.deleteIfExists(p)
-    }
+  private def cleanupCsvs(dataDir: String): Unit = {
+    val listing = Files.list(java.nio.file.Paths.get(dataDir))
+    val files =
+      try listing.iterator().asScala.toSeq
+      finally listing.close()
+    files.foreach(p => if (Files.isRegularFile(p)) Files.deleteIfExists(p))
+  }
 }

@@ -49,12 +49,22 @@ private[streaming] object StreamingHarness {
     val name = s"graft_stream_run_${runSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft-ckpt-$name").toString
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // start() itself can throw at analysis time (bad output mode, vanished
+    // source path) — that happens BEFORE the cleanup try below is entered,
+    // so the fresh checkpoint dir must be reclaimed here or it leaks.
+    val q =
+      try df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      catch {
+        case e: Throwable =>
+          try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt))
+          catch { case _: Exception => () }
+          throw e
+      }
     try {
       q.awaitTermination()
       // Resolve BEFORE dropping the name: Dataset construction analyzes
