@@ -6441,6 +6441,62 @@ object Queries {
        |FROM px GROUP BY doc_id, fi, src ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q182
+  // CROSS-VIDEO FRAME DEDUP — the operation the real GIF codec unlocks
+  // (Multimodal.frameSignatures): every doc becomes a real 6-frame video
+  // whose frame CONTENTS draw from a shared 64-entry pool
+  // (mix64(id·6+f) & 63 — duplicates across videos by construction), the
+  // GIF round-trips encode→demux→decode, and each DECODED raster emits
+  // its dedup signature. The rollup groups by the integer signature pair
+  // (pixel_sum, pixel_possum) — both SQL-replayable — and per group
+  // reports occurrences, distinct videos, the implied duplicate-pair
+  // count n_docs·(n_docs−1)/2, and `n_sha` = count(distinct sha256) of
+  // the decoded bytes, which MUST be 1: the oracle asserts byte-identity
+  // inside every signature bucket without hashing anything itself (a
+  // codec bug that decodes two contents to rasters with colliding sums
+  // would raise n_sha, and a signature collision would too). Dedup on
+  // DECODED pixels, not container bytes — the same frame in two files
+  // never hashes equal at the container level (LZW phase, neighbors).
+  private val q182: Q = (s, dir) => {
+    import s.implicits._
+    graft.multimodal.Multimodal.frameSignatures(
+        Tables.documents(s, dir).select(col("doc_id")).as[java.lang.Long],
+        nFrames = 6, w = 16, h = 8, contents = 64)
+      .toDF()
+      .groupBy(col("pixel_sum"), col("pixel_possum"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("sha256_hex")).as("n_sha"))
+      .select(col("pixel_sum"), col("pixel_possum"), col("n_frames"),
+        col("n_docs"),
+        // integer div: Column `/` is floating and would round a large
+        // pair count through a double
+        expr("(n_docs * (n_docs - 1)) div 2").as("n_dup_pairs"),
+        col("n_sha"))
+      .orderBy("pixel_sum", "pixel_possum")
+  }
+
+  private val q182Sql = {
+    val ch = DuckHash.mix64Inline("CAST(doc_id * 6 + f AS UBIGINT)")
+    val mh = DuckHash.mix64Inline("CAST(c * 128 + i AS UBIGINT)")
+    s"""WITH occ AS (SELECT doc_id, ($ch) & 63 AS c
+       |  FROM (SELECT doc_id, unnest(range(0, 6)) AS f FROM documents)),
+       |sig AS (SELECT c,
+       |    CAST(sum(($mh) & 255) AS BIGINT) AS pixel_sum,
+       |    CAST(sum((i + 1) * (($mh) & 255)) AS BIGINT) AS pixel_possum
+       |  FROM (SELECT DISTINCT c FROM occ), unnest(range(0, 128)) AS t(i)
+       |  GROUP BY c),
+       |agg AS (SELECT c, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
+       |  FROM occ GROUP BY c)
+       |SELECT pixel_sum, pixel_possum,
+       |  CAST(n_frames AS BIGINT) AS n_frames, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_dup_pairs,
+       |  CAST(1 AS BIGINT) AS n_sha
+       |FROM agg JOIN sig USING (c)
+       |ORDER BY pixel_sum, pixel_possum""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6622,7 +6678,8 @@ object Queries {
     "q178_geojson_grid" -> q178,
     "q179_backfill_update" -> q179,
     "q180_geojson_provinces" -> q180,
-    "q181_video_roundtrip" -> q181
+    "q181_video_roundtrip" -> q181,
+    "q182_frame_dedup" -> q182
   )
 
   val oracles: Map[String, String] = Map(
@@ -6804,6 +6861,7 @@ object Queries {
     "q178_geojson_grid" -> q178Sql,
     "q179_backfill_update" -> q179Sql,
     "q180_geojson_provinces" -> q180Sql,
-    "q181_video_roundtrip" -> q181Sql
+    "q181_video_roundtrip" -> q181Sql,
+    "q182_frame_dedup" -> q182Sql
   )
 }

@@ -715,6 +715,82 @@ object Multimodal {
     }
   }
 
+  /** One decoded frame's dedup signature: exact byte hash + two
+    * oracle-replayable integer signatures of the decoded pixels. */
+  final case class FrameSig(
+      doc_id: Long,
+      frame_idx: Long,
+      pixel_sum: Long,
+      pixel_possum: Long,
+      sha256_hex: String)
+
+  /** FRAME-level signatures for cross-video dedup — the operation the
+    * real codec unlocks: containers decode (`GifVideoCodec`), and each
+    * decoded frame emits the exact-dup key a downstream
+    * `groupBy`/`Dedup` tier consumes. Dedup keys are computed on the
+    * DECODED raster, never the container bytes: the same frame re-encoded
+    * in two files (different LZW phases, different neighbor frames) still
+    * collides, which is precisely what byte-level hashing of the payload
+    * misses. `sha256_hex` is the exact tier (byte-identical rasters);
+    * `pixel_sum`/`pixel_possum` are integer signatures a SQL oracle can
+    * replay — the catalog pairs them with a `count(distinct sha256) = 1`
+    * per-signature check, so the oracle proves byte-identity without
+    * hashing anything itself.
+    *
+    * Synthetic-corpus form (ids → `nFrames` frames of `w×h` gray pixels
+    * whose CONTENT is `mix64(id·nFrames + f) & (contents−1)` — a shared
+    * pool, so cross-video duplicates exist by construction): each id
+    * round-trips a real GIF, and signatures come from the decoded frames.
+    * Row-local partition transform, no shuffle; `contents` must be a
+    * power of two (mask arithmetic — cross-engine-safe residues). */
+  def frameSignatures(
+      ids: org.apache.spark.sql.Dataset[java.lang.Long],
+      nFrames: Int,
+      w: Int,
+      h: Int,
+      contents: Int): org.apache.spark.sql.Dataset[FrameSig] = {
+    import graft.functions.HashFunctions.mix64Long
+    import ids.sparkSession.implicits._
+    require(contents > 0 && (contents & (contents - 1)) == 0,
+      s"contents must be a power of two, got $contents")
+    val fpix = w * h
+    ids.mapPartitions { iter =>
+      val md = MessageDigest.getInstance("SHA-256")
+      iter.flatMap { boxed =>
+        val id = boxed.longValue()
+        val frames = (0 until nFrames).map { f =>
+          val c = mix64Long(id * nFrames + f) & (contents - 1).toLong
+          GifVideoCodec.grayFrame(w, h, Array.tabulate(fpix) { i =>
+            (mix64Long(c * fpix + i) & 255L).toByte
+          })
+        }
+        val back = GifVideoCodec.decodeFrames(GifVideoCodec.encodeGif(frames))
+          .getOrElse(throw new IllegalStateException(
+            s"frameSignatures: self-encoded GIF for id=$id failed to decode"))
+        back.zipWithIndex.map { case (img, f) =>
+          val pix = new Array[Byte](fpix)
+          var sum = 0L
+          var possum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = (img.getRGB(x, y) >> 16) & 255
+              pix(y * img.getWidth + x) = v.toByte
+              sum += v
+              possum += (y.toLong * img.getWidth + x + 1) * v
+              x += 1
+            }
+            y += 1
+          }
+          md.reset()
+          val hex = md.digest(pix).map("%02x".format(_)).mkString
+          FrameSig(id, f.toLong, sum, possum, hex)
+        }
+      }
+    }
+  }
+
   /** Wrap any table with a binary payload column into MediaRecords (schema
     * adapter used by tests and the q31 catalog query). */
   def fromBinaryColumn(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[MediaRecord] = {

@@ -235,6 +235,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameSignatures: decoded-raster dedup keys — shared contents collide, signatures are exact") {
+    import graft.functions.HashFunctions
+    // contents=2: with 4 docs × 6 frames over 2 contents, cross-video
+    // duplicates are guaranteed; every frame of the same content must
+    // produce the IDENTICAL (sum, possum, sha) triple from its decoded
+    // raster, and different contents must differ.
+    val out = Multimodal.frameSignatures(
+        (1L to 4L).map(java.lang.Long.valueOf).toDS(),
+        nFrames = 6, w = 16, h = 8, contents = 2)
+      .collect()
+    assert(out.length == 24)
+    val byContent = out.groupBy(r =>
+      HashFunctions.mix64Long(r.doc_id * 6 + r.frame_idx) & 1L)
+    assert(byContent.keySet == Set(0L, 1L))
+    for ((c, rows) <- byContent) {
+      // one signature triple per content — decoded bytes are identical
+      assert(rows.map(r => (r.pixel_sum, r.pixel_possum, r.sha256_hex)).toSet.size == 1,
+        s"content $c produced divergent signatures")
+      // and it equals the direct mix64 replay
+      val bytes = (0 until 128).map(i => HashFunctions.mix64Long(c * 128 + i) & 255L)
+      assert(rows.head.pixel_sum == bytes.sum)
+      assert(rows.head.pixel_possum ==
+        bytes.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum)
+    }
+    assert(byContent.values.map(_.head.sha256_hex).toSet.size == 2,
+      "distinct contents must hash differently")
+
+    // power-of-two guard
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSignatures(
+        Seq(1L).map(java.lang.Long.valueOf).toDS(), 2, 4, 2, contents = 3)
+    }
+  }
+
   test("frame sampling expands videos to per-frame rows, skips other kinds") {
     val df = Seq(
       (0L, "0123456789abcdef0123456789abcdef"), // 32 bytes → 4 full frames at 8 bytes
