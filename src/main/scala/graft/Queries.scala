@@ -6203,7 +6203,7 @@ object Queries {
   // last (previously MilanPipelineSpec-only).
   private val q176: Q = (s, dir) =>
     graft.pipeline.IngestHarness.ingestTwiceRollup(
-      s, Tables.customer(s, dir).select(col("c_custkey")))
+      s, Tables.customer(s, dir).select(col("c_custkey")), fixtureKey = dir)
 
   private val q176Sql = {
     def mh(j: Int) = DuckHash.mix64Inline(s"CAST(k * 8 + $j AS UBIGINT)")
@@ -6246,7 +6246,7 @@ object Queries {
   // second load was a ledger no-op.
   private val q177: Q = (s, dir) =>
     graft.pipeline.IngestHarness.mobilityIngestTwiceRollup(
-      s, Tables.customer(s, dir).select(col("c_custkey")))
+      s, Tables.customer(s, dir).select(col("c_custkey")), fixtureKey = dir)
 
   private val q177Sql = {
     def mh(j: Int) = DuckHash.mix64Inline(s"CAST(k * 8 + $j AS UBIGINT)")
@@ -6348,6 +6348,11 @@ object Queries {
   // would break the hash).
   private val q179: Q = (s, dir) => {
     val tableDir = fixtureDir(dir).resolve("backfill_t").toString
+    // The fixture dir survives the JVM, so a hard-killed earlier run can
+    // leave a mid-swap .backfill_old behind — recover it first (the same
+    // crash-safety API a real caller uses; backfillColumn refuses to run
+    // over an unfinished swap) instead of bricking every later pass.
+    graft.pipeline.MilanPipeline.recoverBackfill(s, tableDir)
     val mh = graft.functions.HashFunctions.mix64(col("c_custkey") * 8 + 9)
     Tables.customer(s, dir)
       .select(col("c_custkey").cast("long").as("id"),

@@ -636,6 +636,31 @@ object Multimodal {
     }
   }
 
+  /** Scan one decoded gray frame: (plain, position-weighted) pixel sums
+    * over the red channel (gray palette: R==G==B==index). When `pixOut`
+    * is non-null it also receives the raster bytes row-major (for exact
+    * hashing). Shared by [[videoRoundTrip]] and [[frameSignatures]]. */
+  private def scanGrayFrame(
+      img: java.awt.image.BufferedImage,
+      pixOut: Array[Byte]): (Long, Long) = {
+    var sum = 0L
+    var possum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val i = y * img.getWidth + x
+        val v = (img.getRGB(x, y) >> 16) & 255
+        if (pixOut != null) pixOut(i) = v.toByte
+        sum += v
+        possum += (i + 1L) * v
+        x += 1
+      }
+      y += 1
+    }
+    (sum, possum)
+  }
+
   /** One decoded video-frame round-trip record per (id, sampled frame).
     * `pixel_possum` is the POSITION-WEIGHTED sum Σ (i+1)·vᵢ (i = y·w + x):
     * unlike the plain sum it breaks if rows come back reordered — exactly
@@ -695,19 +720,7 @@ object Multimodal {
         (0 until take).map { i =>
           val src = (i.toLong * nFrames / take).toInt
           val img = back(src)
-          var sum = 0L
-          var possum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val v = (img.getRGB(x, y) >> 16) & 255 // gray palette: R==G==B==index
-              sum += v
-              possum += (y.toLong * img.getWidth + x + 1) * v
-              x += 1
-            }
-            y += 1
-          }
+          val (sum, possum) = scanGrayFrame(img, null)
           VideoRoundTrip(id, i.toLong, src.toLong, img.getWidth.toLong,
             img.getHeight.toLong, sum, possum)
         }
@@ -767,22 +780,15 @@ object Multimodal {
         val back = GifVideoCodec.decodeFrames(GifVideoCodec.encodeGif(frames))
           .getOrElse(throw new IllegalStateException(
             s"frameSignatures: self-encoded GIF for id=$id failed to decode"))
+        // Same loud count guard as videoRoundTrip: a dropped or duplicated
+        // frame would silently shift frame_idx off the mix64 content
+        // keying and surface only as an opaque oracle diff downstream.
+        if (back.length != nFrames)
+          throw new IllegalStateException(
+            s"frameSignatures: id=$id wrote $nFrames frames, decoded ${back.length}")
         back.zipWithIndex.map { case (img, f) =>
           val pix = new Array[Byte](fpix)
-          var sum = 0L
-          var possum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val v = (img.getRGB(x, y) >> 16) & 255
-              pix(y * img.getWidth + x) = v.toByte
-              sum += v
-              possum += (y.toLong * img.getWidth + x + 1) * v
-              x += 1
-            }
-            y += 1
-          }
+          val (sum, possum) = scanGrayFrame(img, pix)
           md.reset()
           val hex = md.digest(pix).map("%02x".format(_)).mkString
           FrameSig(id, f.toLong, sum, possum, hex)

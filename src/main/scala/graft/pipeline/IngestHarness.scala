@@ -82,11 +82,13 @@ object IngestHarness {
     * the loads; the warehouse parquet must outlive the call (the returned
     * frame reads it lazily) and lives under java.io.tmpdir for the session.
     */
-  def ingestTwiceRollup(spark: SparkSession, ids: DataFrame): DataFrame = {
-    val (pipe, dataDir) = stageFixture(spark, ids, synthRows, "sms-call-internet-mi")
+  def ingestTwiceRollup(
+      spark: SparkSession, ids: DataFrame, fixtureKey: String = ""): DataFrame = {
+    val (pipe, dataDir) =
+      stageFixture(spark, ids, synthRows, "sms-call-internet-mi", fixtureKey)
     val first = pipe.loadTraffic(dataDir)
     val second = pipe.loadTraffic(dataDir) // ledger no-op, must be 0
-    cleanupCsvs(dataDir)
+    deleteRecursively(java.nio.file.Paths.get(dataDir))
     pipe.hourlyTraffic
       .withColumn("n_files_first", lit(first.toLong))
       .withColumn("n_files_second", lit(second.toLong))
@@ -141,12 +143,14 @@ object IngestHarness {
     * src/etl.py:232-274). NOTE mobility metrics are filled-0 but NOT
     * clamped (the reference clamps traffic only) — negatives survive into
     * the sums, and the oracle checks they do. */
-  def mobilityIngestTwiceRollup(spark: SparkSession, ids: DataFrame): DataFrame = {
-    val (pipe, dataDir) = stageFixture(spark, ids, synthMobilityRows, "mi-to-provinces")
+  def mobilityIngestTwiceRollup(
+      spark: SparkSession, ids: DataFrame, fixtureKey: String = ""): DataFrame = {
+    val (pipe, dataDir) =
+      stageFixture(spark, ids, synthMobilityRows, "mi-to-provinces", fixtureKey)
     val dim = provincesDim(spark)
     val first = pipe.loadMobility(dataDir, dim)
     val second = pipe.loadMobility(dataDir, dim) // ledger no-op, must be 0
-    cleanupCsvs(dataDir)
+    deleteRecursively(java.nio.file.Paths.get(dataDir))
     pipe.mobilityFact
       .groupBy(col("provincia"))
       .agg(count(lit(1)).as("n_rows"),
@@ -161,8 +165,19 @@ object IngestHarness {
       spark: SparkSession,
       ids: DataFrame,
       synth: DataFrame => DataFrame,
-      prefix: String): (MilanPipeline, String) = {
-    val tmp = Files.createTempDirectory("graft-ingest")
+      prefix: String,
+      fixtureKey: String): (MilanPipeline, String) = {
+    // Session-stable root, WIPED on entry: the double-load ledger proof
+    // needs a fresh warehouse per invocation (first = 2, second = 0 — a
+    // reused ledger would read (0, 0)), and per-pass createTempDirectory
+    // dirs accumulate orphaned warehouses in tmpdir over a gate + bench
+    // session (the Queries.fixtureDir rationale). Keyed by (prefix,
+    // caller key) so the traffic/mobility twins and different sf dirs
+    // never wipe each other.
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      f"graft-ingest-$prefix%s-${math.abs(fixtureKey.hashCode)}%08x")
+    deleteRecursively(tmp)
+    Files.createDirectories(tmp)
     val dataDir = Files.createDirectories(tmp.resolve("data"))
     val keyed = ids.select(ids.columns.head).toDF("k")
       .select(col("k").cast("long").as("k"))
@@ -170,14 +185,17 @@ object IngestHarness {
     (new MilanPipeline(spark, tmp.resolve("wh").toString), dataDir.toString)
   }
 
-  /** Fixture CSVs served their purpose after the loads; the warehouse
-    * parquet must outlive the call (the returned frame reads it lazily)
-    * and lives under java.io.tmpdir for the session. */
-  private def cleanupCsvs(dataDir: String): Unit = {
-    val listing = Files.list(java.nio.file.Paths.get(dataDir))
-    val files =
-      try listing.iterator().asScala.toSeq
-      finally listing.close()
-    files.foreach(p => if (Files.isRegularFile(p)) Files.deleteIfExists(p))
+  /** Deepest-first recursive delete (no-op if absent; walk stream closed
+    * — it holds an open directory handle until closed). The data dir —
+    * CSVs AND the __stage_* dirs with their _SUCCESS/.crc droppings — is
+    * deleted after the loads; the warehouse parquet must outlive the call
+    * (the returned frame reads it lazily). */
+  private def deleteRecursively(root: Path): Unit = {
+    if (!Files.exists(root)) return
+    val walk = Files.walk(root)
+    val all =
+      try walk.iterator().asScala.toSeq
+      finally walk.close()
+    all.reverse.foreach(p => Files.deleteIfExists(p))
   }
 }

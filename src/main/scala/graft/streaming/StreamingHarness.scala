@@ -51,7 +51,11 @@ private[streaming] object StreamingHarness {
       .createTempDirectory(s"graft-ckpt-$name").toString
     // start() itself can throw at analysis time (bad output mode, vanished
     // source path) — that happens BEFORE the cleanup try below is entered,
-    // so the fresh checkpoint dir must be reclaimed here or it leaks.
+    // so the fresh checkpoint dir must be reclaimed here or it leaks. The
+    // recursive delete matters even here: StreamExecution's constructor
+    // can lay down the checkpoint subtree (metadata file) before the
+    // manager's own checks throw, and a flat deleteIfExists would no-op
+    // on the then-non-empty dir.
     val q =
       try df.writeStream
         .format("memory").queryName(name)
@@ -61,8 +65,7 @@ private[streaming] object StreamingHarness {
         .start()
       catch {
         case e: Throwable =>
-          try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt))
-          catch { case _: Exception => () }
+          deleteRecursively(ckpt)
           throw e
       }
     try {
@@ -78,13 +81,18 @@ private[streaming] object StreamingHarness {
       // (it holds open directory handles until closed).
       try spark.catalog.dropTempView(name)
       catch { case _: Exception => () }
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      } catch { case _: Exception => () }
+      deleteRecursively(ckpt)
     }
   }
+
+  /** Best-effort deepest-first recursive delete; walk stream closed (it
+    * holds open directory handles until closed). */
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Exception => () }
 }

@@ -54,10 +54,13 @@ class MetricsSpec extends SparkSpec {
       awaitTasks(m, "mtest-a", 1)
       awaitTasks(m, "mtest-b", 1)
 
-      val path = java.nio.file.Files.createTempDirectory("graft-metrics")
-        .resolve("datasheet.json")
+      // deleteOnExit keeps repeated test runs from accumulating tmp dirs
+      val dir = java.nio.file.Files.createTempDirectory("graft-metrics")
+      val path = dir.resolve("datasheet.json")
       m.write(path)
       val txt = java.nio.file.Files.readString(path)
+      java.nio.file.Files.deleteIfExists(path)
+      java.nio.file.Files.deleteIfExists(dir)
       assert(txt.contains("\"mtest-a\":") && txt.contains("\"mtest-b\":"), txt.take(500))
       // groups sorted, object well-formed enough for the driver's json.load
       assert(txt.indexOf("mtest-a") < txt.indexOf("mtest-b"))
