@@ -6502,6 +6502,102 @@ object Queries {
        |ORDER BY pixel_sum, pixel_possum""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q183
+  // CENSUS wide-CSV + melt under the gate (§2.1 S3 + §2.3 melt; reference
+  // notebook cells 9/15): a deterministic 135-column census-shaped CSV
+  // (CensusFixture — PROVINCIA + the gappy 134-measure code list verbatim,
+  // P63/P67-P127 absent exactly as in the 2011 extract) goes through the
+  // REAL distributed CSV scan with the explicit LongType schema (empty
+  // fields → null, the pandas int64-with-NaN branch) and the stack()-based
+  // wide→long melt. The FULL melted table (|nation|×134 rows, nulls
+  // included) sits under the hash, so a measure-list drift, a column
+  // misalignment in the scan, a dropped null, or a melt pairing bug all
+  // break it; the oracle rebuilds every cell from nation ids × the same
+  // code list (the q176 ingest move applied to the census leg). Previously
+  // S3 had only fixture-driven spec coverage (CensusSpec).
+  private val q183: Q = (s, dir) => {
+    val ids = Tables.nation(s, dir).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val path = graft.sources.GeoJsonFixture.write(
+      fixtureDir(dir), "census.csv",
+      graft.sources.CensusFixture.censusCsv(ids))
+    graft.sources.MilanCsvSource.meltCensus(
+        graft.sources.MilanCsvSource.census(s, path))
+      .orderBy("provincia", "variable")
+  }
+
+  private val q183Sql = {
+    val codes = graft.sources.MilanCsvSource.censusMeasures
+    val lst = codes.map(c => s"'$c'").mkString("[", ",", "]")
+    val mh = DuckHash.mix64Inline("CAST(k * 256 + j AS UBIGINT)")
+    s"""WITH ids AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+       |cell AS (SELECT k, j, ($mh) AS mh
+       |  FROM ids, range(0, ${codes.size}) t(j))
+       |SELECT printf('PR%03d', k) AS provincia,
+       |  ($lst)[CAST(j + 1 AS INT)] AS variable,
+       |  CASE WHEN mh & 15 = 15 THEN NULL
+       |       ELSE CAST((mh >> 16) & 4294967295 AS BIGINT) END AS value
+       |FROM cell ORDER BY provincia, variable""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q184
+  // WKT RENDER + bounds string under the gate (§2.10 G4 + §2.3 P4 + §2.11
+  // X4; reference src/etl.py:26,39-42 ST_AsText/str(bounds)): the grid
+  // fixture's UNPROJECTED 4326 diamonds — exact binary sixteenths, whose
+  // shortest-round-trip decimal rendering is identical in Java and DuckDB
+  // — through polygonWkt / polygonBounds→boundsString / envelopeWkt, full
+  // strings under the hash. This is the STRING-formatting tier the
+  // integer-mm rows (q171/q173/q178) deliberately avoid: a ring-order
+  // change, a separator drift (", " vs ","), a lost trailing ".0", or a
+  // double→string rendering divergence all break it. The oracle rebuilds
+  // each vertex from nation ids and renders the same three strings with
+  // DuckDB varchar casts.
+  private val q184: Q = (s, dir) => {
+    val ids = Tables.nation(s, dir).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val path = graft.sources.GeoJsonFixture.write(
+      fixtureDir(dir), "grid.geojson",
+      graft.sources.GeoJsonFixture.gridJson(ids))
+    graft.sources.GeoJsonSource.readFeatures(s, path)
+      .select(
+        col("feature_idx").cast("long").as("feature_idx"),
+        col("geometry.coordinates").as("coords"))
+      .withColumn("b", GeoFunctions.polygonBounds(col("coords")))
+      .select(
+        col("feature_idx"),
+        GeoFunctions.polygonWkt(col("coords")).as("wkt"),
+        GeoFunctions.boundsString(col("b")).as("bounds"),
+        GeoFunctions.envelopeWkt(col("b")).as("envelope_wkt"))
+      .orderBy("feature_idx")
+  }
+
+  private val q184Sql = {
+    val mh = DuckHash.mix64Inline("CAST(k AS UBIGINT)")
+    // "x y" with both doubles rendered shortest-round-trip (matches both
+    // Spark's concat_ws/format_string %s and Java's Double.toString).
+    def pt(x: String, y: String) =
+      s"CAST($x AS VARCHAR) || ' ' || CAST($y AS VARCHAR)"
+    val ringPts = Seq(
+      pt("cx - r", "cy"), pt("cx", "cy - r"), pt("cx + r", "cy"),
+      pt("cx", "cy + r"), pt("cx - r", "cy")).mkString(" || ', ' || ")
+    val envPts = Seq(
+      pt("cx - r", "cy - r"), pt("cx + r", "cy - r"), pt("cx + r", "cy + r"),
+      pt("cx - r", "cy + r"), pt("cx - r", "cy - r")).mkString(" || ', ' || ")
+    s"""WITH ids AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+       |ord AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS feature_idx
+       |  FROM ids),
+       |g AS (SELECT feature_idx,
+       |    8.0 + (k % 5) * 0.5 AS cx, 44.0 + ((k // 5) % 5) * 0.5 AS cy,
+       |    CAST(1 + (($mh) & 3) AS DOUBLE) / 16.0 AS r
+       |  FROM ord)
+       |SELECT CAST(feature_idx AS BIGINT) AS feature_idx,
+       |  'POLYGON((' || $ringPts || '))' AS wkt,
+       |  CAST(cx - r AS VARCHAR) || ',' || CAST(cy - r AS VARCHAR) || ',' ||
+       |    CAST(cx + r AS VARCHAR) || ',' || CAST(cy + r AS VARCHAR) AS bounds,
+       |  'POLYGON((' || $envPts || '))' AS envelope_wkt
+       |FROM g ORDER BY feature_idx""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6684,7 +6780,9 @@ object Queries {
     "q179_backfill_update" -> q179,
     "q180_geojson_provinces" -> q180,
     "q181_video_roundtrip" -> q181,
-    "q182_frame_dedup" -> q182
+    "q182_frame_dedup" -> q182,
+    "q183_census_melt" -> q183,
+    "q184_wkt_render" -> q184
   )
 
   val oracles: Map[String, String] = Map(
@@ -6867,6 +6965,8 @@ object Queries {
     "q179_backfill_update" -> q179Sql,
     "q180_geojson_provinces" -> q180Sql,
     "q181_video_roundtrip" -> q181Sql,
-    "q182_frame_dedup" -> q182Sql
+    "q182_frame_dedup" -> q182Sql,
+    "q183_census_melt" -> q183Sql,
+    "q184_wkt_render" -> q184Sql
   )
 }
