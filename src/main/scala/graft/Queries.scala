@@ -6598,6 +6598,66 @@ object Queries {
        |FROM g ORDER BY feature_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q185
+  // PQ ANN via asymmetric distance computation (Similarity.knnPq; Jégou
+  // et al. 2011) — the memory-side scale path the similarity stack was
+  // missing: IVF (q48) prunes CANDIDATES, PQ compresses VECTORS (4·dim
+  // bytes → m codes) so a 100 TB corpus's index fits executor memory.
+  // m=4 subspaces × 16 dims, k=8 codes each, one exact-decimal Lloyd
+  // round per subspace (the q48 quantizer applied per-subspace, dense
+  // code relabeling hole-proof by construction), queries 0-4 precompute
+  // m×k decimal LUTs, ADC = exact LUT-sum over codes, top-5. The oracle
+  // replays the ENTIRE pipeline — per-subspace train, corpus encode,
+  // query LUTs, ADC ranking — in SQL, so the codebooks themselves are
+  // value-checked, not just the final ranking.
+  private val q185: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.knnPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 5, m = 4, kCodes = 8, iters = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rnk"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val q185Sql =
+    s"""WITH su AS (SELECT vec_id, dim // 16 AS s, dim % 16 AS j, x FROM (
+       |    SELECT vec_id, unnest(embedding) AS x,
+       |      unnest(range(0, len(embedding))) AS dim FROM embeddings)),
+       |c0 AS (SELECT vec_id AS cluster, s, j, x FROM su WHERE vec_id < 8),
+       |p0 AS (SELECT e.vec_id, e.s, c.cluster, ${duckDsq("e.x", "c.x")} AS dist
+       |       FROM su e JOIN c0 c ON c.s = e.s AND c.j = e.j
+       |       GROUP BY e.vec_id, e.s, c.cluster),
+       |a0 AS (SELECT vec_id, s, cluster FROM (
+       |        SELECT vec_id, s, cluster,
+       |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
+       |        FROM p0) WHERE rn = 1),
+       |m1 AS (SELECT a0.s, a0.cluster, su.j,
+       |        CAST(sum(CAST(CAST(su.x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS cx
+       |       FROM su JOIN a0 ON a0.vec_id = su.vec_id AND a0.s = su.s
+       |       GROUP BY a0.s, a0.cluster, su.j),
+       |cl AS (SELECT s, cluster,
+       |        row_number() OVER (PARTITION BY s ORDER BY cluster) - 1 AS code
+       |       FROM (SELECT DISTINCT s, cluster FROM m1)),
+       |c1 AS (SELECT m1.s, cl.code, m1.j, m1.cx
+       |       FROM m1 JOIN cl ON cl.s = m1.s AND cl.cluster = m1.cluster),
+       |pe AS (SELECT e.vec_id, e.s, c.code, ${duckDsq("e.x", "c.cx")} AS dist
+       |       FROM su e JOIN c1 c ON c.s = e.s AND c.j = e.j
+       |       GROUP BY e.vec_id, e.s, c.code),
+       |a1 AS (SELECT vec_id, s, code FROM (
+       |        SELECT vec_id, s, code,
+       |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |        FROM pe) WHERE rn = 1),
+       |lut AS (SELECT vec_id AS query_id, s, code, dist FROM pe WHERE vec_id < 5),
+       |adc AS (SELECT l.query_id, a1.vec_id AS neighbor_id, sum(l.dist) AS adc
+       |        FROM a1 JOIN lut l ON l.s = a1.s AND l.code = a1.code
+       |        WHERE a1.vec_id <> l.query_id
+       |        GROUP BY l.query_id, a1.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rnk
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6782,7 +6842,8 @@ object Queries {
     "q181_video_roundtrip" -> q181,
     "q182_frame_dedup" -> q182,
     "q183_census_melt" -> q183,
-    "q184_wkt_render" -> q184
+    "q184_wkt_render" -> q184,
+    "q185_pq_ann" -> q185
   )
 
   val oracles: Map[String, String] = Map(
@@ -6967,6 +7028,7 @@ object Queries {
     "q181_video_roundtrip" -> q181Sql,
     "q182_frame_dedup" -> q182Sql,
     "q183_census_melt" -> q183Sql,
-    "q184_wkt_render" -> q184Sql
+    "q184_wkt_render" -> q184Sql,
+    "q185_pq_ann" -> q185Sql
   )
 }

@@ -51,6 +51,13 @@ object VectorFunctions {
     * coordinates are O(1), so the cast is lossless), squared products
     * summed exactly. The coarse-quantizer metric for IVF. */
   def l2SqExact(a: Column, b: Column): Column =
+    l2SqExactDec(a, b).cast("double")
+
+  /** [[l2SqExact]] WITHOUT the final double cast — DECIMAL(30,12) out, for
+    * callers that keep accumulating exactly across terms (the PQ ADC sum
+    * over per-subspace distances, where a double-fold's addition order
+    * would diverge cross-engine). */
+  def l2SqExactDec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = (x.cast("double").cast(Elem) - y.cast("double").cast(Elem)).cast(Elem)
@@ -58,7 +65,13 @@ object VectorFunctions {
       }),
       lit(0).cast(Acc),
       (acc, x) => (acc + x).cast(Acc)
-    ).cast("double")
+    )
+
+  /** Exact-decimal sum of an array of DECIMAL(30,12) terms (order-
+    * independent — the reduction any cross-engine-deterministic total over
+    * per-part exact distances needs). */
+  def sumExactDec(arr: Column): Column =
+    aggregate(arr, lit(0).cast(Acc), (acc, x) => (acc + x).cast(Acc))
 
   /** Bit-deterministic cosine similarity. */
   def cosineExact(a: Column, b: Column): Column =

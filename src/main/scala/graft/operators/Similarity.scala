@@ -262,6 +262,115 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // --- PQ (product-quantization) ANN --------------------------------------
+
+  /** Train PQ codebooks: the vector is split into `m` contiguous subspaces
+    * of `dim / m` dimensions, and each subspace gets its own `k`-centroid
+    * quantizer via the SAME deterministic Lloyd k-means as [[ivfTrain]]
+    * (seeds = the k smallest ids' sub-vectors, exact-decimal assignment and
+    * means, ties to the smaller label). Returns, per subspace, the codebook
+    * as sub-centroids indexed by dense CODE 0..k'-1 in ascending label
+    * order (k' < k only if a Lloyd round empties a cluster), so encode and
+    * LUT lookups index the same array even across holes.
+    *
+    * Scale shape: PQ training is sample-sized by practice (codebooks are
+    * m·k·(dim/m) doubles — train on a bounded deterministic sample, e.g.
+    * [[Sampling]]'s splitmix64 stratum, never the full corpus; the catalog
+    * fixture trains on the whole table because the table IS sample-sized).
+    * Encoding and search never shuffle the corpus (see [[knnPq]]).
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int = 1): Array[Array[Seq[Double]]] = {
+    require(m > 0 && dim % m == 0, s"pqTrain: dim=$dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val width = corpus.select(size(col(vecCol)).as("n")).limit(1).collect()
+    require(width.nonEmpty && width(0).getInt(0) == dim,
+      s"pqTrain: vector width ${width.headOption.map(_.getInt(0))} != declared dim $dim " +
+        "(a short slice would silently quantize a truncated vector)")
+    (0 until m).toArray.map { s =>
+      val sv = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      ivfTrain(sv, idCol, vecCol, k, iters).sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** Encode each vector as `m` dense codes — the 0-based index of the
+    * nearest sub-centroid per subspace (exact-decimal L2, ties to the
+    * smaller code). Map-only: codebooks arrive as literals, one projection,
+    * no shuffle — the 100 TB encode pass is embarrassingly parallel and
+    * shrinks each vector from 4·dim bytes to m codes. */
+  def pqEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      books: Array[Array[Seq[Double]]],
+      codesCol: String = "codes"): DataFrame = {
+    val sub = books(0)(0).size
+    val codeExprs = books.zipWithIndex.map { case (book, s) =>
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      val dcs = book.zipWithIndex.map { case (cv, c) =>
+        struct(
+          VectorFunctions.l2SqExactDec(sv, typedLit(cv)).as("d"),
+          lit(c).as("c"))
+      }
+      least(dcs.toSeq: _*).getField("c")
+    }
+    corpus.withColumn(codesCol, array(codeExprs.toSeq: _*))
+  }
+
+  /** PQ ANN search via asymmetric distance computation (ADC, Jégou et al.
+    * 2011): corpus vectors are quantized to `m` codes; each query
+    * precomputes an m×k LUT of exact-decimal squared distances from its
+    * sub-vectors to every sub-centroid, and a candidate's approximate
+    * distance is the LUT sum over its codes — m array lookups + m decimal
+    * adds per pair instead of dim multiplies, on codes instead of floats.
+    *
+    * Scale shape: queries + LUTs broadcast (the small side by
+    * construction); the corpus-side pass is encode (map-only) → per-pair
+    * LUT fold (map-only) → per-query top-k (the only shuffle, output-
+    * sized). Plain-PQ scores every code like [[knnExact]] scores every
+    * vector — the candidate-PRUNING tier is [[knnIvf]]'s coarse quantizer;
+    * compose them for the FAISS IVFPQ shape. The ADC total stays decimal
+    * until presentation, so ranking is bit-reproducible cross-engine.
+    */
+  def knnPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 4,
+      kCodes: Int = 8,
+      iters: Int = 1): DataFrame = {
+    val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, iters)
+    val sub = dim / m
+    val enc = pqEncode(corpus, vecCol, books)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val lutExpr = array(books.zipWithIndex.map { case (book, s) =>
+      val sv = slice(col(vecCol), s * sub + 1, sub)
+      array(book.map(cv => VectorFunctions.l2SqExactDec(sv, typedLit(cv))).toSeq: _*)
+    }.toSeq: _*)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), lutExpr.as("luts")))
+    val adc = VectorFunctions.sumExactDec(
+      zip_with(col("codes"), col("luts"),
+        (c, lutRow) => element_at(lutRow, c.cast("int") + 1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id").asc)
+    enc
+      .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join, map-only
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("double").as("adc_dist"))
+  }
+
   /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`
     * sign bits, score only within matching buckets, then per-query top-k.
     * Recall < 1; raise recall by probing multiple signature tables (seeds).

@@ -139,6 +139,75 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nProbe=2 recall too low: $recall")
   }
 
+  test("pqTrain/pqEncode recover planted per-subspace structure, codes dense and stable") {
+    // 2 subspaces × 2 dims; each subspace independently draws one of 3
+    // well-separated patterns — PQ must give the same code to rows sharing
+    // a subspace pattern even when their OTHER subspace differs (the
+    // product structure a single whole-vector quantizer can't factor).
+    val pat = Array(Array(10.0f, 0.0f), Array(0.0f, 10.0f), Array(-10.0f, -10.0f))
+    val rows = (0 until 36).map { i =>
+      val (pa, pb) = (i % 3, (i / 3) % 3)
+      (i.toLong, (pat(pa) ++ pat(pb)).map(v => v + 0.01f * (i % 7)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "vec_id", "embedding", dim = 4, m = 2, k = 3, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 3))
+    assert(books.forall(_.forall(_.size == 2)))
+    val enc = Similarity.pqEncode(df, "embedding", books)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // codes are m-long, in [0, k)
+    assert(enc.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 3)))
+    // rows with the same planted pattern pair get the same code pair
+    val byPattern = rows.groupBy { case (id, _) => ((id % 3).toInt, ((id / 3) % 3).toInt) }
+    byPattern.foreach { case (_, members) =>
+      val codes = members.map { case (id, _) => enc(id) }.toSet
+      assert(codes.size == 1, s"same planted pattern pair mapped to ${codes.size} code pairs")
+    }
+    // stable across partitioning
+    val enc2 = Similarity.pqEncode(df.repartition(7), "embedding", books)
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(enc == enc2)
+  }
+
+  test("knnPq ADC ranking has high recall vs exact squared-L2 top-k") {
+    val n = 120
+    val dim = 16
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).toFloat)
+    val corpus = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val k = 5
+    // exact squared-L2 ground truth, computed locally (test-side oracle)
+    val all = (0 until n).map(i => i.toLong -> vec(i)).toMap
+    val truth = (0 until 5).flatMap { q =>
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val d = v.zip(all(q.toLong)).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(k)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    val pq = Similarity.knnPq(corpus, queries, "vec_id", "embedding",
+        dim = dim, k = k, m = 4, kCodes = 8, iters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(pq).size.toDouble / truth.size
+    assert(recall >= 0.5, s"PQ ADC recall too low: $recall")
+  }
+
+  test("pqTrain rejects a declared dim that disagrees with the data") {
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(df, "vec_id", "embedding", dim = 4, m = 2, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(df, "vec_id", "embedding", dim = 2, m = 3, k = 2)
+    }
+  }
+
   test("centroids computes exact element means per group") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)),
