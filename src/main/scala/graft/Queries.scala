@@ -6658,6 +6658,60 @@ object Queries {
        |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  // URL canonicalization + dedup (UrlFunctions.canonicalizeUrl) — the
+  // web-corpus curation step before URL-level dedup: the same page
+  // arrives under case variants, default ports, tracking params, shuffled
+  // query order, trailing slashes, and fragments. Each doc_id synthesizes
+  // a RAW url hitting a deterministic branch combination (mixed-case
+  // scheme/host, :80/:443/:8080/none, root / trailing-slash / plain
+  // paths, utm_*+fbclid+unsorted query variants, #fragment), the codegen
+  // expression canonicalizes on the scan, and the rollup groups by the
+  // canonical string. The oracle derives each doc's EXPECTED canonical
+  // form arithmetically from the generator's semantics — an independent
+  // derivation, not a re-run of the same parse — so every normalization
+  // branch is value-checked, including group merges across raw variants.
+  private val q186: Q = (s, dir) => {
+    val k = col("doc_id").cast("long")
+    val mh = graft.functions.HashFunctions.mix64(k)
+    val scheme = when(k % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val host = format_string("WWW.Site%d.example.COM", mh.bitwiseAND(lit(15L)))
+    val port = when(k % 3 === 0, when(k % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      .when(k % 3 === 1, lit(":8080")).otherwise(lit(""))
+    val path = when(k % 4 === 0, lit(""))
+      .when(k % 4 === 1, format_string("/a/b%d/", k % 7))
+      .otherwise(format_string("/a/b%d", k % 7))
+    val query = when(k % 5 === 1, lit("?utm_source=x&b=2&a=1"))
+      .when(k % 5 === 2, lit("?b=2&a=1"))
+      .when(k % 5 === 3, lit("?a=1&utm_campaign=z"))
+      .when(k % 5 === 4, lit("?fbclid=abc"))
+      .otherwise(lit(""))
+    val frag = when(k % 2 === 1, lit("#frag")).otherwise(lit(""))
+    val raw = concat(scheme, lit("://"), host, port, path, query, frag)
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), raw.as("url"))
+      .select(col("doc_id"),
+        graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
+  private val q186Sql = {
+    val mh = DuckHash.mix64Inline("CAST(k AS UBIGINT)")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k FROM documents),
+       |c AS (SELECT k,
+       |  (CASE WHEN k % 2 = 0 THEN 'http' ELSE 'https' END)
+       |  || '://www.site' || CAST(($mh) & 15 AS VARCHAR) || '.example.com'
+       |  || (CASE WHEN k % 3 = 1 THEN ':8080' ELSE '' END)
+       |  || (CASE WHEN k % 4 = 0 THEN '/' ELSE '/a/b' || CAST(k % 7 AS VARCHAR) END)
+       |  || (CASE WHEN k % 5 IN (1, 2) THEN '?a=1&b=2'
+       |           WHEN k % 5 = 3 THEN '?a=1' ELSE '' END) AS cu
+       |  FROM d)
+       |SELECT cu AS canonical_url, count(*) AS n_urls, min(k) AS first_doc
+       |FROM c GROUP BY cu ORDER BY cu""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6843,7 +6897,8 @@ object Queries {
     "q182_frame_dedup" -> q182,
     "q183_census_melt" -> q183,
     "q184_wkt_render" -> q184,
-    "q185_pq_ann" -> q185
+    "q185_pq_ann" -> q185,
+    "q186_url_canonical" -> q186
   )
 
   val oracles: Map[String, String] = Map(
@@ -7029,6 +7084,7 @@ object Queries {
     "q182_frame_dedup" -> q182Sql,
     "q183_census_melt" -> q183Sql,
     "q184_wkt_render" -> q184Sql,
-    "q185_pq_ann" -> q185Sql
+    "q185_pq_ann" -> q185Sql,
+    "q186_url_canonical" -> q186Sql
   )
 }
