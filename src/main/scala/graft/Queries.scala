@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{AggFunctions, GeoFunctions, PiiFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{AsOfJoin, Audit, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Linkage, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, Spatial, SyntheticGeo, TfIdf}
+import graft.operators.{AsOfJoin, Audit, BpeTrainer, Centrality, Chunking, Cleaning, ConnectedComponents, Dedup, Diagnostics, Encoding, Funnel, Importance, Layout, Linkage, Merge, Packing, Retention, Rollup, Sampling, Similarity, Sketches, SkewJoin, Spatial, SyntheticGeo, TfIdf}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the LLM-data-pipeline surface (dedup / similarity / text analysis /
@@ -6712,6 +6712,175 @@ object Queries {
        |FROM c GROUP BY cu ORDER BY cu""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q187
+  // IVFPQ (Similarity.knnIvfPq) — the FAISS production-ANN composition:
+  // q48's coarse quantizer prunes candidates (probe 2 of 8 cells), q185's
+  // PQ compresses memory — but trained on RESIDUALS (vector − its cell
+  // centroid), the IVFPQ subtlety that makes the same 8 codes quantize
+  // far finer; LUTs are per (query, probed cell) because residuals are
+  // cell-relative. The oracle composes the SHARED coarse replay
+  // (duckIvfA1Ctes — the same fragment q48/q116 check) with a residual
+  // PQ replay: residual computation, per-subspace train, corpus encode,
+  // per-cell query LUTs, ADC ranking — the full production index
+  // value-checked end-to-end.
+  private val q187: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.knnIvfPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rnk"), col("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val q187Sql =
+    s"""WITH $duckIvfA1Ctes,
+       |rv AS (SELECT u.vec_id, u.dim, CAST(u.x AS DOUBLE) - m1.m AS rx
+       |       FROM u JOIN a1 USING (vec_id)
+       |              JOIN m1 ON m1.cluster = a1.cluster AND m1.dim = u.dim),
+       |zs AS (SELECT vec_id, dim // 16 AS s, dim % 16 AS j, rx FROM rv),
+       |zc0 AS (SELECT vec_id AS cl0, s, j, rx FROM zs WHERE vec_id < 8),
+       |zp0 AS (SELECT e.vec_id, e.s, c.cl0, ${duckDsq("e.rx", "c.rx")} AS dist
+       |        FROM zs e JOIN zc0 c ON c.s = e.s AND c.j = e.j
+       |        GROUP BY e.vec_id, e.s, c.cl0),
+       |za0 AS (SELECT vec_id, s, cl0 FROM (
+       |         SELECT vec_id, s, cl0,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl0) AS rn
+       |         FROM zp0) WHERE rn = 1),
+       |zm1 AS (SELECT za0.s, za0.cl0, zs.j,
+       |         CAST(sum(CAST(CAST(zs.rx AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS cx
+       |        FROM zs JOIN za0 ON za0.vec_id = zs.vec_id AND za0.s = zs.s
+       |        GROUP BY za0.s, za0.cl0, zs.j),
+       |zcl AS (SELECT s, cl0, row_number() OVER (PARTITION BY s ORDER BY cl0) - 1 AS code
+       |        FROM (SELECT DISTINCT s, cl0 FROM zm1)),
+       |zc1 AS (SELECT zm1.s, zcl.code, zm1.j, zm1.cx
+       |        FROM zm1 JOIN zcl ON zcl.s = zm1.s AND zcl.cl0 = zm1.cl0),
+       |zpe AS (SELECT e.vec_id, e.s, c.code, ${duckDsq("e.rx", "c.cx")} AS dist
+       |        FROM zs e JOIN zc1 c ON c.s = e.s AND c.j = e.j
+       |        GROUP BY e.vec_id, e.s, c.code),
+       |za1 AS (SELECT vec_id, s, code FROM (
+       |         SELECT vec_id, s, code,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |         FROM zpe) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |         FROM d1 WHERE vec_id < 5) WHERE rn <= 2),
+       |qrv AS (SELECT p.query_id, p.cluster, u.dim // 16 AS s, u.dim % 16 AS j,
+       |         CAST(u.x AS DOUBLE) - m1.m AS rx
+       |        FROM probes p JOIN u ON u.vec_id = p.query_id
+       |               JOIN m1 ON m1.cluster = p.cluster AND m1.dim = u.dim),
+       |lut AS (SELECT q.query_id, q.cluster, q.s, c.code, ${duckDsq("q.rx", "c.cx")} AS dist
+       |        FROM qrv q JOIN zc1 c ON c.s = q.s AND c.j = q.j
+       |        GROUP BY q.query_id, q.cluster, q.s, c.code),
+       |adc AS (SELECT l.query_id, za1.vec_id AS neighbor_id, sum(l.dist) AS adc
+       |        FROM a1 cand
+       |          JOIN lut l ON l.cluster = cand.cluster
+       |          JOIN za1 ON za1.vec_id = cand.vec_id AND za1.s = l.s AND za1.code = l.code
+       |        WHERE cand.vec_id <> l.query_id
+       |        GROUP BY l.query_id, za1.vec_id),
+       |r AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rnk
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  // BPE tokenizer TRAINING (BpeTrainer — Sennrich et al. 2016, word-level
+  // formulation): 6 merge rounds over the corpus's [a-z]+ word vocabulary.
+  // Each round = one pair-count shuffle + a 1-row argmax pull + a
+  // codegen'd fold re-encode; statistics are vocab-sized, so the corpus
+  // is read exactly once — the shape that trains a tokenizer on 100 TB.
+  // Output = the merge table: winning pair per rank, its frequency-
+  // weighted count, and the post-merge symbol mass (whose drop is the
+  // compression the merge bought — it also proves the APPLY step, since
+  // round t+1's counts depend on round t's re-encode). The oracle replays
+  // all 6 rounds in SQL, including the greedy non-overlapping
+  // left-to-right rule on self-overlapping runs ("aaa" under (a,a) →
+  // "aa a"), via run-length parity selection over match positions.
+  private val q188: Q = (s, dir) => {
+    import s.implicits._
+    val vocab = BpeTrainer.wordVocab(Tables.documents(s, dir), "text")
+    val (merges, _) = BpeTrainer.train(vocab, nMerges = 6, trackSymbolMass = true)
+    merges.map(m => (m.rank.toLong, m.lhs, m.rhs, m.pairFreq, m.nSymsAfter))
+      .toDF("merge_rank", "lhs", "rhs", "pair_freq", "n_syms_after")
+      .orderBy("merge_rank")
+  }
+
+  // Shared replay of BpeTrainer training rounds 0..n-1 over `documents`:
+  // WITH-body CTEs from the word vocab (st0) through st{n}, each round
+  // MATERIALIZED (the q129 iteration convention — without it the st-chain
+  // re-expands 2^n times). bb{t} holds round t's winning pair. ONE copy
+  // serves both BPE oracles (q188 train, q189 encode).
+  private def duckBpeCtes(n: Int): String = {
+    def iter(t: Int) =
+      s"""ex$t AS MATERIALIZED (SELECT word, freq, unnest(range(1, len(syms)+1)) AS i, syms FROM st$t),
+         |pp$t AS (SELECT word, freq, i, syms[i] AS l, syms[i+1] AS r FROM ex$t WHERE i < len(syms)),
+         |bb$t AS MATERIALIZED (SELECT l, r, sum(freq) AS cnt FROM pp$t GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+         |mm$t AS (SELECT p.word, p.i FROM pp$t p JOIN bb$t b ON p.l = b.l AND p.r = b.r),
+         |gg$t AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp FROM mm$t),
+         |ss$t AS (SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) - 1 AS off FROM gg$t)
+         |  WHERE off % 2 = 0),
+         |st${t + 1} AS MATERIALIZED (SELECT word, freq, list(sym ORDER BY i) AS syms FROM (
+         |    SELECT e.word, e.freq, e.i,
+         |      CASE WHEN se.i IS NOT NULL THEN e.syms[e.i] || e.syms[e.i+1] ELSE e.syms[e.i] END AS sym,
+         |      sk.i AS skip
+         |    FROM ex$t e
+         |    LEFT JOIN ss$t se ON se.word = e.word AND se.i = e.i
+         |    LEFT JOIN ss$t sk ON sk.word = e.word AND sk.i = e.i - 1)
+         |  WHERE skip IS NULL GROUP BY word, freq)"""
+    s"""w0 AS (SELECT unnest(
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS word
+       |  FROM documents),
+       |st0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, string_split(word, '') AS syms
+       |  FROM w0 WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       |${(0 until n).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val q188Sql = {
+    val rows = (0 until 6).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"CAST(cnt AS BIGINT) AS pair_freq, " +
+        s"(SELECT CAST(sum(len(syms) * freq) AS BIGINT) FROM st${t + 1}) AS n_syms_after FROM bb$t"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${duckBpeCtes(6)}
+       |SELECT * FROM ($rows) ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q189
+  // BPE ENCODE with a frozen merge table (BpeTrainer.encodeVocab) — the
+  // production side: train 6 merges (q188's rounds), then re-encode the
+  // vocabulary FROM FRESH CHAR SPLITS by applying the merges in rank
+  // order (map-only chained folds, no shuffle — the pass that tokenizes
+  // 100 TB). Output = the top-20 symbol frequency table of the encoded
+  // corpus (rank-cut, deterministic under ties). The oracle replays
+  // training to st6 and reads the symbol mass there, so any divergence
+  // between encode-by-merge-table and the training trajectory — rank
+  // order, greedy overlap rule, a stale fold — breaks the hash. The
+  // global top-20 window runs over the symbol-vocabulary-sized rollup
+  // (bounded), not the corpus.
+  private val q189: Q = (s, dir) => {
+    val vocab = BpeTrainer.wordVocab(Tables.documents(s, dir), "text")
+    val (merges, _) = BpeTrainer.train(vocab, nMerges = 6)
+    BpeTrainer.encodeVocab(vocab, merges)
+      .select(col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("symbol"))).cast("long"))
+      .filter(col("rnk") <= 20)
+      .orderBy("rnk")
+  }
+
+  private val q189Sql =
+    s"""WITH ${duckBpeCtes(6)},
+       |sy AS (SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |  FROM (SELECT freq, unnest(syms) AS sym FROM st6) GROUP BY sym),
+       |rk AS (SELECT symbol, n_occurrences,
+       |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) AS BIGINT) AS rnk FROM sy)
+       |SELECT symbol, n_occurrences, rnk FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -6898,7 +7067,10 @@ object Queries {
     "q183_census_melt" -> q183,
     "q184_wkt_render" -> q184,
     "q185_pq_ann" -> q185,
-    "q186_url_canonical" -> q186
+    "q186_url_canonical" -> q186,
+    "q187_ivfpq_ann" -> q187,
+    "q188_bpe_train" -> q188,
+    "q189_bpe_encode" -> q189
   )
 
   val oracles: Map[String, String] = Map(
@@ -7085,6 +7257,9 @@ object Queries {
     "q183_census_melt" -> q183Sql,
     "q184_wkt_render" -> q184Sql,
     "q185_pq_ann" -> q185Sql,
-    "q186_url_canonical" -> q186Sql
+    "q186_url_canonical" -> q186Sql,
+    "q187_ivfpq_ann" -> q187Sql,
+    "q188_bpe_train" -> q188Sql,
+    "q189_bpe_encode" -> q189Sql
   )
 }

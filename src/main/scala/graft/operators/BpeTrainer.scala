@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed byte-pair-encoding TRAINER (Sennrich et al. 2016, in the
+  * word-level formulation tokenizer libraries use): merge statistics are
+  * computed over the distinct-WORD vocabulary weighted by corpus
+  * frequency, so per-round cost is ∝ |vocab| × avg word length, never
+  * corpus tokens — the property that makes BPE trainable over a 100 TB
+  * corpus (the corpus is touched exactly once, by [[wordVocab]]'s single
+  * groupBy; even a trillion-token web crawl's [a-z]+ vocab is ~10^8 rows).
+  *
+  * Determinism: each round's winning pair is (max frequency-weighted
+  * count, ties to the lexicographically smallest (lhs, rhs)); merge
+  * application is the standard greedy non-overlapping left-to-right pass,
+  * expressed as a codegen'd `aggregate()` fold — no UDF, so re-encoding
+  * stays inside whole-stage codegen. Same corpus → same merge table on
+  * any partitioning or engine (the DuckDB oracle replays training round
+  * by round, including the greedy overlap rule on runs like "aaa").
+  *
+  * Scale shape per round: ONE shuffle (the pair-count groupBy), one 1-row
+  * driver pull (the argmax — bytes; the justified collect), one map-only
+  * re-encode. State is `localCheckpoint`'d each round (the iterative-
+  * lineage convention, see [[ConnectedComponents]]) so fold expressions
+  * don't stack across rounds.
+  */
+object BpeTrainer {
+
+  /** One training round's outcome. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairFreq: Long, nSymsAfter: Long)
+
+  /** The word vocabulary BPE trains on: lowercase `[a-z]+` whitespace
+    * tokens with corpus frequencies — one corpus pass, one shuffle. The
+    * charset restriction keeps merge semantics engine-portable (no
+    * grapheme-segmentation ambiguity); widen deliberately, not by
+    * default. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Split a word into single-character symbols. */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Adjacent (lhs, rhs) symbol pairs of a word. */
+  private def adjacentPairs(syms: Column): Column =
+    filter(
+      zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (l, r) => struct(l.as("l"), r.as("r"))),
+      p => p.getField("r").isNotNull)
+
+  /** Apply merge (a, b) → ab to a symbol array: greedy non-overlapping
+    * left-to-right, as a single sequential fold — accumulator carries the
+    * rebuilt prefix plus one pending symbol, so "a a a" under (a, a)
+    * becomes "aa a", never "a aa". */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val zero = struct(
+      typedLit(Seq.empty[String]).as("out"),
+      lit(null).cast("string").as("carry"))
+    aggregate(
+      syms,
+      zero,
+      (acc, x) => {
+        val out = acc.getField("out")
+        val carry = acc.getField("carry")
+        when(carry === lit(a) && x === lit(b),
+          struct(
+            concat(out, array(lit(a + b))).as("out"),
+            lit(null).cast("string").as("carry")))
+          .otherwise(struct(
+            when(carry.isNotNull, concat(out, array(carry))).otherwise(out).as("out"),
+            x.as("carry")))
+      },
+      acc =>
+        when(acc.getField("carry").isNotNull,
+          concat(acc.getField("out"), array(acc.getField("carry"))))
+          .otherwise(acc.getField("out")))
+  }
+
+  /** ENCODE with a frozen merge table — the production side of BPE (train
+    * once on a sample epoch, encode every corpus snapshot after): char-
+    * split each word and apply the merges in rank order, each one the same
+    * greedy left-to-right fold as training. Map-only (merges arrive as
+    * literals, one chained projection, no shuffle) — encoding 100 TB is
+    * embarrassingly parallel. The chained-fold form suits bounded merge
+    * tables (catalog-scale); a 32k-merge production table would apply via
+    * a loop + periodic localCheckpoint instead, same semantics. */
+  def encodeVocab(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val init = vocab.select(
+      col("word"), col("freq").cast("long").as("freq"),
+      charSyms(col("word")).as("syms"))
+    merges.sortBy(_.rank).foldLeft(init) { (df, m) =>
+      df.withColumn("syms", applyMerge(col("syms"), m.lhs, m.rhs))
+    }
+  }
+
+  /** Train `nMerges` rounds over a (word, freq) vocabulary. Returns the
+    * merge table (ranked, with each round's winning pair frequency and —
+    * when `trackSymbolMass` — the post-merge frequency-weighted symbol
+    * count, the quantity whose drop IS the compression the merge bought)
+    * and the final encoded vocabulary (word, freq, syms). Stops early if
+    * every word is a single symbol. */
+  def train(
+      vocab: DataFrame,
+      nMerges: Int,
+      trackSymbolMass: Boolean = false): (Seq[Merge], DataFrame) = {
+    var state = vocab
+      .select(col("word"), col("freq").cast("long").as("freq"),
+        charSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val best = state
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        state = state
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        val mass =
+          if (trackSymbolMass)
+            state.agg(sum(size(col("syms")).cast("long") * col("freq"))).collect()(0).getLong(0)
+          else -1L
+        merges += Merge(rank, a, b, cnt, mass)
+        rank += 1
+      }
+    }
+    (merges.result(), state)
+  }
+}

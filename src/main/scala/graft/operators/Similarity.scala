@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -364,6 +364,78 @@ object Similarity {
       .orderBy(col("adc"), col("neighbor_id").asc)
     enc
       .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join, map-only
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("double").as("adc_dist"))
+  }
+
+  /** IVFPQ — the FAISS production-ANN composition (Jégou et al. 2011):
+    * the IVF coarse quantizer prunes CANDIDATES (probe `nProbe` nearest
+    * cells per query), PQ codes built on RESIDUALS (vector − its cell's
+    * centroid — residuals cluster far tighter than raw vectors, so the
+    * same k codes quantize much finer) compress MEMORY, and ADC scores
+    * only probed candidates.
+    *
+    * Scale shape: one coarse assignment pass (map-only, centroids
+    * broadcast), one residual-encode pass (map-only), search = broadcast
+    * probe join on `cluster` + LUT fold + per-query top-k — the corpus
+    * never shuffles, scored pairs drop ~(kClusters/nProbe)×, and the
+    * index holds m codes/vector. LUTs are per (query, probed cell)
+    * because residuals are cell-relative — nProbe·m·k decimal entries per
+    * query, still broadcast-sized. Everything stays exact-decimal until
+    * presentation (bit-reproducible ranking cross-engine).
+    */
+  def knnIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      kClusters: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 4,
+      kCodes: Int = 8,
+      iters: Int = 1): DataFrame = {
+    val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
+    val centMap = typedLit(cents.map { case (l, cv) => l -> cv }.toMap)
+    def residual(v: Column, cluster: Column): Column =
+      zip_with(v, element_at(centMap, cluster),
+        (x, c) => x.cast("double") - c)
+    val assigned = ivfAssign(corpus, vecCol, cents)
+      .withColumn("__resid", residual(col(vecCol), col("cluster")))
+    val books = pqTrain(assigned, idCol, "__resid", dim, m, kCodes, iters)
+    val enc = pqEncode(assigned, "__resid", books)
+      .select(col(idCol).as("neighbor_id"), col("cluster"), col("codes"))
+    val sub = dim / m
+    // Per-query probe list (the knnIvf move) + per-(query, cell) LUTs over
+    // the query's residual AGAINST THAT CELL (the IVFPQ subtlety).
+    val dcArr = array(cents.map { case (label, cv) =>
+      struct(
+        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
+        lit(label).as("c"))
+    }.toSeq: _*)
+    def lutFor(rv: Column): Column = array(books.zipWithIndex.map { case (book, s) =>
+      val sv = slice(rv, s * sub + 1, sub)
+      array(book.map(cv => VectorFunctions.l2SqExactDec(sv, typedLit(cv))).toSeq: _*)
+    }.toSeq: _*)
+    val probes = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          slice(array_sort(dcArr), 1, nProbe).as("pr"))
+        .select(col("query_id"), col("qv"), explode(col("pr")).as("p"))
+        .select(col("query_id"), col("p.c").as("cluster"),
+          lutFor(residual(col("qv"), col("p.c"))).as("luts")))
+    val adc = VectorFunctions.sumExactDec(
+      zip_with(col("codes"), col("luts"),
+        (c, lutRow) => element_at(lutRow, c.cast("int") + 1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id").asc)
+    enc
+      .join(probes, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -198,6 +198,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ ADC recall too low: $recall")
   }
 
+  test("knnIvfPq: full probing recovers good recall, partial probing stays useful, deterministic") {
+    val n = 120
+    val dim = 16
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(i * 31 + d * 7).toFloat)
+    val corpus = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val k = 5
+    val all = (0 until n).map(i => i.toLong -> vec(i)).toMap
+    val truth = (0 until 5).flatMap { q =>
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(all(q.toLong)).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(k)
+        .map { case (id, _) => (q.toLong, id) }
+    }.toSet
+    def run(nProbe: Int) = Similarity.knnIvfPq(corpus, queries, "vec_id", "embedding",
+        dim = dim, k = k, kClusters = 4, nProbe = nProbe, m = 4, kCodes = 8, iters = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = run(nProbe = 4)
+    val fullRecall = truth.intersect(full).size.toDouble / truth.size
+    assert(fullRecall >= 0.5, s"IVFPQ full-probe recall too low: $fullRecall")
+    val partial = run(nProbe = 2)
+    val partialRecall = truth.intersect(partial).size.toDouble / truth.size
+    assert(partialRecall >= 0.3, s"IVFPQ nProbe=2 recall too low: $partialRecall")
+    assert(run(nProbe = 2) == partial, "IVFPQ search must be deterministic")
+  }
+
   test("pqTrain rejects a declared dim that disagrees with the data") {
     val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
