@@ -126,6 +126,25 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q185 PQ ANN: corpus never shuffles below the top-k — broadcast LUT join only") {
+    val p = plan(SparkEntry.queries("q185_pq_ann")(spark, sf))
+    // the query-LUT side broadcasts (tiny by construction); the corpus
+    // side is encode (map-only) + the ADC fold — the only shuffle is the
+    // per-query top-k window
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q187 IVFPQ: probe join is a broadcast HASH join on cluster, no nested loop") {
+    val p = plan(SparkEntry.queries("q187_ivfpq_ann")(spark, sf))
+    // candidate pruning rides the cluster equi-join — a nested loop here
+    // would mean the coarse tier stopped pruning
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q64 span dedup stays linear: no pair join anywhere in the plan") {
     val p = plan(SparkEntry.queries("q64_span_dedup")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(3000))
