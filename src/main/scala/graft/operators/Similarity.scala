@@ -404,8 +404,15 @@ object Similarity {
     def residual(v: Column, cluster: Column): Column =
       zip_with(v, element_at(centMap, cluster),
         (x, c) => x.cast("double") - c)
+    // Materialize the assignment+residual ONCE: pqTrain drives m·(iters+1)
+    // actions over it and pqEncode one more — lazily each would re-run the
+    // kClusters×dim exact-decimal distance argmin per action (measured 14 s
+    // vs 3 s at sf0.1). At production scale this frame is the TRAINING
+    // sample (see pqTrain's scaladoc), so the checkpoint stays bounded;
+    // the full-corpus encode pass reads it once.
     val assigned = ivfAssign(corpus, vecCol, cents)
       .withColumn("__resid", residual(col(vecCol), col("cluster")))
+      .localCheckpoint()
     val books = pqTrain(assigned, idCol, "__resid", dim, m, kCodes, iters)
     val enc = pqEncode(assigned, "__resid", books)
       .select(col(idCol).as("neighbor_id"), col("cluster"), col("codes"))
