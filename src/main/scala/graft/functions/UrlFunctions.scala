@@ -47,7 +47,10 @@ object UrlFunctions {
       when(port === "" || defaultPort, lit("")).otherwise(concat(lit(":"), port))
     val noSlash = regexp_replace(regexp_extract(u, PathRe, 1), "/+$", "")
     val path = when(noSlash === "", lit("/")).otherwise(noSlash)
-    val rawQuery = regexp_extract(u, "\\?([^#]*)", 1)
+    // Anchored + lazy so only the FIRST '?' BEFORE any '#' starts the
+    // query — an unanchored \? would resurrect a '?' inside the fragment
+    // of a query-less URL ("/p#sec?x=1") as a phantom query.
+    val rawQuery = regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(
       split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe))

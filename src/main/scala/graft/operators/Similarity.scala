@@ -238,18 +238,9 @@ object Similarity {
     val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
     val assigned = ivfAssign(corpus, vecCol, cents)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cluster"))
-    // Per-query probe list: sort the k (dist, label) structs, keep nProbe.
-    val dcArr = array(cents.map { case (label, cv) =>
-      struct(
-        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
-        lit(label).as("c"))
-    }.toSeq: _*)
     val probes = broadcast(
-      queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          slice(array_sort(dcArr), 1, nProbe).as("pr"))
-        .select(col("query_id"), col("qv"), explode(col("pr")).as("p"))
-        .select(col("query_id"), col("qv"), col("p.c").as("cluster")))
+      probeExploded(queries, idCol, vecCol, cents, nProbe)
+        .select(col("query_id"), col("qv"), col("cluster")))
     val cos =
       if (exact) VectorFunctions.cosineExact(col("qv"), col("cv"))
       else graft.plans.GraftFunctions.cosineFast(col("qv"), col("cv"))
@@ -262,7 +253,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-query coarse-probe expansion shared by the IVF-family searches:
+    * one row per (query, probed cell) — the query's `nProbe` nearest
+    * centroids by exact-decimal L2, ties to the smaller label (sorting the
+    * (dist, label) structs). Returns (query_id, qv, cluster), NOT yet
+    * broadcast — callers project what they need first. */
+  private def probeExploded(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Seq[Double])],
+      nProbe: Int): DataFrame = {
+    val dcArr = array(cents.map { case (label, cv) =>
+      struct(
+        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
+        lit(label).as("c"))
+    }.toSeq: _*)
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(array_sort(dcArr), 1, nProbe).as("pr"))
+      .select(col("query_id"), col("qv"), explode(col("pr")).as("p"))
+      .select(col("query_id"), col("qv"), col("p.c").as("cluster"))
+  }
+
   // --- PQ (product-quantization) ANN --------------------------------------
+
+  /** The m×k ADC lookup table for one vector: luts[s][c] = exact-decimal
+    * squared L2 from the vector's subspace-s slice to codebook entry c.
+    * Shared by [[knnPq]] (raw vectors) and [[knnIvfPq]] (cell residuals) —
+    * the element_at(+1) indexing convention in [[adcRank]] is its dual. */
+  private def pqLut(books: Array[Array[Seq[Double]]], sub: Int)(vec: Column): Column =
+    array(books.zipWithIndex.map { case (book, s) =>
+      val sv = slice(vec, s * sub + 1, sub)
+      array(book.map(cv => VectorFunctions.l2SqExactDec(sv, typedLit(cv))).toSeq: _*)
+    }.toSeq: _*)
+
+  /** ADC scoring + per-query top-k over joined (codes, luts) pairs: the
+    * candidate's distance is the exact-decimal LUT sum over its codes
+    * (order-independent, bit-reproducible), ranked (adc asc, neighbor
+    * asc), decimal→double only at presentation. Both PQ searches end
+    * here — a tie-break or indexing change lands in one place. */
+  private def adcRank(pairs: DataFrame, k: Int): DataFrame = {
+    val adc = VectorFunctions.sumExactDec(
+      zip_with(col("codes"), col("luts"),
+        (c, lutRow) => element_at(lutRow, c.cast("int") + 1)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id").asc)
+    pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc").cast("double").as("adc_dist"))
+  }
 
   /** Train PQ codebooks: the vector is split into `m` contiguous subspaces
     * of `dim / m` dimensions, and each subspace gets its own `k`-centroid
@@ -289,9 +333,16 @@ object Similarity {
       iters: Int = 1): Array[Array[Seq[Double]]] = {
     require(m > 0 && dim % m == 0, s"pqTrain: dim=$dim not divisible into m=$m subspaces")
     val sub = dim / m
-    val width = corpus.select(size(col(vecCol)).as("n")).limit(1).collect()
-    require(width.nonEmpty && width(0).getInt(0) == dim,
-      s"pqTrain: vector width ${width.headOption.map(_.getInt(0))} != declared dim $dim " +
+    // EVERY row's width, not a sample: one ragged vector would slice short,
+    // null-pad the zip_with against the centroid literal, and take an
+    // arbitrary code — silently, which is exactly what this guard exists
+    // to prevent. One min/max aggregate over the training input (which is
+    // sample-sized at scale — see the scaladoc).
+    val w = corpus.agg(
+      min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi")).collect()(0)
+    require(!w.isNullAt(0) && w.getInt(0) == dim && w.getInt(1) == dim,
+      s"pqTrain: vector widths [${if (w.isNullAt(0)) "∅" else w.getInt(0)}, " +
+        s"${if (w.isNullAt(1)) "∅" else w.getInt(1)}] != declared dim $dim " +
         "(a short slice would silently quantize a truncated vector)")
     (0 until m).toArray.map { s =>
       val sv = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
@@ -348,27 +399,13 @@ object Similarity {
       kCodes: Int = 8,
       iters: Int = 1): DataFrame = {
     val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, iters)
-    val sub = dim / m
     val enc = pqEncode(corpus, vecCol, books)
       .select(col(idCol).as("neighbor_id"), col("codes"))
-    val lutExpr = array(books.zipWithIndex.map { case (book, s) =>
-      val sv = slice(col(vecCol), s * sub + 1, sub)
-      array(book.map(cv => VectorFunctions.l2SqExactDec(sv, typedLit(cv))).toSeq: _*)
-    }.toSeq: _*)
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), lutExpr.as("luts")))
-    val adc = VectorFunctions.sumExactDec(
-      zip_with(col("codes"), col("luts"),
-        (c, lutRow) => element_at(lutRow, c.cast("int") + 1)))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc"), col("neighbor_id").asc)
-    enc
-      .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join, map-only
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("adc").cast("double").as("adc_dist"))
+      queries.select(col(idCol).as("query_id"),
+        pqLut(books, dim / m)(col(vecCol)).as("luts")))
+    // broadcast NL join, map-only
+    adcRank(enc.join(q, col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** IVFPQ — the FAISS production-ANN composition (Jégou et al. 2011):
@@ -416,38 +453,13 @@ object Similarity {
     val books = pqTrain(assigned, idCol, "__resid", dim, m, kCodes, iters)
     val enc = pqEncode(assigned, "__resid", books)
       .select(col(idCol).as("neighbor_id"), col("cluster"), col("codes"))
-    val sub = dim / m
     // Per-query probe list (the knnIvf move) + per-(query, cell) LUTs over
     // the query's residual AGAINST THAT CELL (the IVFPQ subtlety).
-    val dcArr = array(cents.map { case (label, cv) =>
-      struct(
-        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
-        lit(label).as("c"))
-    }.toSeq: _*)
-    def lutFor(rv: Column): Column = array(books.zipWithIndex.map { case (book, s) =>
-      val sv = slice(rv, s * sub + 1, sub)
-      array(book.map(cv => VectorFunctions.l2SqExactDec(sv, typedLit(cv))).toSeq: _*)
-    }.toSeq: _*)
     val probes = broadcast(
-      queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          slice(array_sort(dcArr), 1, nProbe).as("pr"))
-        .select(col("query_id"), col("qv"), explode(col("pr")).as("p"))
-        .select(col("query_id"), col("p.c").as("cluster"),
-          lutFor(residual(col("qv"), col("p.c"))).as("luts")))
-    val adc = VectorFunctions.sumExactDec(
-      zip_with(col("codes"), col("luts"),
-        (c, lutRow) => element_at(lutRow, c.cast("int") + 1)))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc"), col("neighbor_id").asc)
-    enc
-      .join(probes, Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("adc").cast("double").as("adc_dist"))
+      probeExploded(queries, idCol, vecCol, cents, nProbe)
+        .select(col("query_id"), col("cluster"),
+          pqLut(books, dim / m)(residual(col("qv"), col("cluster"))).as("luts")))
+    adcRank(enc.join(probes, Seq("cluster")), k)
   }
 
   /** Random-hyperplane LSH ANN: bucket corpus and queries on `numPlanes`

@@ -30,6 +30,8 @@ class UrlSpec extends SparkSpec {
       "http://a.com/p?gclid=1&msclkid=2&utm_campaign=c" -> "http://a.com/p",
       // query survives fragment strip
       "http://a.com/p?z=9&y=8#sec2" -> "http://a.com/p?y=8&z=9",
+      // a '?' INSIDE the fragment of a query-less URL is not a query
+      "http://a.com/p#sec?x=1" -> "http://a.com/p",
       // already-canonical fixed point
       "https://site.org:8080/x?a=1" -> "https://site.org:8080/x?a=1"
     )
