@@ -110,6 +110,19 @@ def main():
                 break
         results[name] = bad or f"OK rows={len(s)}"
 
+    if not results:
+        # Round-8 lesson: an empty results map is indistinguishable from a
+        # round where everything broke. If Verify wrote zero query dirs
+        # (wrong outDir, killed before any dump), say so and fail loudly
+        # instead of emitting `{}`.
+        print(
+            f"FATAL: no query output directories under {out_dir} — "
+            "graft.Verify produced nothing to compare (empty gate artifact "
+            "refused)",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
     for name in sorted(results):
         print(f"{'PASS' if results[name].startswith(('OK', 'ROWS_ONLY')) else 'FAIL':4} {name}: {results[name]}")

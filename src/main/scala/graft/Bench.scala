@@ -198,7 +198,12 @@ object Bench {
     val results = resultsWithPass.map { case (n, t, _) => n -> t }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // queries_ok cross-checks the round's correctness artifact: if the
+    // verify gate ever reports an empty/implausibly small result map again
+    // (round 8's `{}`), this independent count of queries that EXECUTED
+    // end-to-end is the contradiction that flags it.
+    val nOk = results.count(_._2 >= 0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries_ok":$nOk,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Console.out.flush()
     // The round's primary perf artifact must not depend on log-tail

@@ -4,6 +4,61 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump every catalog query (optionally filtered to `only`) under
+    * `outDir/<name>/`; returns (okCount, failedCount). Factored out of
+    * [[main]] so the empty-output tripwire below is spec-testable. */
+  def runAll(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      only: Option[Set[String]],
+      parallelism: Int): (Int, Int) = {
+    new java.io.File(outDir).mkdirs()
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Queries run PARALLEL_Q at a time (Spark's scheduler is thread-safe and
+    // each query writes its own directory): at sf0.01 most queries are
+    // scheduler-bound, not core-bound, so overlapping them cuts wall-clock
+    // ~3x — insurance against the host's episodic slow windows landing the
+    // whole sequential sweep past the driver's timeout.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val tasks = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              ok.incrementAndGet()
+              System.err.println(s"[verify] $name ok")
+            } catch { case e: Throwable =>
+              failed.incrementAndGet()
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
+      }
+    // shutdown in finally: the pool's threads are non-daemon, so an
+    // exception escaping the awaits (e.g. interrupt) would otherwise leave
+    // the JVM alive after main — the exact driver-timeout/lost-round mode
+    // this parallelization exists to prevent.
+    try tasks.foreach(_.get())
+    finally pool.shutdownNow()
+    (ok.get(), failed.get())
+  }
+
+  /** Tripwire: a verify run that produced ZERO query directories must fail
+    * LOUDLY, never let the round's gate artifact silently become `{}`
+    * (round 8 lost its entire correctness record to exactly that — an
+    * empty results map is indistinguishable from a round where everything
+    * broke). */
+  def requireNonEmpty(okCount: Int): Unit =
+    require(okCount > 0,
+      "verify wrote ZERO query outputs — the gate artifact would be an " +
+        "empty map; failing loudly instead (check sfDir/outDir paths and " +
+        "per-query stderr above)")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,39 +70,13 @@ object Verify {
       .getOrCreate()
     Graft.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // Queries run PARALLEL_Q at a time (Spark's scheduler is thread-safe and
-    // each query writes its own directory): at sf0.01 most queries are
-    // scheduler-bound, not core-bound, so overlapping them cuts wall-clock
-    // ~3x — insurance against the host's episodic slow windows landing the
-    // whole sequential sweep past the driver's timeout.
-    val parallelism = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     // Local-iteration subset: SPARK_GRAFT_VERIFY_ONLY=q117_x,q118_y dumps
     // just those queries (local_verify.py compares whatever dirs exist).
     // The driver never sets it, so the gate always sees the full catalog.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val tasks = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit =
-          try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            System.err.println(s"[verify] $name ok")
-          } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
-      })
-    }
-    // shutdown in finally: the pool's threads are non-daemon, so an
-    // exception escaping the awaits (e.g. interrupt) would otherwise leave
-    // the JVM alive after main — the exact driver-timeout/lost-round mode
-    // this parallelization exists to prevent.
-    try tasks.foreach(_.get())
-    finally pool.shutdownNow()
+    val parallelism = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt
+    val (okCount, failedCount) = runAll(spark, sfDir, outDir, only, parallelism)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -63,6 +92,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(
+      s"[verify] done: $okCount ok, $failedCount failed, " +
+        s"${SparkEntry.queries.size} in catalog")
     spark.stop()
+    // After spark.stop() and the oracle dump, so a tripped wire still
+    // leaves whatever partial evidence exists on disk for inspection.
+    requireNonEmpty(okCount)
   }
 }
