@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *   - query params: tracking params dropped (utm_*, fbclid, gclid,
   *     msclkid), empties dropped, remainder SORTED and re-joined; an
   *     emptied query loses its "?";
-  *   - fragment dropped.
+  *   - fragment dropped;
+  *   - input not matching the scheme grammar → null (opts out of dedup
+  *     instead of colliding on a degenerate form).
   */
 object UrlFunctions {
 
@@ -57,6 +59,12 @@ object UrlFunctions {
     val sortedQ = array_join(array_sort(params), "&")
     val queryPart =
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))
-    concat(scheme, lit("://"), host, portPart, path, queryPart)
+    // Inputs that don't match the scheme grammar (missing scheme, relative
+    // URL, garbage) opt OUT of canonicalization as null — every
+    // regexp_extract returns "" on them, so without this guard they would
+    // ALL collapse to the same degenerate ":///" and a URL-level dedup
+    // would falsely merge unrelated documents.
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 }

@@ -278,6 +278,22 @@ object Similarity {
 
   // --- PQ (product-quantization) ANN --------------------------------------
 
+  /** EVERY row's width, not a sample: one ragged vector would slice short,
+    * null-pad the zip_with against the centroid/codebook literal, and —
+    * because Spark sorts nulls FIRST ascending — silently rank garbage
+    * candidates at the top of an ADC result. One min/max aggregate over
+    * the input (training corpora are sample-sized at scale, query sets are
+    * broadcast-sized by construction — the action is cheap on both). */
+  private def requireVectorWidth(
+      df: DataFrame, vecCol: String, dim: Int, ctx: String): Unit = {
+    val w = df.agg(
+      min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi")).collect()(0)
+    require(!w.isNullAt(0) && w.getInt(0) == dim && w.getInt(1) == dim,
+      s"$ctx: vector widths [${if (w.isNullAt(0)) "∅" else w.getInt(0)}, " +
+        s"${if (w.isNullAt(1)) "∅" else w.getInt(1)}] != declared dim $dim " +
+        "(a short slice would silently quantize/score a truncated vector)")
+  }
+
   /** The m×k ADC lookup table for one vector: luts[s][c] = exact-decimal
     * squared L2 from the vector's subspace-s slice to codebook entry c.
     * Shared by [[knnPq]] (raw vectors) and [[knnIvfPq]] (cell residuals) —
@@ -333,17 +349,7 @@ object Similarity {
       iters: Int = 1): Array[Array[Seq[Double]]] = {
     require(m > 0 && dim % m == 0, s"pqTrain: dim=$dim not divisible into m=$m subspaces")
     val sub = dim / m
-    // EVERY row's width, not a sample: one ragged vector would slice short,
-    // null-pad the zip_with against the centroid literal, and take an
-    // arbitrary code — silently, which is exactly what this guard exists
-    // to prevent. One min/max aggregate over the training input (which is
-    // sample-sized at scale — see the scaladoc).
-    val w = corpus.agg(
-      min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi")).collect()(0)
-    require(!w.isNullAt(0) && w.getInt(0) == dim && w.getInt(1) == dim,
-      s"pqTrain: vector widths [${if (w.isNullAt(0)) "∅" else w.getInt(0)}, " +
-        s"${if (w.isNullAt(1)) "∅" else w.getInt(1)}] != declared dim $dim " +
-        "(a short slice would silently quantize a truncated vector)")
+    requireVectorWidth(corpus, vecCol, dim, "pqTrain")
     (0 until m).toArray.map { s =>
       val sv = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
       ivfTrain(sv, idCol, vecCol, k, iters).sortBy(_._1).map(_._2)
@@ -399,6 +405,10 @@ object Similarity {
       kCodes: Int = 8,
       iters: Int = 1): DataFrame = {
     val books = pqTrain(corpus, idCol, vecCol, dim, m, kCodes, iters)
+    // Queries are NOT necessarily a subset of the trained corpus — a
+    // ragged query vector would null-pad its LUT and rank garbage first
+    // (nulls sort ascending-first); check its width like the corpus's.
+    requireVectorWidth(queries, vecCol, dim, "knnPq queries")
     val enc = pqEncode(corpus, vecCol, books)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = broadcast(
@@ -437,6 +447,9 @@ object Similarity {
       kCodes: Int = 8,
       iters: Int = 1): DataFrame = {
     val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
+    // Same contract as knnPq: a ragged query would null-pad both its probe
+    // distances and its per-cell residual LUTs.
+    requireVectorWidth(queries, vecCol, dim, "knnIvfPq queries")
     val centMap = typedLit(cents.map { case (l, cv) => l -> cv }.toMap)
     def residual(v: Column, cluster: Column): Column =
       zip_with(v, element_at(centMap, cluster),

@@ -238,6 +238,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnPq/knnIvfPq reject ragged QUERY vectors loudly") {
+    // Corpus is clean 4-wide; the query set is NOT a subset of the corpus
+    // and carries a 3-wide vector — unchecked, its LUT would null-pad and
+    // nulls-first ascending ranking would put garbage at the top.
+    val corpus = (0L until 8L).map(i =>
+      (i, Array(i.toFloat, (i * 2).toFloat, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ragged = Seq(
+      (100L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (101L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.knnPq(corpus, ragged, "vec_id", "embedding",
+        dim = 4, k = 2, m = 2, kCodes = 2)
+    }
+    assert(e1.getMessage.contains("knnPq queries"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPq(corpus, ragged, "vec_id", "embedding",
+        dim = 4, k = 2, kClusters = 2, nProbe = 1, m = 2, kCodes = 2)
+    }
+    assert(e2.getMessage.contains("knnIvfPq queries"))
+    // Clean external queries still work end-to-end (guard is not overtight).
+    val clean = Seq((100L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnPq(corpus, clean, "vec_id", "embedding",
+      dim = 4, k = 2, m = 2, kCodes = 2).count() == 2L)
+  }
+
   test("centroids computes exact element means per group") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)),

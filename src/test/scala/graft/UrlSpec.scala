@@ -51,6 +51,24 @@ class UrlSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("malformed inputs canonicalize to null, never a shared degenerate form") {
+    val malformed = Seq(
+      "www.example.com/x",   // missing scheme
+      "/a/b?x=1",            // relative URL
+      "not a url",
+      "",
+      "://host/path")        // empty scheme
+    val got = malformed.toDF("u")
+      .select(UrlFunctions.canonicalizeUrl($"u").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.forall(_.isEmpty),
+      s"malformed inputs must opt out of dedup as null, got ${got.toSeq}")
+    // and a null input stays null
+    val n = Seq(Tuple1(null: String)).toDF("u")
+      .select(UrlFunctions.canonicalizeUrl($"u")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("urlHost extracts the lowercased host without port") {
     val hosts = Seq("HTTP://WWW.Example.COM:8080/a", "https://x.Y.z/p?q=1")
       .toDF("u").select(UrlFunctions.urlHost($"u")).collect().map(_.getString(0))
