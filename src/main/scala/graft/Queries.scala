@@ -6619,42 +6619,51 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  private val q185Sql =
-    s"""WITH su AS (SELECT vec_id, dim // 16 AS s, dim % 16 AS j, x FROM (
+  // q185's full PQ replay (subspace split, per-subspace Lloyd round, dense
+  // code relabel, corpus encode, query LUTs, ADC ranking) with every CTE
+  // name prefixed by `pfx`, ending at `${pfx}r(query_id, neighbor_id,
+  // adc_dist, rnk)`. pfx="" keeps q185's original names; the q190 recall
+  // certificate composes it (pfx="p") with the IVFPQ chain in ONE
+  // statement — one copy serves both, so they cannot drift.
+  private def duckPqChainCtes(pfx: String): String =
+    s"""${pfx}su AS (SELECT vec_id, dim // 16 AS s, dim % 16 AS j, x FROM (
        |    SELECT vec_id, unnest(embedding) AS x,
        |      unnest(range(0, len(embedding))) AS dim FROM embeddings)),
-       |c0 AS (SELECT vec_id AS cluster, s, j, x FROM su WHERE vec_id < 8),
-       |p0 AS (SELECT e.vec_id, e.s, c.cluster, ${duckDsq("e.x", "c.x")} AS dist
-       |       FROM su e JOIN c0 c ON c.s = e.s AND c.j = e.j
+       |${pfx}c0 AS (SELECT vec_id AS cluster, s, j, x FROM ${pfx}su WHERE vec_id < 8),
+       |${pfx}p0 AS (SELECT e.vec_id, e.s, c.cluster, ${duckDsq("e.x", "c.x")} AS dist
+       |       FROM ${pfx}su e JOIN ${pfx}c0 c ON c.s = e.s AND c.j = e.j
        |       GROUP BY e.vec_id, e.s, c.cluster),
-       |a0 AS (SELECT vec_id, s, cluster FROM (
+       |${pfx}a0 AS (SELECT vec_id, s, cluster FROM (
        |        SELECT vec_id, s, cluster,
        |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cluster) AS rn
-       |        FROM p0) WHERE rn = 1),
-       |m1 AS (SELECT a0.s, a0.cluster, su.j,
+       |        FROM ${pfx}p0) WHERE rn = 1),
+       |${pfx}m1 AS (SELECT a0.s, a0.cluster, su.j,
        |        CAST(sum(CAST(CAST(su.x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)/count(*) AS cx
-       |       FROM su JOIN a0 ON a0.vec_id = su.vec_id AND a0.s = su.s
+       |       FROM ${pfx}su su JOIN ${pfx}a0 a0 ON a0.vec_id = su.vec_id AND a0.s = su.s
        |       GROUP BY a0.s, a0.cluster, su.j),
-       |cl AS (SELECT s, cluster,
+       |${pfx}cl AS (SELECT s, cluster,
        |        row_number() OVER (PARTITION BY s ORDER BY cluster) - 1 AS code
-       |       FROM (SELECT DISTINCT s, cluster FROM m1)),
-       |c1 AS (SELECT m1.s, cl.code, m1.j, m1.cx
-       |       FROM m1 JOIN cl ON cl.s = m1.s AND cl.cluster = m1.cluster),
-       |pe AS (SELECT e.vec_id, e.s, c.code, ${duckDsq("e.x", "c.cx")} AS dist
-       |       FROM su e JOIN c1 c ON c.s = e.s AND c.j = e.j
+       |       FROM (SELECT DISTINCT s, cluster FROM ${pfx}m1)),
+       |${pfx}c1 AS (SELECT m1.s, cl.code, m1.j, m1.cx
+       |       FROM ${pfx}m1 m1 JOIN ${pfx}cl cl ON cl.s = m1.s AND cl.cluster = m1.cluster),
+       |${pfx}pe AS (SELECT e.vec_id, e.s, c.code, ${duckDsq("e.x", "c.cx")} AS dist
+       |       FROM ${pfx}su e JOIN ${pfx}c1 c ON c.s = e.s AND c.j = e.j
        |       GROUP BY e.vec_id, e.s, c.code),
-       |a1 AS (SELECT vec_id, s, code FROM (
+       |${pfx}a1 AS (SELECT vec_id, s, code FROM (
        |        SELECT vec_id, s, code,
        |          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-       |        FROM pe) WHERE rn = 1),
-       |lut AS (SELECT vec_id AS query_id, s, code, dist FROM pe WHERE vec_id < 5),
-       |adc AS (SELECT l.query_id, a1.vec_id AS neighbor_id, sum(l.dist) AS adc
-       |        FROM a1 JOIN lut l ON l.s = a1.s AND l.code = a1.code
+       |        FROM ${pfx}pe) WHERE rn = 1),
+       |${pfx}lut AS (SELECT vec_id AS query_id, s, code, dist FROM ${pfx}pe WHERE vec_id < 5),
+       |${pfx}adc AS (SELECT l.query_id, a1.vec_id AS neighbor_id, sum(l.dist) AS adc
+       |        FROM ${pfx}a1 a1 JOIN ${pfx}lut l ON l.s = a1.s AND l.code = a1.code
        |        WHERE a1.vec_id <> l.query_id
        |        GROUP BY l.query_id, a1.vec_id),
-       |r AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist,
+       |${pfx}r AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rnk
-       |      FROM adc)
+       |      FROM ${pfx}adc)""".stripMargin
+
+  private val q185Sql =
+    s"""WITH ${duckPqChainCtes("")}
        |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
@@ -6732,9 +6741,13 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  private val q187Sql =
-    s"""WITH $duckIvfA1Ctes,
-       |rv AS (SELECT u.vec_id, u.dim, CAST(u.x AS DOUBLE) - m1.m AS rx
+  // q187's residual-PQ replay over duckIvfA1Ctes' coarse assignment
+  // (residuals, per-subspace train on residuals, dense relabel, encode,
+  // per-(query, probed cell) LUTs, ADC ranking), ending at `r(query_id,
+  // neighbor_id, adc_dist, rnk)`. Shared verbatim by q187 and the q190
+  // recall certificate.
+  private val duckIvfPqChainCtes: String =
+    s"""rv AS (SELECT u.vec_id, u.dim, CAST(u.x AS DOUBLE) - m1.m AS rx
        |       FROM u JOIN a1 USING (vec_id)
        |              JOIN m1 ON m1.cluster = a1.cluster AND m1.dim = u.dim),
        |zs AS (SELECT vec_id, dim // 16 AS s, dim % 16 AS j, rx FROM rv),
@@ -6780,7 +6793,11 @@ object Queries {
        |        GROUP BY l.query_id, za1.vec_id),
        |r AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rnk
-       |      FROM adc)
+       |      FROM adc)""".stripMargin
+
+  private val q187Sql =
+    s"""WITH $duckIvfA1Ctes,
+       |$duckIvfPqChainCtes
        |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
@@ -6880,6 +6897,78 @@ object Queries {
        |rk AS (SELECT symbol, n_occurrences,
        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) AS BIGINT) AS rnk FROM sy)
        |SELECT symbol, n_occurrences, rnk FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  // PQ-tier RECALL CERTIFICATE (the q122 pattern extended to the
+  // production index): join q185's knnPq and q187's knnIvfPq top-5
+  // against the exact squared-L2 top-5 (Similarity.knnExactL2 — the same
+  // quantized-decimal metric the ADC tiers approximate) and emit
+  // recall@5 per query for BOTH codepaths. q185/q187's oracles prove the
+  // ADC arithmetic; this row proves the index FINDS TRUE NEIGHBORS — the
+  // answer, not just the mechanism (the reference's acceptance-query
+  // ethos, reference src/etl.py:283-291). All three legs are
+  // deterministic, so the recall table is hash-exact cross-engine. Scale
+  // shape: the truth leg runs over the bounded query sample only; the
+  // oracle composes the SHARED q185/q187 replay chains — one copy each,
+  // immune to drift. Absolute recall is LOW here by construction — the
+  // fixture embeddings are uniform random, the geometry PQ is worst at;
+  // SimilaritySpec pins high recall on clusterable (planted) data. This
+  // row certifies the MEASUREMENT pipeline, not the fixture's score.
+  private val q190: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+    val truth = Similarity.knnExactL2(e, qs, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity
+      .knnPq(e, qs, "vec_id", "embedding", dim = 64, k = 5, m = 4, kCodes = 8, iters = 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__pq"))
+    val ivfpq = Similarity
+      .knnIvfPq(e, qs, "vec_id", "embedding",
+        dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivfpq"))
+    truth
+      .join(pq, Seq("query_id", "neighbor_id"), "left")
+      .join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("__pq"), lit(0L))).as("pq_hits"),
+        sum(coalesce(col("__ivfpq"), lit(0L))).as("ivfpq_hits"))
+      .select(col("query_id"), col("k"),
+        col("pq_hits"),
+        (col("pq_hits").cast("double") / col("k").cast("double")).as("pq_recall"),
+        col("ivfpq_hits"),
+        (col("ivfpq_hits").cast("double") / col("k").cast("double")).as("ivfpq_recall"))
+      .orderBy("query_id")
+  }
+
+  private val q190Sql =
+    s"""WITH $duckIvfA1Ctes,
+       |$duckIvfPqChainCtes,
+       |${duckPqChainCtes("p")},
+       |xq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       |xp AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |        unnest(q.embedding) AS qe, unnest(n.embedding) AS ne
+       |       FROM xq q JOIN embeddings n ON n.vec_id <> q.vec_id),
+       |xd AS (SELECT query_id, neighbor_id, ${duckDsq("qe", "ne")} AS dist
+       |       FROM xp GROUP BY query_id, neighbor_id),
+       |xt AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |        FROM xd) WHERE rn <= 5),
+       |pq5 AS (SELECT query_id, neighbor_id FROM pr WHERE rnk <= 5),
+       |vq5 AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5)
+       |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+       |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS pq_recall,
+       |  CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits,
+       |  CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS ivfpq_recall
+       |FROM xt t
+       |LEFT JOIN pq5 p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+       |LEFT JOIN vq5 v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------------------------------
 
@@ -7070,7 +7159,8 @@ object Queries {
     "q186_url_canonical" -> q186,
     "q187_ivfpq_ann" -> q187,
     "q188_bpe_train" -> q188,
-    "q189_bpe_encode" -> q189
+    "q189_bpe_encode" -> q189,
+    "q190_pq_recall" -> q190
   )
 
   val oracles: Map[String, String] = Map(
@@ -7260,6 +7350,7 @@ object Queries {
     "q186_url_canonical" -> q186Sql,
     "q187_ivfpq_ann" -> q187Sql,
     "q188_bpe_train" -> q188Sql,
-    "q189_bpe_encode" -> q189Sql
+    "q189_bpe_encode" -> q189Sql,
+    "q190_pq_recall" -> q190Sql
   )
 }

@@ -57,6 +57,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact brute-force squared-L2 top-k — the GROUND-TRUTH tier for the PQ
+    * recall certificates (catalog q190): scored with the same quantized-
+    * decimal arithmetic ([[VectorFunctions.l2SqExactDec]], elements at
+    * DECIMAL(18,6), exact order-independent sum) that [[knnPq]]/[[knnIvfPq]]
+    * APPROXIMATE, so recall@k is measured against the true neighbors under
+    * the index's own metric, bit-reproducibly cross-engine. Ranking happens
+    * on the DECIMAL (a double collapse could re-order near-ties off the
+    * oracle's decimal order); the presented distance is double.
+    *
+    * Scale shape: identical to [[knnExact]] — queries broadcast (the small
+    * side by construction), map-only scoring over the corpus, per-query
+    * top-k the only shuffle (output-sized). The certificate runs it over a
+    * bounded query SAMPLE, never all queries. */
+  def knnExactL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join, map-only
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.l2SqExactDec(col("qv"), col("cv")).as("__l2dec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__l2dec").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__l2dec").cast("double").as("l2_sq"))
+  }
+
   /** Near-duplicate pairs with cosine above `threshold` within the corpus.
     *
     * DEFAULT path is LSH-blocked: candidate pairs come from

@@ -198,6 +198,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ ADC recall too low: $recall")
   }
 
+  test("knnExactL2 matches a local brute-force squared-L2 top-k exactly") {
+    val n = 60
+    val dim = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.cos(i * 13 + d * 5).toFloat)
+    val corpus = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val k = 5
+    // local oracle: quantize to 6 decimal places like DECIMAL(18,6)
+    def q6(x: Float) = BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val all = (0 until n).map(i => i.toLong -> vec(i)).toMap
+    val want = (0 until 4).flatMap { qi =>
+      all.toSeq.filter(_._1 != qi)
+        .map { case (id, v) =>
+          val d = v.zip(all(qi.toLong)).map { case (a, b) =>
+            val diff = q6(a) - q6(b); diff * diff
+          }.sum
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+        .map { case ((id, _), r) => (qi.toLong, id, r + 1) }
+    }.toSet
+    val got = Similarity.knnExactL2(corpus, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
   test("knnIvfPq: full probing recovers good recall, partial probing stays useful, deterministic") {
     val n = 120
     val dim = 16
