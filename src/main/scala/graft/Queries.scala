@@ -6970,6 +6970,25 @@ object Queries {
        |LEFT JOIN vq5 v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  // REGISTER state through the REAL streaming engine (the q174 recipe
+  // applied to mapGroupsWithState): readStream file source → per-group
+  // HLL register fold through the engine's checkpointed state store →
+  // update-mode sink, run to completion; terminal row per group selected
+  // by max n_events (deterministic whatever the engine's file-batching —
+  // registers only grow). q93 proves the operator's batch twin; this row
+  // proves the byte-array state (de)serializes through the state store
+  // and survives micro-batch boundaries. Oracle: q93's replay verbatim —
+  // the terminal streaming estimate must equal the batch HLL over the
+  // same events, bit-exactly.
+  private val q191: Q = (s, dir) =>
+    graft.streaming.StreamingDistinct
+      .runningDistinctFileStream(s, s"$dir/events.parquet")
+      .select(col("group"), col("est_distinct"), col("n_events"))
+      .orderBy("group")
+
+  private val q191Sql = q93Sql
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7160,7 +7179,8 @@ object Queries {
     "q187_ivfpq_ann" -> q187,
     "q188_bpe_train" -> q188,
     "q189_bpe_encode" -> q189,
-    "q190_pq_recall" -> q190
+    "q190_pq_recall" -> q190,
+    "q191_stream_real_distinct" -> q191
   )
 
   val oracles: Map[String, String] = Map(
@@ -7351,6 +7371,7 @@ object Queries {
     "q187_ivfpq_ann" -> q187Sql,
     "q188_bpe_train" -> q188Sql,
     "q189_bpe_encode" -> q189Sql,
-    "q190_pq_recall" -> q190Sql
+    "q190_pq_recall" -> q190Sql,
+    "q191_stream_real_distinct" -> q191Sql
   )
 }

@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Sketches
@@ -107,5 +109,42 @@ object StreamingDistinct {
             DistinctEstimate(group, estimate(next.regs), n)
           }
         })
+  }
+
+  /** [[runningDistinct]] driven through the REAL Structured-Streaming
+    * engine — the `mapGroupsWithState` sibling of
+    * `StreamingSessionize.sessionsFileStream` (q174), closing the last
+    * state-serialization path the gate otherwise never sees: REGISTER
+    * state (a byte-array HLL) round-tripping through the engine's
+    * checkpointed state store. `readStream` file source → the state-store
+    * fold → update-mode memory sink, run to completion with
+    * `Trigger.AvailableNow()`.
+    *
+    * Emission semantics under AvailableNow: each micro-batch emits every
+    * updated group's refreshed estimate, so a group surfaces once per
+    * batch it had data in. The TERMINAL estimate per group is selected
+    * here by max `n_events` (registers only grow and `n` is strictly
+    * increasing across a group's emissions) — deterministic whatever the
+    * engine's file-batching, and equal by construction to the batch
+    * replay over the same events, which is exactly what the q191 oracle
+    * (q93's HLL replay) checks.
+    *
+    * EAGER like the q164/q174 twins: a terminal streaming result has no
+    * lazy form. */
+  def runningDistinctFileStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
+    val kv = raw
+      .select(col("event_type").as("group"),
+        col("user_id").cast("long").as("key"),
+        graft.Tables.instantTs(raw.schema, "ts").as("ts"))
+      .as[KeyedValue]
+    val all = StreamingHarness.runToMemorySink(
+      spark, runningDistinct(kv).toDF(), "update")
+    val w = Window.partitionBy(col("group")).orderBy(col("n_events").desc)
+    all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 }

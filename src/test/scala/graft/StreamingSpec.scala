@@ -303,6 +303,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningDistinctFileStream (real engine, state store) equals the batch sketch") {
+    import graft.streaming.StreamingDistinct
+    // Multi-FILE input: each group's registers must round-trip through the
+    // checkpointed state store between whatever micro-batches the engine
+    // forms, and the terminal-row selection must still land on the final
+    // estimate.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdfs").toString
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (1 to 500).map(i => (i.toLong % 97, if (i % 2 == 0) "a" else "b", t, i * 1.0))
+    val df = rows.toDF("user_id", "event_type", "ts", "value")
+    // two part-files directly under the source dir (no nested dirs — the
+    // streaming file source does not recurse by default)
+    df.repartitionByRange(2, $"user_id").write.parquet(s"$dir/events")
+    val got = StreamingDistinct.runningDistinctFileStream(spark, s"$dir/events")
+      .select("group", "est_distinct", "n_events")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val want = graft.operators.Sketches
+      .hllDistinct(df.select($"event_type".as("g"), $"user_id".as("k")), Seq("g"), col("k"), p = 8)
+      .join(df.groupBy($"event_type".as("g")).count(), Seq("g"))
+      .select("g", "est_distinct", "count")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming transition edges accumulate to the batch matrix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Event
