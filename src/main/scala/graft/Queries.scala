@@ -1049,70 +1049,81 @@ object Queries {
       |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin
 
   // ---------------------------------------------------------------- q41
-  // q37's SCALE tier: approx_percentile (GK sketch — bounded memory per
-  // group, associative merge; see AggFunctions.percentileApprox).
-  // accuracy=100: rank error ≤ 1% of each group — the GK digest's
-  // insert/merge cost scales with accuracy (the default 10000 costs more
-  // CPU than the exact sort on bench-scale groups, inverting the point of
-  // the tier), and QuantileSummaries.merge is the most JIT/alloc-sensitive
-  // op in the catalog; a demonstrative scale tier wants small digests.
+  // q37's SCALE tier: approximate per-group percentiles certified by an
+  // EXACT RANK CHECK. The brackets come from approx_percentile (GK
+  // sketch, accuracy=100 — see AggFunctions.percentileApprox) over the
+  // q76 DETERMINISTIC ~10% hash sample — one bounded aggregation whose
+  // result is ONE ROW PER RETURN FLAG, pulled to the driver and inlined
+  // as literals — and the single remaining full pass counts
+  // #{v < bracket} and #{v ≤ bracket} per group in pure codegen. This is
+  // the one-full-pass shape an audit should have at 100 TB: the estimate
+  // leg sketches the sample, the audit leg is one map-side
+  // conditional-count scan, and nothing broadcasts or shuffles beyond a
+  // flag-count-sized row set. (The round-8 form ran the GK digests over
+  // the FULL table and then a second full audit pass — the audit cost
+  // twice what it audited; at production scale either leg works, the
+  // audit's full pass is the fixed cost either way. The GK digest's
+  // value-level rank error against full data remains pinned in
+  // PercentileSpec.)
   //
-  // Sketch VALUES are engine-specific (and merge-order-sensitive), so the
-  // catalog row emits the ERROR-BOUND VERDICT instead — booleans the
-  // DuckDB oracle asserts as TRUE, making this a hash-checkable row
-  // rather than rows-only.
-  //
-  // The audit is an EXACT RANK CHECK, not a sampled bracket (the round-7
-  // form): the 3-row estimate table broadcasts back onto the scan and a
-  // pure-codegen pass counts #{v < est} and #{v ≤ est} per group. The GK
-  // guarantee says the returned element occupies SOME rank position r
-  // with |r − p·n| ≤ ε·n, and with ties r can be any position in
-  // [lt+1, le] — so the verdict is interval overlap: lt ≤ (p+ε')·n AND
-  // le ≥ (p−ε')·n, evaluated as integer cross-multiplies (no doubles).
-  // ε' = 3% = 3× the nominal ε = 1/accuracy: digest MERGES can degrade
-  // the bound toward ε₁+ε₂ in the worst case, and the margin must not
-  // sit at the theoretical edge. Exactness buys three things over the
-  // sampled bracket: no sample noise (the old ±8% margin and its n<6000
-  // vacuous floor are gone — every group is audited), tie-safety (an
-  // integer-valued column can hold >ε of its mass on one value; the
-  // lt/le interval handles that, a value bracket does not), and COST —
-  // the sampled form kept two exact-percentile value buffers riding the
-  // aggregation, which is exactly the "audit costs more than the thing
-  // it audits" shape this tier exists to avoid. The audit leg here is a
-  // broadcast hash join + codegen conditional sums: at 100 TB it is one
-  // map-side pass, while the GK digests remain the only stateful
-  // operators. Value-level rank error is additionally pinned by
-  // PercentileSpec against the full data.
+  // Verdict: with ties the bracket element's true rank is any position in
+  // [lt+1, le], so the check is interval overlap — lt ≤ (p+ε)·n AND
+  // le ≥ (p−ε)·n, integer cross-multiplies, no doubles. ε per flag =
+  // 30‰ base (3× the GK nominal 10‰, the merge-degradation convention)
+  // + a 3σ binomial sampling term (3000·sqrt(0.25/n_sample)‰, the
+  // worst-case p=0.5 normal bound): the tolerance follows the sample
+  // size, so the booleans the oracle asserts as TRUE hold
+  // deterministically at every SF instead of riding a fixed margin that
+  // a small gate SF could breach.
   private val q41: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val key = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
+    // bracket table: one row per flag (bounded — flags are an enum)
     val est = li
+      .filter(graft.functions.HashFunctions.mix64(key).bitwiseAND(lit(1023L)) < lit(102L))
       .groupBy(col("l_returnflag"))
       .agg(
-        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("__amed"),
+        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("m"),
         // ARRAY-form: one digest per COLUMN, not per quantile.
         approx_percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.75)), lit(100)).as("__ap"))
-    // rank-interval verdict: lt·1000 ≤ (p‰+30)·n AND le·1000 ≥ (p‰−30)·n
-    def rankOk(pPerMil: Int, lt: String, le: String) =
-      (col(lt) * 1000L <= lit(pPerMil + 30L) * col("n")) &&
-        (col(le) * 1000L >= lit(pPerMil - 30L) * col("n"))
-    li.join(broadcast(est), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"))
+          array(lit(0.25), lit(0.75)), lit(100)).as("pp"),
+        count(lit(1)).as("ns"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getSeq[Double](2), r.getLong(3))))
+      .sortBy(_._1)
+    require(est.nonEmpty, "q41: the deterministic sample is empty")
+    def perFlag(v: Map[String, Column]): Column =
+      coalesce(v.toSeq.sortBy(_._1).map { case (f, c) =>
+        when(col("l_returnflag") === f, c)
+      }: _*)
+    val med = perFlag(est.map { case (f, (m, _, _)) => f -> lit(m) }.toMap)
+    val p25 = perFlag(est.map { case (f, (_, pp, _)) => f -> lit(pp(0)) }.toMap)
+    val p75 = perFlag(est.map { case (f, (_, pp, _)) => f -> lit(pp(1)) }.toMap)
+    // per-flag tolerance in per-mil: 30 + 3σ sampling term
+    val tol = perFlag(est.map { case (f, (_, _, ns)) =>
+      f -> lit(30L + math.ceil(3000.0 * math.sqrt(0.25 / ns.toDouble)).toLong)
+    }.toMap)
+    def rankOk(pPerMil: Int, lt: Column, le: Column, n: Column, t: Column) =
+      coalesce(
+        (lt * 1000L <= (lit(pPerMil.toLong) + t) * n) &&
+          (le * 1000L >= (lit(pPerMil.toLong) - t) * n),
+        lit(false))
+    li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        count(when(col("l_quantity") < col("__amed"), 1)).as("__ltm"),
-        count(when(col("l_quantity") <= col("__amed"), 1)).as("__lem"),
-        count(when(col("l_extendedprice") < element_at(col("__ap"), 1), 1)).as("__lt25"),
-        count(when(col("l_extendedprice") <= element_at(col("__ap"), 1), 1)).as("__le25"),
-        count(when(col("l_extendedprice") < element_at(col("__ap"), 2), 1)).as("__lt75"),
-        count(when(col("l_extendedprice") <= element_at(col("__ap"), 2), 1)).as("__le75"))
+        first(tol).as("__t"),
+        count(when(col("l_quantity") < med, 1)).as("__ltm"),
+        count(when(col("l_quantity") <= med, 1)).as("__lem"),
+        count(when(col("l_extendedprice") < p25, 1)).as("__lt25"),
+        count(when(col("l_extendedprice") <= p25, 1)).as("__le25"),
+        count(when(col("l_extendedprice") < p75, 1)).as("__lt75"),
+        count(when(col("l_extendedprice") <= p75, 1)).as("__le75"))
       .select(
         col("l_returnflag"),
         col("n"),
-        rankOk(500, "__ltm", "__lem").as("median_ok"),
-        rankOk(250, "__lt25", "__le25").as("p25_ok"),
-        rankOk(750, "__lt75", "__le75").as("p75_ok"))
+        rankOk(500, col("__ltm"), col("__lem"), col("n"), col("__t")).as("median_ok"),
+        rankOk(250, col("__lt25"), col("__le25"), col("n"), col("__t")).as("p25_ok"),
+        rankOk(750, col("__lt75"), col("__le75"), col("n"), col("__t")).as("p75_ok"))
       .orderBy("l_returnflag")
   }
 
