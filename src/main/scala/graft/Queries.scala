@@ -5059,7 +5059,10 @@ object Queries {
     Centrality.kCore(
         graft.operators.Dedup.prefixFilterJaccardJoin(
           Tables.documents(s, dir), "doc_id", "text", tauNum = 9, tauDen = 10),
-        "doc_a", "doc_b", k = 30)
+        "doc_a", "doc_b", k = 30,
+        // simjoin output is distinct a<b by contract — skip the
+        // re-canonicalize shuffle
+        inputCanonical = true)
       .orderBy("node")
 
   private val q148Sql = {

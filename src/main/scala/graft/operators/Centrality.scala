@@ -175,27 +175,33 @@ object Centrality {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      inputCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     requireIntegralNodes(edges, Seq(srcCol, dstCol), "kCore")
     // Loop state is the CANONICAL a<b list, materialized once per round
     // (the expensive edge pipeline — q148 feeds the exact similarity join
-    // here — runs exactly once, inside the first checkpoint); the mirror
-    // union is re-derived lazily per round from the checkpointed rows.
-    // Carrying half the rows through the per-round semi-joins and
-    // checkpoint writes measured ~25% off the q148 peel.
-    var e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // here — runs exactly once, inside the first checkpoint). Carrying
+    // half the rows through the per-round semi-joins and checkpoint
+    // writes measured ~25% off the q148 peel. `inputCanonical` skips the
+    // canonicalize+distinct shuffle for producers whose OUTPUT CONTRACT
+    // is already distinct a<b pairs (prefixFilterJaccardJoin, lshPairs)
+    // — re-deduplicating a deduplicated edge list is one full shuffle
+    // of the edge set for nothing.
+    val base = edges.select(
+      col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    var e = (if (inputCanonical) base
+             else base
+               .filter(col("a") =!= col("b"))
+               .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+               .distinct())
       .localCheckpoint()
-    // unionByName, not positional unionAll: the per-round USING-joins move
-    // the join column to the front, so e's physical column ORDER flips to
-    // (b, a) — a positional union would then scramble endpoints
-    def mirrored(ce: DataFrame): DataFrame =
-      ce.select(col("a"), col("b"))
-        .unionByName(ce.select(col("b").as("a"), col("a").as("b")))
+    // Per-node degree in ONE read of the checkpointed canonical list
+    // (explode both endpoints) — the mirror union read it twice.
+    def degrees(ce: DataFrame): DataFrame =
+      ce.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("__d"))
     var nEdges = e.count()
     var converged = nEdges == 0L
     var iter = 0
@@ -205,7 +211,7 @@ object Centrality {
         throw new IllegalStateException(
           s"k-core did not reach its fixpoint in $maxIter peel rounds; " +
             "raise maxIter (rounds needed = the graph's peel depth)")
-      val keep = mirrored(e).groupBy(col("a").as("node")).agg(count(lit(1)).as("__d"))
+      val keep = degrees(e)
         .filter(col("__d") >= k)
         .select(col("node"))
       e = e
@@ -216,6 +222,6 @@ object Centrality {
       converged = n == nEdges || n == 0L
       nEdges = n
     }
-    mirrored(e).groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    degrees(e).select(col("node"), col("__d").as("degree"))
   }
 }

@@ -58,6 +58,12 @@ object GraftFunctions {
   def nfcNormalize(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
 
+  /** Merge-walk intersection cardinality of two sorted string-array sets
+    * (see [[SortedIntersectCount]]) — the PPJoin verify kernel. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   private[plans] val nfcBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 1, "graft_nfc expects exactly 1 argument")
     NfcNormalize(children.head)
