@@ -173,4 +173,45 @@ class ExpressionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"), plan.take(2000))
   }
+
+  test("SortedIntersectCount matches size(array_intersect) on sorted sets") {
+    val df = Seq(
+      (Seq("a", "b", "c", "f"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "z"), Seq("b", "y")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("aa", "ab", "b"), Seq("ab", "b", "ba"))
+    ).toDF("x", "y")
+    val rows = df.select(
+      GraftFunctions.sortedIntersectCount($"x", $"y").as("merge"),
+      size(array_intersect($"x", $"y")).cast("long").as("builtin")
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("SortedIntersectCount: null arrays are null, null elements stop the walk") {
+    val withNullArr = Seq((Some(Seq("a")), None: Option[Seq[String]])).toDF("x", "y")
+      .select(GraftFunctions.sortedIntersectCount($"x", $"y")).collect()(0)
+    assert(withNullArr.isNullAt(0))
+    // nulls sort last (array_sort convention); walk must not match them
+    val withNullElem = Seq((Seq[String]("a", null), Seq[String]("a", null))).toDF("x", "y")
+      .select(GraftFunctions.sortedIntersectCount($"x", $"y")).collect()(0)
+    assert(withNullElem.getLong(0) == 1L)
+  }
+
+  test("SortedIntersectCount interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = graft.plans.SortedIntersectCount(
+      Literal.create(Seq("a", "b", "c"), ArrayType(StringType)),
+      Literal.create(Seq("b", "c", "d"), ArrayType(StringType)))
+    assert(e.eval(null).asInstanceOf[Long] == 2L)
+  }
+
+  test("SortedIntersectCount participates in codegen (no CodegenFallback)") {
+    val plan = Seq((Seq("a"), Seq("a"))).toDF("x", "y")
+      .select(GraftFunctions.sortedIntersectCount($"x", $"y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+  }
 }
