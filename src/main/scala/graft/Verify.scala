@@ -17,6 +17,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val ok = new java.util.concurrent.atomic.AtomicInteger(0)
     val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Per-query watchdog (the Bench pattern): ONE hung query must cost the
+    // gate one row, not the whole round — un-timed, it would park its pool
+    // thread forever, block the final get(), and ride the JVM into the
+    // driver's kill (partial dirs, correctness artifact lost).
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_QUERY_TIMEOUT_SEC", "600").toLong
     // Queries run PARALLEL_Q at a time (Spark's scheduler is thread-safe and
     // each query writes its own directory): at sf0.01 most queries are
     // scheduler-bound, not core-bound, so overlapping them cuts wall-clock
@@ -27,16 +33,34 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         pool.submit(new Runnable {
-          def run(): Unit =
-            try {
-              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name")
+          def run(): Unit = {
+            val group = s"verify-$name"
+            @volatile var err: Throwable = null
+            val worker = new Thread(() => {
+              try {
+                spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+                fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                  .parquet(s"$outDir/$name")
+              } catch { case e: Throwable => err = e }
+              finally spark.sparkContext.clearJobGroup()
+            }, group)
+            worker.setDaemon(true)
+            worker.start()
+            worker.join(queryTimeoutSec * 1000)
+            if (worker.isAlive) {
+              failed.incrementAndGet()
+              System.err.println(
+                s"[verify] $name TIMED OUT after ${queryTimeoutSec}s — cancelling")
+              spark.sparkContext.cancelJobGroup(group)
+              worker.join(30000)
+            } else if (err != null) {
+              failed.incrementAndGet()
+              System.err.println(s"[verify] $name failed: ${err.getMessage}")
+            } else {
               ok.incrementAndGet()
               System.err.println(s"[verify] $name ok")
-            } catch { case e: Throwable =>
-              failed.incrementAndGet()
-              System.err.println(s"[verify] $name failed: ${e.getMessage}")
             }
+          }
         })
       }
     // shutdown in finally: the pool's threads are non-daemon, so an
@@ -76,7 +100,6 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val parallelism = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt
-    val (okCount, failedCount) = runAll(spark, sfDir, outDir, only, parallelism)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -91,7 +114,13 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Oracle dump FIRST, before any query runs: if the driver kills a slow
+    // dump mid-flight, whatever query dirs landed are still comparable —
+    // written last, a kill would leave partial dirs with NO oracle file
+    // and the compare would lose the whole round (the r8 failure class).
+    new java.io.File(outDir).mkdirs()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val (okCount, failedCount) = runAll(spark, sfDir, outDir, only, parallelism)
     System.err.println(
       s"[verify] done: $okCount ok, $failedCount failed, " +
         s"${SparkEntry.queries.size} in catalog")
