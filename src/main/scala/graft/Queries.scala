@@ -7007,6 +7007,69 @@ object Queries {
 
   private val q191Sql = q93Sql
 
+  // ---------------------------------------------------------------- q192
+  // Recall@5 vs nProbe SWEEP for the IVF index (Similarity.ivfRecallSweep)
+  // — the tuning curve behind q122's single recall point: one scoring
+  // pass tags every (query, corpus) pair with the corpus cell's rank in
+  // the query's probe order, and recall at nProbe ∈ {1,2,4,8} is derived
+  // by ranking the cell_rank ≤ nProbe subset — no re-scoring per sweep
+  // point. The nProbe=8 (=kClusters) rows are 1.0 BY CONSTRUCTION (full
+  // probe under the truth metric) — a built-in self-check the oracle
+  // hash-pins; SimilaritySpec additionally pins monotonicity in nProbe.
+  // Scale shape: runs on the bounded audit sample; the scoring pass is
+  // the same size as the exact-truth pass the audit pays anyway.
+  private val q192: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfRecallSweep(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, kClusters = 8, nProbes = Seq(1, 2, 4, 8), iters = 1)
+      .orderBy("nprobe", "query_id")
+  }
+
+  private val q192Sql = {
+    def qz(x: String) = duckQz(x)
+    def cosSums(src: String, extra: String) =
+      s"""SELECT query_id, neighbor_id$extra,
+         |  CAST(sum(CAST(${qz("qe")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS dot,
+         |  CAST(sum(CAST(${qz("qe")} * ${qz("qe")} AS DECIMAL(36,12))) AS DOUBLE) AS nq,
+         |  CAST(sum(CAST(${qz("ne")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS nn
+         |FROM $src GROUP BY query_id, neighbor_id$extra""".stripMargin
+    s"""WITH $duckIvfA1Ctes,
+       |prq AS (SELECT vec_id AS query_id, cluster,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS cell_rank
+       |        FROM d1 WHERE vec_id < 10),
+       |cand AS (SELECT p.query_id, a1.vec_id AS neighbor_id, p.cell_rank
+       |         FROM a1 JOIN prq p ON p.cluster = a1.cluster AND a1.vec_id <> p.query_id),
+       |cpr AS (SELECT c.query_id, c.neighbor_id, c.cell_rank,
+       |         unnest(q.embedding) AS qe, unnest(n.embedding) AS ne
+       |        FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |                    JOIN embeddings n ON n.vec_id = c.neighbor_id),
+       |csum AS (${cosSums("cpr", ", cell_rank")}),
+       |np AS (SELECT * FROM (VALUES (1),(2),(4),(8)) v(nprobe)),
+       |rnk AS (SELECT np.nprobe, s.query_id, s.neighbor_id,
+       |         row_number() OVER (PARTITION BY np.nprobe, s.query_id
+       |           ORDER BY s.dot/sqrt(s.nq*s.nn) DESC, s.neighbor_id) AS rn
+       |        FROM csum s JOIN np ON s.cell_rank <= np.nprobe),
+       |hit AS (SELECT nprobe, query_id, neighbor_id FROM rnk WHERE rn <= 5),
+       |epr AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         unnest(q.embedding) AS qe, unnest(c.embedding) AS ne
+       |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |        WHERE q.vec_id < 10),
+       |esums AS (${cosSums("epr", "")}),
+       |ernk AS (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dot/sqrt(nq*nn) DESC, neighbor_id) AS rnk
+       |        FROM esums),
+       |ex AS (SELECT query_id, neighbor_id FROM ernk WHERE rnk <= 5)
+       |SELECT np.nprobe, ex.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM ex CROSS JOIN np
+       |LEFT JOIN hit h ON h.nprobe = np.nprobe AND h.query_id = ex.query_id
+       |  AND h.neighbor_id = ex.neighbor_id
+       |GROUP BY np.nprobe, ex.query_id ORDER BY np.nprobe, ex.query_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7198,7 +7261,8 @@ object Queries {
     "q188_bpe_train" -> q188,
     "q189_bpe_encode" -> q189,
     "q190_pq_recall" -> q190,
-    "q191_stream_real_distinct" -> q191
+    "q191_stream_real_distinct" -> q191,
+    "q192_nprobe_sweep" -> q192
   )
 
   val oracles: Map[String, String] = Map(
@@ -7390,6 +7454,7 @@ object Queries {
     "q188_bpe_train" -> q188Sql,
     "q189_bpe_encode" -> q189Sql,
     "q190_pq_recall" -> q190Sql,
-    "q191_stream_real_distinct" -> q191Sql
+    "q191_stream_real_distinct" -> q191Sql,
+    "q192_nprobe_sweep" -> q192Sql
   )
 }

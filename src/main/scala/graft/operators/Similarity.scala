@@ -309,6 +309,81 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("p.c").as("cluster"))
   }
 
+  /** Recall@k as a FUNCTION of nProbe for the IVF index — the tuning curve
+    * a production-ANN user reads before fixing nProbe (one recall point,
+    * like catalog q122's, says nothing about the knee). Computed in ONE
+    * scoring pass: every corpus vector is scored once against each query
+    * carrying `cell_rank` = the position of the vector's cell in that
+    * query's probe order; recall at nProbe=p is then derived by ranking
+    * the subset with cell_rank ≤ p — no re-scoring per sweep point. At
+    * nProbe=kClusters the candidate set is the whole corpus under the
+    * truth metric, so that row's recall is 1.0 BY CONSTRUCTION — a
+    * built-in self-check (SimilaritySpec also pins monotonicity in p).
+    *
+    * Scale shape: the sweep runs over the bounded recall-audit query
+    * SAMPLE (never all queries); the full-probe scoring pass is the same
+    * size as the exact-truth pass the audit pays anyway, centroids and
+    * the nProbe frame broadcast, and the only shuffles are the per-
+    * (nprobe, query) top-k — output-sized. */
+  def ivfRecallSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kClusters: Int,
+      nProbes: Seq[Int],
+      iters: Int = 1): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= kClusters),
+      s"nProbes must be within [1, kClusters=$kClusters], got $nProbes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
+    val dcArr = array(cents.map { case (label, cv) =>
+      struct(
+        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
+        lit(label).as("c"))
+    }.toSeq: _*)
+    // per-query FULL probe order (cell_rank r = r-th nearest centroid,
+    // ties to the smaller label — same order knnIvf's probe slice uses)
+    val probeRank = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          posexplode(array_sort(dcArr)).as(Seq("__p", "__dc")))
+        .select(col("query_id"), col("qv"),
+          (col("__p") + 1).as("cell_rank"), col("__dc").getField("c").as("cluster"))
+        .withColumn("qn", VectorFunctions.norm2Exact(col("qv"))))
+    val assigned = ivfAssign(corpus, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cluster"))
+      .withColumn("cn", VectorFunctions.norm2Exact(col("cv")))
+    val scored = assigned
+      .join(probeRank, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell_rank"),
+        (VectorFunctions.dotExact(col("qv"), col("cv")) /
+          sqrt(col("qn") * col("cn"))).as("cosine"))
+    val np = broadcast(nProbes.toDF("nprobe"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ranked = scored
+      .join(np, col("cell_rank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val truth = knnExact(corpus, queries, idCol, vecCol, k, exact = true)
+      .select(col("query_id"), col("neighbor_id"))
+    truth
+      .join(np, lit(true))
+      .join(ranked, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("nprobe"), col("query_id"), col("k"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall"))
+      .orderBy("nprobe", "query_id")
+  }
+
   // --- PQ (product-quantization) ANN --------------------------------------
 
   /** EVERY row's width, not a sample: one ragged vector would slice short,

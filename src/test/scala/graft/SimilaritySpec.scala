@@ -198,6 +198,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ ADC recall too low: $recall")
   }
 
+  test("ivfRecallSweep: monotone in nProbe, exactly 1.0 at full probe") {
+    val n = 96
+    val dim = 8
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(i * 17 + d * 3).toFloat)
+    val corpus = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val got = Similarity.ivfRecallSweep(corpus, queries, "vec_id", "embedding",
+        k = 5, kClusters = 4, nProbes = Seq(1, 2, 3, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(4)))
+    // per query, recall must be non-decreasing in nProbe: more candidates
+    // under the SAME (truth) metric can only add true neighbors to top-k
+    got.groupBy(_._2).foreach { case (q, rows) =>
+      val byNp = rows.sortBy(_._1).map(_._3)
+      assert(byNp.zip(byNp.tail).forall { case (a, b) => a <= b },
+        s"query $q recall not monotone: ${byNp.toSeq}")
+    }
+    // full probe = whole corpus under the truth metric → recall exactly 1
+    assert(got.filter(_._1 == 4).forall(_._3 == 1.0))
+    // and at least one partial-probe row is a real (non-trivial) point
+    assert(got.exists(r => r._1 < 4 && r._3 < 1.0),
+      "fixture degenerate: partial probes all perfect")
+  }
+
   test("knnExactL2 matches a local brute-force squared-L2 top-k exactly") {
     val n = 60
     val dim = 8
