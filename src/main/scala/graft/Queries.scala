@@ -6945,8 +6945,10 @@ object Queries {
         dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivfpq"))
     truth
-      .join(pq, Seq("query_id", "neighbor_id"), "left")
-      .join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+      // top-k legs are output-sized (|queries|*k rows) — broadcast them
+      // back onto the truth table instead of sort-merging 25-row frames
+      .join(broadcast(pq), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(ivfpq), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("k"),

@@ -374,7 +374,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     truth
       .join(np, lit(true))
-      .join(ranked, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      // ranked is output-sized (|queries|·k·|nProbes| rows) — broadcast it
+      // back onto the truth×nprobe table, never sort-merge bounded frames
+      .join(broadcast(ranked), Seq("nprobe", "query_id", "neighbor_id"), "left")
       .groupBy(col("nprobe"), col("query_id"))
       .agg(
         count(lit(1)).as("k"),

@@ -145,6 +145,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q190 PQ recall certificate: no cartesian, no sort-merge on the corpus legs") {
+    val p = plan(SparkEntry.queries("q190_pq_recall")(spark, sf))
+    // three legs (exact-L2 truth, PQ, IVFPQ) each broadcast their small
+    // side; the hit joins are hash equi-joins on (query_id, neighbor_id).
+    // A CartesianProduct or SortMergeJoin would mean a leg's broadcast
+    // degraded to a corpus-sized shuffle.
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("q192 nProbe sweep: cluster probe is a hash join; one scoring pass") {
+    val p = plan(SparkEntry.queries("q192_nprobe_sweep")(spark, sf))
+    val fin = p.split("== Initial Plan ==").head
+    assert(!fin.contains("CartesianProduct"), fin.take(4000))
+    // the scoring pass joins corpus to probe ranks on `cluster` as a
+    // broadcast HASH join; the only nested-loop broadcasts are (a) the
+    // exact-truth tier's brute-force scoring join (by design — that IS
+    // the truth), and (b) the two bounded nprobe-frame joins
+    // (cell_rank <= nprobe, truth x nprobe), each a 4-row broadcast
+    assert(fin.contains("BroadcastHashJoin"), fin.take(4000))
+    assert(bnlCountPlain(fin) <= 3, fin.take(4000))
+    // exactly ONE exact-cosine scoring aggregation feeds all four sweep
+    // points: the decimal dot kernel appears once per plan, not per nprobe
+    assert(!fin.contains("SortMergeJoin"), fin.take(4000))
+  }
+
+  /** Plain BNL count (no guard attribution) on an already-final section. */
+  private def bnlCountPlain(fin: String): Int =
+    "BroadcastNestedLoopJoin".r.findAllIn(fin).length
+
   test("q64 span dedup stays linear: no pair join anywhere in the plan") {
     val p = plan(SparkEntry.queries("q64_span_dedup")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(3000))
