@@ -69,11 +69,17 @@ object ScaleUp {
     val ev = rd("events")
     val docs = rd("documents")
     val emb = rd("embeddings")
-    val (sc, ss, sp, so) =
-      (stride(cust, "c_custkey"), stride(supp, "s_suppkey"),
-        stride(part, "p_partkey"), stride(ord, "o_orderkey"))
+    // c_custkey and events.user_id are ONE key domain (the q140 RI sweep
+    // measures events->customer coverage): they must shift by the SAME
+    // stride or sf1's orphan ratios drift from sf0.1's — and the stride
+    // must clear BOTH maxima or one copy's orphan users would collide
+    // with another copy's customers.
+    val (ss, sp, so) =
+      (stride(supp, "s_suppkey"), stride(part, "p_partkey"),
+        stride(ord, "o_orderkey"))
+    val sc = math.max(stride(cust, "c_custkey"), stride(ev, "user_id"))
     val se = stride(ev, "event_id")
-    val su = stride(ev, "user_id")
+    val su = sc
     val sd = stride(docs, "doc_id")
     val sv = stride(emb, "vec_id")
 
