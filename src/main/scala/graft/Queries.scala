@@ -7072,6 +7072,58 @@ object Queries {
        |GROUP BY np.nprobe, ex.query_id ORDER BY np.nprobe, ex.query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q193
+  // Temperature-based source rebalancing (Sampling.temperatureRebalance)
+  // — the LLM data-mixing move: kept share per lang ∝ √n (temperature
+  // T=2), flattening the natural distribution so rare sources aren't
+  // drowned. Weights are ⌊√n⌋ (IEEE sqrt is correctly rounded on every
+  // engine — the ONE fractional exponent with an exactly reproducible
+  // weight rule; pow's last-ulp libm differences would flip weights);
+  // selection is q90's deterministic hash-threshold replay with
+  // DATA-DERIVED weights — the oracle recomputes counts → isqrt weights →
+  // lcm (list_reduce) → the survival inequality, end to end in SQL.
+  private val q193Salt = 31L
+  private val q193: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val kept = Sampling.temperatureRebalance(d, "doc_id", "lang", salt = q193Salt)
+    val k = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val before = d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val tot = k.agg(sum(col("n_kept")).as("__tot"))
+    before.join(k, "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("kept_share",
+        col("n_kept").cast("double") / col("__tot").cast("double"))
+      .select("lang", "n_before", "n_kept", "kept_share")
+      .orderBy("lang")
+  }
+
+  private val q193Sql = {
+    import DuckHash._
+    val saltG = (BigInt(q193Salt) * Golden).mod(BigInt(1) << 64).toString
+    val bucket = s"(((${signed("mh")}) % 1000000 + 1000000) % 1000000)"
+    s"""WITH mx0 AS (SELECT doc_id, lang,
+       |  ${wadd("CAST(doc_id AS UBIGINT)", saltG)} AS sx FROM documents),
+       |${mix64Ctes("sx")},
+       |c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |w AS (SELECT lang, cnt,
+       |  GREATEST(CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE))) AS BIGINT), 1) AS wt FROM c),
+       |l AS (SELECT list_reduce(list(wt), (a, b) -> lcm(a, b)) AS lcmw FROM w),
+       |wl AS (SELECT w.lang, w.cnt, w.wt, l.lcmw, l.lcmw // w.wt AS lw
+       |       FROM w CROSS JOIN l),
+       |m AS (SELECT min(cnt * lw) AS bm FROM wl),
+       |kept AS (SELECT k.lang, count(*) AS n_kept
+       |  FROM mx4 k JOIN wl c ON k.lang = c.lang CROSS JOIN m
+       |  WHERE CAST($bucket AS HUGEINT) * c.lcmw * c.cnt
+       |      < CAST(1000000 AS HUGEINT) * c.wt * m.bm
+       |  GROUP BY k.lang),
+       |tot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total FROM kept),
+       |before_c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang)
+       |SELECT b.lang, b.n_before, k.n_kept,
+       | CAST(k.n_kept AS DOUBLE) / CAST(t.total AS DOUBLE) AS kept_share
+       |FROM before_c b JOIN kept k ON b.lang = k.lang CROSS JOIN tot t
+       |ORDER BY b.lang""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7264,7 +7316,8 @@ object Queries {
     "q189_bpe_encode" -> q189,
     "q190_pq_recall" -> q190,
     "q191_stream_real_distinct" -> q191,
-    "q192_nprobe_sweep" -> q192
+    "q192_nprobe_sweep" -> q192,
+    "q193_temperature_mix" -> q193
   )
 
   val oracles: Map[String, String] = Map(
@@ -7457,6 +7510,7 @@ object Queries {
     "q189_bpe_encode" -> q189Sql,
     "q190_pq_recall" -> q190Sql,
     "q191_stream_real_distinct" -> q191Sql,
-    "q192_nprobe_sweep" -> q192Sql
+    "q192_nprobe_sweep" -> q192Sql,
+    "q193_temperature_mix" -> q193Sql
   )
 }

@@ -212,6 +212,38 @@ object Sampling {
       .drop("__w", "__cnt", "__m")
   }
 
+  /** Temperature-based source rebalancing — the LLM data-mixing move
+    * (GPT-3/PaLM style): sampled share per source ∝ n_s^α, flattening the
+    * natural source distribution so rare sources aren't drowned. α is
+    * FIXED at 1/2 (the canonical temperature T = 1/α = 2), because 1/2 is
+    * the exponent with an exactly cross-engine-reproducible weight rule:
+    * w_s = max(1, ⌊√n_s⌋), and IEEE-754 sqrt is CORRECTLY ROUNDED on
+    * every engine (unlike pow, whose last-ulp differences between libm
+    * implementations would flip a weight and silently change the kept
+    * set). Counts below 2^53 stay exact through the double sqrt — at
+    * larger per-source counts, derive weights upstream.
+    *
+    * Selection delegates to [[rebalanceToTarget]] with the derived
+    * weights: deterministic hash thresholding, map-only on the data pass,
+    * only bounded (source-count-sized) aggregations shuffle. The weight
+    * pull is a driver collect of one row per SOURCE — an enum, never
+    * data-sized. */
+  def temperatureRebalance(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: Long = 0L): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureRebalance: no groups in input")
+    val weights = counts.map { case (g, n) =>
+      g -> math.max(1L, math.sqrt(n.toDouble).toLong)
+    }.toMap
+    rebalanceToTarget(df, idCol, groupCol, weights, salt)
+  }
+
   /** 52-bit hash rank: the selection order shared by [[capPerGroup]] and
     * [[budgetPerGroup]]. 2^52 < 2^53 keeps the value EXACTLY representable
     * as a double (TopKAgg's ord type), so ranking by the double and ranking

@@ -52,6 +52,28 @@ class SamplingSpec extends SparkSpec {
       kept.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("temperatureRebalance flattens shares toward sqrt(n) and keeps the binding group whole") {
+    // a:3600 b:900 c:400 → isqrt weights 60:30:20; binding = min(n/w):
+    // c gives 400/20 = 20 (< 900/30 = 30, 3600/60 = 60) → c kept whole,
+    // expected kept ≈ a:1200 b:600 c:400 (shares 60:30:20)
+    val df = ((1L to 3600L).map(("a", _)) ++ (10001L to 10900L).map(("b", _)) ++
+      (20001L to 20400L).map(("c", _))).toDF("grp", "id")
+    val kept = Sampling.temperatureRebalance(df, "id", "grp", salt = 7L)
+    val byGrp = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("c") == 400L, s"binding group thinned: ${byGrp("c")}")
+    assert(math.abs(byGrp("a") - 1200L) < 100, s"a kept ${byGrp("a")}")
+    assert(math.abs(byGrp("b") - 600L) < 60, s"b kept ${byGrp("b")}")
+    // the whole point: the natural share of a (3600/4900 = 73%) flattens
+    // toward its sqrt share (60/110 = 55%)
+    val total = byGrp.values.sum.toDouble
+    assert(byGrp("a") / total < 0.60 && byGrp("a") / total > 0.50)
+    // no invented rows; deterministic under repartitioning
+    assert(kept.exceptAll(df).count() == 0)
+    val again = Sampling.temperatureRebalance(df.repartition(11, col("id")), "id", "grp", salt = 7L)
+    assert(again.select("id").as[Long].collect().sorted.toSeq ==
+      kept.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("rebalanceToTarget drops unweighted groups and validates weights") {
     val df = Seq(("a", 1L), ("x", 2L)).toDF("grp", "id")
     val kept = Sampling.rebalanceToTarget(df, "id", "grp", Map("a" -> 1L))
