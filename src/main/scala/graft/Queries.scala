@@ -7124,6 +7124,35 @@ object Queries {
        |ORDER BY b.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q194
+  // Epoch-mix PLAN (Sampling.epochMixPlan) — the UPSAMPLING half of data
+  // mixing: per source, how many full epochs plus how many remainder rows
+  // hit a target share of a total row budget (the "source X for 3.4
+  // epochs" table an LLM data recipe publishes). All-integer: target =
+  // ⌊budget·w/Σw⌋, epochs = target div n, remainder = target mod n —
+  // bit-identical cross-engine, one bounded aggregation. Weights make en
+  // UNDER-sampled (epochs 0) and zh/fr OVER-sampled (epochs > 1), so both
+  // regimes are value-checked.
+  private val q194: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Sampling.epochMixPlan(d, "lang",
+        Map("en" -> 1L, "zh" -> 3L, "es" -> 2L, "de" -> 2L, "fr" -> 3L),
+        budgetRows = 1000L)
+      .orderBy("lang")
+  }
+
+  private val q194Sql =
+    s"""WITH w AS (SELECT * FROM (VALUES
+       |    ('en', 1), ('zh', 3), ('es', 2), ('de', 2), ('fr', 3)) t(lang, wt)),
+       |c AS (SELECT d.lang, any_value(w.wt) AS wt, count(*) AS n FROM documents d
+       |      JOIN w ON d.lang = w.lang GROUP BY d.lang),
+       |p AS (SELECT lang, n, wt, (1000 * wt) // 11 AS target FROM c)
+       |SELECT lang, CAST(n AS BIGINT) AS n_rows, CAST(wt AS BIGINT) AS weight,
+       |  CAST(target AS BIGINT) AS target_rows,
+       |  CAST(target // n AS BIGINT) AS full_epochs,
+       |  CAST(target % n AS BIGINT) AS remainder_rows
+       |FROM p ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7317,7 +7346,8 @@ object Queries {
     "q190_pq_recall" -> q190,
     "q191_stream_real_distinct" -> q191,
     "q192_nprobe_sweep" -> q192,
-    "q193_temperature_mix" -> q193
+    "q193_temperature_mix" -> q193,
+    "q194_epoch_mix_plan" -> q194
   )
 
   val oracles: Map[String, String] = Map(
@@ -7511,6 +7541,7 @@ object Queries {
     "q190_pq_recall" -> q190Sql,
     "q191_stream_real_distinct" -> q191Sql,
     "q192_nprobe_sweep" -> q192Sql,
-    "q193_temperature_mix" -> q193Sql
+    "q193_temperature_mix" -> q193Sql,
+    "q194_epoch_mix_plan" -> q194Sql
   )
 }

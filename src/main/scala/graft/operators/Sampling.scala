@@ -244,6 +244,52 @@ object Sampling {
     rebalanceToTarget(df, idCol, groupCol, weights, salt)
   }
 
+  /** Epoch-mix PLAN — the UPSAMPLING half of data mixing ([[
+    * temperatureRebalance]]/[[rebalanceToTarget]] only thin): given target
+    * weights and a total row budget, how many FULL EPOCHS of each source
+    * to take plus how many remainder rows top up the fraction — the
+    * "source X for 3.4 epochs" table an LLM data recipe publishes.
+    *
+    * All-integer arithmetic (products in decimal(38,0) — a 10^10-row
+    * budget times a weight squares past 2^63): target_s =
+    * ⌊budget·w_s/Σw⌋, full_epochs = target div n, remainder = target mod
+    * n — so the plan is bit-identical on any engine, and Σ target_s
+    * undershoots the budget by at most |sources| rows (the floor). The
+    * plan is one bounded aggregation (source-count rows); APPLYING it is
+    * [[capPerGroup]] with k = remainder per source on a fresh salt, plus
+    * full-epoch repetition in the training loader (never materialize
+    * epoch copies in storage).
+    */
+  def epochMixPlan(
+      df: DataFrame,
+      groupCol: String,
+      weights: Map[String, Long],
+      budgetRows: Long): DataFrame = {
+    require(budgetRows > 0, s"budgetRows must be > 0, got $budgetRows")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sumW = weights.values.sum
+    val wdf = weights.toSeq.toDF(groupCol, "__w")
+    val dec = "decimal(38,0)"
+    // explicit floor()s: a bare cast back to scale-0 decimal rounds
+    // HALF_UP and would overshoot the budget
+    val target = floor(
+      lit(budgetRows).cast(dec) * col("__w").cast(dec) / lit(sumW).cast(dec))
+    df.join(broadcast(wdf), Seq(groupCol))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__t", target)
+      .select(
+        col(groupCol),
+        col("n_rows"),
+        col("__w").as("weight"),
+        col("__t").cast("long").as("target_rows"),
+        floor(col("__t") / col("n_rows").cast(dec)).cast("long").as("full_epochs"),
+        (col("__t") % col("n_rows").cast(dec)).cast("long").as("remainder_rows"))
+  }
+
   /** 52-bit hash rank: the selection order shared by [[capPerGroup]] and
     * [[budgetPerGroup]]. 2^52 < 2^53 keeps the value EXACTLY representable
     * as a double (TopKAgg's ord type), so ranking by the double and ranking

@@ -74,6 +74,33 @@ class SamplingSpec extends SparkSpec {
       kept.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("epochMixPlan: integer identities hold, budget undershoot bounded by |groups|") {
+    val df = ((1L to 300L).map(("a", _)) ++ (1L to 40L).map(("b", _))).toDF("grp", "id")
+    val plan = Sampling.epochMixPlan(df, "grp", Map("a" -> 1L, "b" -> 2L), budgetRows = 500L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // target = floor(budget*w/sumW): a -> 166, b -> 333
+    assert(plan("a")._4 == 166L && plan("b")._4 == 333L)
+    // identity: target = epochs*n + remainder, 0 <= remainder < n
+    for ((_, (_, n, _, t, e, r)) <- plan) {
+      assert(t == e * n + r)
+      assert(r >= 0 && r < n)
+    }
+    // a: 166 of 300 rows -> 0 full epochs; b: 333 of 40 -> 8 epochs + 13
+    assert(plan("a")._5 == 0L && plan("a")._6 == 166L)
+    assert(plan("b")._5 == 8L && plan("b")._6 == 13L)
+    // floor undershoot bounded by the group count
+    val totalTarget = plan.values.map(_._4).sum
+    assert(totalTarget <= 500L && 500L - totalTarget < 2)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixPlan(df, "grp", Map("a" -> 1L), budgetRows = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixPlan(df, "grp", Map("a" -> 0L), budgetRows = 10L)
+    }
+  }
+
   test("rebalanceToTarget drops unweighted groups and validates weights") {
     val df = Seq(("a", 1L), ("x", 2L)).toDF("grp", "id")
     val kept = Sampling.rebalanceToTarget(df, "id", "grp", Map("a" -> 1L))
