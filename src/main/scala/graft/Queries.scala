@@ -1078,46 +1078,44 @@ object Queries {
   private val q41: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
     val key = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
-    // bracket table: one row per flag (bounded — flags are an enum)
+    // bracket table: one row per flag (bounded — flags are an enum). It
+    // joins back BROADCAST instead of collecting to the driver: the audit
+    // becomes ONE execution (sample-agg stage → broadcast → audit scan),
+    // no driver round trip, no per-run literal re-codegen — the audit scan
+    // reads each flag's brackets as plain columns.
     val est = li
       .filter(graft.functions.HashFunctions.mix64(key).bitwiseAND(lit(1023L)) < lit(102L))
       .groupBy(col("l_returnflag"))
       .agg(
-        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("m"),
+        AggFunctions.percentileApprox(col("l_quantity"), 0.5, 100).as("__m"),
         // ARRAY-form: one digest per COLUMN, not per quantile.
         approx_percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.75)), lit(100)).as("pp"),
-        count(lit(1)).as("ns"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getSeq[Double](2), r.getLong(3))))
-      .sortBy(_._1)
-    require(est.nonEmpty, "q41: the deterministic sample is empty")
-    def perFlag(v: Map[String, Column]): Column =
-      coalesce(v.toSeq.sortBy(_._1).map { case (f, c) =>
-        when(col("l_returnflag") === f, c)
-      }: _*)
-    val med = perFlag(est.map { case (f, (m, _, _)) => f -> lit(m) }.toMap)
-    val p25 = perFlag(est.map { case (f, (_, pp, _)) => f -> lit(pp(0)) }.toMap)
-    val p75 = perFlag(est.map { case (f, (_, pp, _)) => f -> lit(pp(1)) }.toMap)
-    // per-flag tolerance in per-mil: 30 + 3σ sampling term
-    val tol = perFlag(est.map { case (f, (_, _, ns)) =>
-      f -> lit(30L + math.ceil(3000.0 * math.sqrt(0.25 / ns.toDouble)).toLong)
-    }.toMap)
+          array(lit(0.25), lit(0.75)), lit(100)).as("__pp"),
+        count(lit(1)).as("__ns"))
+      // per-flag tolerance in per-mil: 30 + 3σ binomial sampling term
+      .select(col("l_returnflag"), col("__m"),
+        element_at(col("__pp"), 1).as("__p25"),
+        element_at(col("__pp"), 2).as("__p75"),
+        (lit(30L) + ceil(lit(3000.0) * sqrt(lit(0.25) / col("__ns").cast("double")))
+          .cast("long")).as("__t"))
     def rankOk(pPerMil: Int, lt: Column, le: Column, n: Column, t: Column) =
       coalesce(
         (lt * 1000L <= (lit(pPerMil.toLong) + t) * n) &&
           (le * 1000L >= (lit(pPerMil.toLong) - t) * n),
         lit(false))
-    li.groupBy(col("l_returnflag"))
+    // left join: a flag the sample somehow missed still audits (as a
+    // deterministic FALSE through rankOk's coalesce) instead of vanishing.
+    li.join(broadcast(est), Seq("l_returnflag"), "left")
+      .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        first(tol).as("__t"),
-        count(when(col("l_quantity") < med, 1)).as("__ltm"),
-        count(when(col("l_quantity") <= med, 1)).as("__lem"),
-        count(when(col("l_extendedprice") < p25, 1)).as("__lt25"),
-        count(when(col("l_extendedprice") <= p25, 1)).as("__le25"),
-        count(when(col("l_extendedprice") < p75, 1)).as("__lt75"),
-        count(when(col("l_extendedprice") <= p75, 1)).as("__le75"))
+        first(col("__t")).as("__t"),
+        count(when(col("l_quantity") < col("__m"), 1)).as("__ltm"),
+        count(when(col("l_quantity") <= col("__m"), 1)).as("__lem"),
+        count(when(col("l_extendedprice") < col("__p25"), 1)).as("__lt25"),
+        count(when(col("l_extendedprice") <= col("__p25"), 1)).as("__le25"),
+        count(when(col("l_extendedprice") < col("__p75"), 1)).as("__lt75"),
+        count(when(col("l_extendedprice") <= col("__p75"), 1)).as("__le75"))
       .select(
         col("l_returnflag"),
         col("n"),
@@ -6937,13 +6935,17 @@ object Queries {
     val qs = e.filter(col("vec_id") < 5)
     val truth = Similarity.knnExactL2(e, qs, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val pq = Similarity
-      .knnPq(e, qs, "vec_id", "embedding", dim = 64, k = 5, m = 4, kCodes = 8, iters = 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__pq"))
-    val ivfpq = Similarity
-      .knnIvfPq(e, qs, "vec_id", "embedding",
-        dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivfpq"))
+    // The PQ and IVFPQ legs each run an eager training chain (collects) at
+    // CONSTRUCTION time; they share no state, so build them concurrently —
+    // the certificate costs max(leg) instead of sum(legs).
+    val Seq(pq, ivfpq) = graft.operators.Concurrency.inParallel(Seq(
+      () => Similarity
+        .knnPq(e, qs, "vec_id", "embedding", dim = 64, k = 5, m = 4, kCodes = 8, iters = 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__pq")),
+      () => Similarity
+        .knnIvfPq(e, qs, "vec_id", "embedding",
+          dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivfpq"))))
     truth
       // top-k legs are output-sized (|queries|*k rows) — broadcast them
       // back onto the truth table instead of sort-merging 25-row frames

@@ -203,6 +203,16 @@ object Centrality {
       ce.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("__d"))
     var nEdges = e.count()
+    // Right-size the loop's parallelism to the MEASURED edge count (known
+    // for free from the convergence count): the peel's per-round cost on a
+    // small-to-medium graph is task overhead, not compute — 3 shuffles ×
+    // 32 partitions × N rounds of near-empty tasks. One partition per
+    // ~100k edges (min 1) keeps big graphs parallel and makes small-graph
+    // rounds single-task. coalesce on the checkpointed frame is a cheap
+    // block merge, and edge counts only shrink as rounds peel.
+    val nParts = math.max(1L, math.min(
+      e.rdd.getNumPartitions.toLong, nEdges / 100000L + 1L)).toInt
+    if (nParts < e.rdd.getNumPartitions) e = e.coalesce(nParts)
     var converged = nEdges == 0L
     var iter = 0
     while (!converged) {

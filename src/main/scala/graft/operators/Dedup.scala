@@ -781,6 +781,16 @@ object Dedup {
       // fractional on any engine and mis-rounds boundary sizes)
       .withColumn("__plen",
         expr(s"__sz - ((__sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1"))
+      // Materialize the sorted-token table ONCE: the prefix index and both
+      // verify legs consume it, and nothing guarantees Spark fuses three
+      // consumers of a 5-stage subtree into one computation (the static
+      // plan recomputes the tokenize→df-join→sort chain per consumer — 24
+      // parquet scans for q141's shape; AQE stage reuse recovers only
+      // identical exchanges it happens to schedule). Production simjoin
+      // systems persist the prefix index for the same reason. localCheckpoint
+      // = corpus-linear (one row per doc, its sorted distinct tokens) —
+      // the same order of storage the df-sorted groupBy already shuffles.
+      .localCheckpoint()
     val prefix = ordered.select(col("__doc"), col("__sz"),
       posexplode(slice(col("__tk"), lit(1), col("__plen"))).as(Seq("__i", "__t")))
     val pruned =

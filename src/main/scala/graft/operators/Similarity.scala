@@ -460,10 +460,17 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"pqTrain: dim=$dim not divisible into m=$m subspaces")
     val sub = dim / m
     requireVectorWidth(corpus, vecCol, dim, "pqTrain")
-    (0 until m).toArray.map { s =>
+    // Subspace quantizers are INDEPENDENT (each sees only its own slice),
+    // but each ivfTrain is a chain of driver-synchronous collects — run
+    // sequentially they serialize m·(iters+1) small jobs behind one driver
+    // thread while the cluster idles (measured ~2x off q185/q187's wall at
+    // sf0.1). Train them concurrently: Spark's scheduler is thread-safe,
+    // results land positionally, so the codebooks are bit-identical to the
+    // sequential order.
+    Concurrency.inParallel((0 until m).map { s => () =>
       val sv = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
       ivfTrain(sv, idCol, vecCol, k, iters).sortBy(_._1).map(_._2)
-    }
+    }).toArray
   }
 
   /** Encode each vector as `m` dense codes — the 0-based index of the
