@@ -7155,6 +7155,28 @@ object Queries {
        |  CAST(target % n AS BIGINT) AS remainder_rows
        |FROM p ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  // Stream-stream interval join through the REAL streaming engine
+  // (StreamingJoin.intervalJoinFileStream — the q174/q191 recipe applied
+  // to the symmetric-hash join operator): two independent readStream file
+  // sources over the same events table, q94's probe/match split, the
+  // watermarked banded join buffering BOTH sides in the engine's
+  // checkpointed state store, append-mode sink run to completion. q94
+  // proves the operator's batch twin; this row proves join state
+  // round-trips through the state store and pairs match across
+  // micro-batch boundaries. Oracle: q94's replay verbatim — an inner
+  // stream-stream join run to completion must equal the batch interval
+  // join over the same events, row for row (the harness widens only the
+  // EVICTION horizon, which a complete run never reaches; see
+  // intervalJoinFileStream's scaladoc for why a tight watermark would be
+  // nondeterministic under arbitrary file batching).
+  private val q195: Q = (s, dir) =>
+    graft.streaming.StreamingJoin
+      .intervalJoinFileStream(s, s"$dir/events.parquet")
+      .orderBy("probe_id", "match_id")
+
+  private val q195Sql = q94Sql
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7349,7 +7371,8 @@ object Queries {
     "q191_stream_real_distinct" -> q191,
     "q192_nprobe_sweep" -> q192,
     "q193_temperature_mix" -> q193,
-    "q194_epoch_mix_plan" -> q194
+    "q194_epoch_mix_plan" -> q194,
+    "q195_stream_real_join" -> q195
   )
 
   val oracles: Map[String, String] = Map(
@@ -7544,6 +7567,7 @@ object Queries {
     "q191_stream_real_distinct" -> q191Sql,
     "q192_nprobe_sweep" -> q192Sql,
     "q193_temperature_mix" -> q193Sql,
-    "q194_epoch_mix_plan" -> q194Sql
+    "q194_epoch_mix_plan" -> q194Sql,
+    "q195_stream_real_join" -> q195Sql
   )
 }

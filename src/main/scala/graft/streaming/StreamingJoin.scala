@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming join surface (SURVEY.md §2.12): the two join shapes a live
@@ -54,5 +54,50 @@ object StreamingJoin {
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $band")
     l.join(r, cond)
+  }
+
+  /** [[intervalJoin]] driven through the REAL Structured-Streaming engine
+    * — the stream-stream-join sibling of q174/q191, closing the last
+    * streaming codepath the gate otherwise sees only as a batch twin: the
+    * symmetric-hash join operator buffering BOTH sides in the checkpointed
+    * state store and matching across micro-batch boundaries. Two
+    * independent `readStream` file sources over the same events table
+    * (q94's probe/match split: every 10th event probes for same-user
+    * events within the following hour) → watermarked interval join →
+    * append-mode memory sink, run to completion with
+    * `Trigger.AvailableNow()`.
+    *
+    * Watermark semantics in THIS harness: an inner stream-stream join
+    * emits a pair the moment its second side arrives — the watermark
+    * governs only state EVICTION and late-INPUT drops, never emission. A
+    * parquet source is not event-time-ordered, so under an arbitrary file
+    * batching a tight watermark could evict (or late-drop) rows whose
+    * matches sit in a later batch and silently lose pairs; the gate run
+    * must equal the batch replay under ANY batching, so it uses an
+    * eviction horizon wider than the dataset's time span (state = the
+    * full stream — exactly what the batch join holds too). The TIGHT
+    * watermark behavior (in-band match kept, out-of-band and late rows
+    * dropped) is pinned by StreamingSpec's MemoryStream test, where batch
+    * boundaries are controlled.
+    *
+    * EAGER like the q164/q174/q191 twins: a terminal streaming result has
+    * no lazy form. */
+  def intervalJoinFileStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    def side(): DataFrame = {
+      val raw = StreamingHarness.fileSource(spark, eventsPath)
+      raw.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id"),
+        graft.Tables.instantTs(raw.schema, "ts").as("ts"))
+    }
+    val probes = side()
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("user_id"), col("ts").as("probe_ts"), col("event_id").as("probe_id"))
+    val matches = side()
+      .select(col("user_id"), col("ts").as("match_ts"), col("event_id").as("match_id"))
+    val joined = intervalJoin(probes, matches, "user_id", "probe_ts", "match_ts",
+      band = "1 hour", watermark = "3650 days")
+    StreamingHarness.runToMemorySink(
+      spark, joined.select(col("probe_id"), col("match_id")), "append")
   }
 }

@@ -327,6 +327,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("intervalJoinFileStream (real engine, join state store) equals the batch join") {
+    // Multi-FILE input split so probes and their matches land in DIFFERENT
+    // part-files: the pair can only form if the earlier side's row
+    // survived in the checkpointed join state until the later batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ijfs").toString
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val rows = (0 until 200).map { i =>
+      (i.toLong, i.toLong % 7, new Timestamp(base + i * 60000L), "e", 1.0)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    // range-split on event_id: all probe rows (id % 10 == 0) scatter across
+    // both files, and a probe's in-band matches (ids within the next 60)
+    // frequently sit in the other file
+    df.repartitionByRange(2, $"event_id").write.parquet(s"$dir/events")
+    val got = graft.streaming.StreamingJoin
+      .intervalJoinFileStream(spark, s"$dir/events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = df.as("l").join(df.as("r"),
+        col("l.event_id") % 10 === 0 &&
+          col("r.user_id") === col("l.user_id") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(want.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming transition edges accumulate to the batch matrix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Event
