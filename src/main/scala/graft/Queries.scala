@@ -7177,6 +7177,118 @@ object Queries {
 
   private val q195Sql = q94Sql
 
+  // ---------------------------------------------------------------- q196
+  // Corpus-wide duplicated-LINE removal (Dedup.dropDuplicatedLines) — the
+  // boilerplate scrub every web-corpus pipeline runs (RefinedWeb's
+  // line-wise corrections, Dolma's paragraph dedup): any line appearing in
+  // ≥ 5 distinct documents (nav menus, cookie banners, promo footers) is
+  // dropped from every document, and the text is reassembled from the
+  // surviving lines in original order. The corpus has no newlines, so each
+  // doc synthesizes a 4-line page hitting every verdict class (the q186
+  // synthesize-then-scrub convention): a 3-variant cookie/subscribe/follow
+  // banner (≈n/3 docs each — removed), a 6-token content prefix (the rule
+  // decides its fate — shared prefixes get scrubbed too, exactly like real
+  // template text), a doc-unique footer (kept), and a 4-variant promo code
+  // line keyed off mix64 (removed). The oracle rebuilds the same lines
+  // arithmetically and replays count→filter→reassemble in SQL, so the
+  // verdict threshold, within-doc-repeat handling (countDistinct docs, not
+  // occurrences), and reassembly ORDER are all value-checked.
+  private val q196: Q = (s, dir) => {
+    val k = col("doc_id").cast("long")
+    val mh = graft.functions.HashFunctions.mix64(k)
+    val l1 = when(k % 3 === 0, lit("accept all cookies to continue"))
+      .when(k % 3 === 1, lit("subscribe to our newsletter today"))
+      .otherwise(lit("follow us on social media"))
+    val l2 = concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 6))
+    val l3 = format_string("document %d of %s", k, col("source"))
+    val l4 = format_string("promo code %d", mh.bitwiseAND(lit(3L)))
+    val pages = Tables.documents(s, dir)
+      .select(k.as("doc_id"), concat_ws("\n", l1, l2, l3, l4).as("page"))
+    Dedup.dropDuplicatedLines(pages, "doc_id", "page", minDocs = 5L)
+      .orderBy("doc_id")
+  }
+
+  private val q196Sql = {
+    val mh = DuckHash.mix64Inline("CAST(k AS UBIGINT)")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k, text, source FROM documents),
+       |ln AS (
+       |  SELECT k, 0 AS pos,
+       |    CASE WHEN k % 3 = 0 THEN 'accept all cookies to continue'
+       |         WHEN k % 3 = 1 THEN 'subscribe to our newsletter today'
+       |         ELSE 'follow us on social media' END AS line FROM d
+       |  UNION ALL
+       |  SELECT k, 1, array_to_string(list_slice(
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END, 1, 6), ' ') FROM d
+       |  UNION ALL
+       |  SELECT k, 2, 'document ' || CAST(k AS VARCHAR) || ' of ' || source FROM d
+       |  UNION ALL
+       |  SELECT k, 3, 'promo code ' || CAST(($mh) & 3 AS VARCHAR) FROM d),
+       |nb AS (SELECT k, pos, line FROM ln WHERE length(trim(line)) > 0),
+       |boiler AS (SELECT line FROM (
+       |    SELECT line, count(DISTINCT k) AS nd FROM nb GROUP BY line) WHERE nd >= 5),
+       |kept AS (SELECT nb.k, nb.pos, nb.line FROM nb
+       |  LEFT JOIN boiler b ON nb.line = b.line WHERE b.line IS NULL),
+       |re AS (SELECT k, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+       |  FROM kept GROUP BY k),
+       |tot AS (SELECT k, count(*) AS n_lines FROM nb GROUP BY k)
+       |SELECT t.k AS doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+       |  CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(r.cleaned_text, '') AS cleaned_text
+       |FROM tot t LEFT JOIN re r ON r.k = t.k
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q197
+  // Tokenizer FERTILITY per language (tokens-per-word after BPE encoding)
+  // — the tokenizer-fairness metric an LLM data team reads before fixing a
+  // vocab: a tokenizer trained on a skewed mix fragments under-represented
+  // languages into more pieces (higher fertility), inflating their
+  // effective sequence length and training cost. Train q188's 6 merges,
+  // encode the word VOCABULARY once (bounded, map-only chained folds),
+  // then join each document word's piece count back through a broadcast
+  // (the corpus-side pass is explode + broadcast-probe + one lang-keyed
+  // aggregation — the 100 TB shape). The oracle replays training to st6
+  // (duckBpeCtes — the SAME shared chain as q188/q189) and re-derives the
+  // per-lang word stream independently, so merge application, the word
+  // filter, and the fertility arithmetic are all value-checked.
+  private val q197: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val vocab = BpeTrainer.wordVocab(docs, "text")
+    val (merges, _) = BpeTrainer.train(vocab, nMerges = 6)
+    val pieces = BpeTrainer.encodeVocab(vocab, merges)
+      .select(col("word"), size(col("syms")).cast("long").as("__np"))
+    val docWords = docs
+      .select(col("lang"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    docWords
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__np")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
+  private val q197Sql =
+    s"""WITH ${duckBpeCtes(6)},
+       |pieces AS (SELECT word, CAST(len(syms) AS BIGINT) AS np FROM st6),
+       |dw AS (SELECT lang, unnest(
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS word
+       |  FROM documents),
+       |fw AS (SELECT lang, word FROM dw WHERE regexp_matches(word, '^[a-z]+$$'))
+       |SELECT f.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(p.np) AS BIGINT) AS n_tokens,
+       |  CAST(sum(p.np) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       |FROM fw f JOIN pieces p ON p.word = f.word
+       |GROUP BY f.lang ORDER BY f.lang""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7372,7 +7484,9 @@ object Queries {
     "q192_nprobe_sweep" -> q192,
     "q193_temperature_mix" -> q193,
     "q194_epoch_mix_plan" -> q194,
-    "q195_stream_real_join" -> q195
+    "q195_stream_real_join" -> q195,
+    "q196_line_dedup" -> q196,
+    "q197_tokenizer_fertility" -> q197
   )
 
   val oracles: Map[String, String] = Map(
@@ -7568,6 +7682,8 @@ object Queries {
     "q192_nprobe_sweep" -> q192Sql,
     "q193_temperature_mix" -> q193Sql,
     "q194_epoch_mix_plan" -> q194Sql,
-    "q195_stream_real_join" -> q195Sql
+    "q195_stream_real_join" -> q195Sql,
+    "q196_line_dedup" -> q196Sql,
+    "q197_tokenizer_fertility" -> q197Sql
   )
 }

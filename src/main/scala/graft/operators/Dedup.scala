@@ -870,4 +870,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         expr("(n_inter * 1000000) div n_union").as("jaccard_ppm"))
   }
+
+  /** Corpus-wide duplicated-LINE removal — the boilerplate scrub every
+    * web-corpus pipeline runs before model training (RefinedWeb §"line-wise
+    * corrections", FineWeb, Dolma's paragraph dedup): a line occurring in
+    * ≥ `minDocs` DISTINCT documents is boilerplate (nav menus, cookie
+    * banners, subscribe prompts) and is dropped from every document it
+    * appears in; document text is reassembled from the surviving lines in
+    * original order.
+    *
+    * Document identity is deliberately NOT an input to the verdict — the
+    * same line is judged once corpus-wide (per-line-HASH count), so the
+    * operator is two map-combined aggregations + one semi-probe, never
+    * pairwise.
+    *
+    * Scale shape: lines explode from the scan (corpus-linear);
+    * the per-line-hash distinct-doc count is a map-side-combined
+    * aggregation whose key space is the distinct-line vocabulary (zipfian
+    * — boilerplate concentrates, the long tail is unique lines); the
+    * boilerplate set (lines with ≥ minDocs docs — tiny by zipf) comes back
+    * as a broadcast-able semi/anti probe; reassembly is one doc-keyed
+    * aggregation. Nothing is ever doc × doc, and the only corpus-sized
+    * shuffle is the reassembly.
+    *
+    * Output: one row per input document —
+    * `(idCol, n_lines, n_removed, cleaned_text)` where `cleaned_text` is
+    * the newline-join of surviving lines ("" when every line was
+    * boilerplate). Blank lines (after trim) are ignored for counting and
+    * never removed-by-duplication (they are not content; pipelines handle
+    * whitespace normalization separately — [[graft.plans.NfcNormalize]] /
+    * Cleaning).
+    */
+  def dropDuplicatedLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .filter(length(trim(col("__line"))) > 0)
+    // boilerplate = lines in >= minDocs distinct docs, keyed by line text
+    // (exact match — the production rule; fuzzy line matching would be
+    // MinHash territory). countDistinct, not count: a line repeated WITHIN
+    // one doc is repetition (q46's metric), not cross-doc boilerplate.
+    val boiler = lines
+      .groupBy(col("__line"))
+      .agg(countDistinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__line"))
+    val kept = lines.join(boiler, Seq("__line"), "left_anti")
+    val reassembled = kept
+      .groupBy(col("__doc"))
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("cleaned_text"))
+    lines
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_lines"))
+      .join(reassembled, Seq("__doc"), "left")
+      .select(
+        col("__doc").as(idCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -352,6 +352,46 @@ class DedupSpec extends SparkSpec {
     assert(guarded == bruteJaccard(rows, 3, 5))
   }
 
+  test("dropDuplicatedLines: cross-doc lines drop, within-doc repeats and unique lines survive") {
+    val docs = Seq(
+      // "banner" appears in docs 1,2,3 (>= minDocs=3) -> removed everywhere
+      (1L, "banner\nalpha one\nbanner"), // repeated WITHIN doc 1 too
+      (2L, "banner\nbeta two"),
+      (3L, "banner\ngamma three"),
+      // "echo" appears twice but only WITHIN doc 4 -> ONE distinct doc,
+      // NOT boilerplate (countDistinct, not count)
+      (4L, "echo\necho\ndelta four"),
+      // blank lines are ignored for counting and never block reassembly
+      (5L, "\nzeta five\n"),
+      // every line boilerplate -> cleaned_text must be ""
+      (6L, "banner")).toDF("doc_id", "text")
+    // doc 6 makes "banner" 4 distinct docs; threshold 3
+    val got = Dedup.dropDuplicatedLines(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "alpha one"),
+      (2L, 2L, 1L, "beta two"),
+      (3L, 2L, 1L, "gamma three"),
+      (4L, 3L, 0L, "echo\necho\ndelta four"),
+      (5L, 1L, 0L, "zeta five"),
+      (6L, 1L, 1L, "")))
+  }
+
+  test("dropDuplicatedLines preserves original line order in reassembly") {
+    // 12 docs share "x"; each doc interleaves unique lines around it —
+    // surviving lines must come back in ORIGINAL positions, not sorted text
+    val docs = (0L until 12L).map { i =>
+      (i, s"z$i first\nx\na$i middle\nx\nm$i last")
+    }.toDF("doc_id", "text")
+    val got = Dedup.dropDuplicatedLines(docs, "doc_id", "text", minDocs = 10L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall { case (i, n, r, t) =>
+      n == 5L && r == 2L && t == s"z$i first\na$i middle\nm$i last"
+    })
+  }
+
   test("bestSurvivorLosers rejects non-integral ids loudly") {
     val comp = Seq(("a", "a")).toDF("node", "cluster")
     val scored = Seq(("a", 1.0)).toDF("doc_id", "score")
