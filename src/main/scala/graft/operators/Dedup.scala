@@ -928,14 +928,19 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")), "\n").as("cleaned_text"))
-    lines
-      .groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_lines"))
+    // Base on the INPUT docs, not the line table: a document whose lines
+    // are all blank has no line rows at all and must still come back as
+    // (id, 0, 0, "") — "one row per input document" is the contract a
+    // pipeline stage composes on.
+    df.select(col(idCol).as("__doc"))
+      .join(lines.groupBy(col("__doc")).agg(count(lit(1)).as("__n_lines")),
+        Seq("__doc"), "left")
       .join(reassembled, Seq("__doc"), "left")
       .select(
         col("__doc").as(idCol),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("__n_lines"), lit(0L)) - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 }

@@ -47,8 +47,18 @@ private[streaming] object StreamingHarness {
     * don't pile up catalog entries). */
   def runToMemorySink(spark: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_stream_run_${runSeq.incrementAndGet()}"
+    // Checkpoint on Spark's SCRATCH volume (spark.local.dir — tmpfs in the
+    // bench/gate JVMs), not java.io.tmpdir: the state store + commit log
+    // fsync every micro-batch, and this checkpoint is TERMINAL (deleted on
+    // return, no recovery reader), so durable-disk latency buys nothing. A
+    // production stream with a recovery contract checkpoints to durable
+    // storage through its own writeStream, not this harness.
+    val scratch = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.props.get("spark.local.dir"))
+      .map { d => val f = new java.io.File(d); f.mkdirs(); f.toPath }
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft-ckpt-$name").toString
+      .createTempDirectory(scratch, s"graft-ckpt-$name").toString
     // start() itself can throw at analysis time (bad output mode, vanished
     // source path) — that happens BEFORE the cleanup try below is entered,
     // so the fresh checkpoint dir must be reclaimed here or it leaks. The

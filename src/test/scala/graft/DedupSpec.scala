@@ -364,7 +364,9 @@ class DedupSpec extends SparkSpec {
       // blank lines are ignored for counting and never block reassembly
       (5L, "\nzeta five\n"),
       // every line boilerplate -> cleaned_text must be ""
-      (6L, "banner")).toDF("doc_id", "text")
+      (6L, "banner"),
+      // ALL lines blank -> still one output row, (0, 0, "")
+      (7L, "\n  \n")).toDF("doc_id", "text")
     // doc 6 makes "banner" 4 distinct docs; threshold 3
     val got = Dedup.dropDuplicatedLines(docs, "doc_id", "text", minDocs = 3L)
       .orderBy("doc_id")
@@ -375,7 +377,8 @@ class DedupSpec extends SparkSpec {
       (3L, 2L, 1L, "gamma three"),
       (4L, 3L, 0L, "echo\necho\ndelta four"),
       (5L, 1L, 0L, "zeta five"),
-      (6L, 1L, 1L, "")))
+      (6L, 1L, 1L, ""),
+      (7L, 0L, 0L, "")))
   }
 
   test("dropDuplicatedLines preserves original line order in reassembly") {
