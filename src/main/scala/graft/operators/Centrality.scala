@@ -202,36 +202,43 @@ object Centrality {
     def degrees(ce: DataFrame): DataFrame =
       ce.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("__d"))
-    var nEdges = e.count()
+    val nEdges = e.count()
     // Right-size the loop's parallelism to the MEASURED edge count (known
-    // for free from the convergence count): the peel's per-round cost on a
-    // small-to-medium graph is task overhead, not compute — 3 shuffles ×
-    // 32 partitions × N rounds of near-empty tasks. One partition per
-    // ~100k edges (min 1) keeps big graphs parallel and makes small-graph
-    // rounds single-task. coalesce on the checkpointed frame is a cheap
-    // block merge, and edge counts only shrink as rounds peel.
+    // for free from the initial materialization count): the peel's
+    // per-round cost on a small-to-medium graph is task overhead, not
+    // compute — shuffles × 32 partitions × N rounds of near-empty tasks.
+    // One partition per ~100k edges (min 1) keeps big graphs parallel and
+    // makes small-graph rounds single-task. coalesce on the checkpointed
+    // frame is a cheap block merge, and edge counts only shrink as rounds
+    // peel.
     val nParts = math.max(1L, math.min(
       e.rdd.getNumPartitions.toLong, nEdges / 100000L + 1L)).toInt
     if (nParts < e.rdd.getNumPartitions) e = e.coalesce(nParts)
-    var converged = nEdges == 0L
+    // Convergence is decided on the DEGREE table (zero sub-k nodes), not
+    // by re-counting the edge list after a rebuild: the fixpoint round
+    // then costs one aggregation + one node-sized count — no no-op
+    // semi-join, no fixpoint-round checkpoint of an unchanged edge list —
+    // and its degree table IS the output (the edge set didn't change), so
+    // the old trailing degrees(e) pass disappears too. The per-round
+    // degree checkpoint is node-sized; the edge checkpoint runs only in
+    // rounds that actually dropped something.
     var iter = 0
-    while (!converged) {
+    while (true) {
       iter += 1
-      if (iter > maxIter)
+      if (iter > maxIter + 1)
         throw new IllegalStateException(
           s"k-core did not reach its fixpoint in $maxIter peel rounds; " +
             "raise maxIter (rounds needed = the graph's peel depth)")
-      val keep = degrees(e)
-        .filter(col("__d") >= k)
-        .select(col("node"))
+      val deg = degrees(e).localCheckpoint()
+      val nDrop = deg.filter(col("__d") < k).count()
+      if (nDrop == 0L)
+        return deg.select(col("node"), col("__d").as("degree"))
+      val keep = deg.filter(col("__d") >= k).select(col("node"))
       e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
-      val n = e.count()
-      converged = n == nEdges || n == 0L
-      nEdges = n
     }
-    degrees(e).select(col("node"), col("__d").as("degree"))
+    throw new IllegalStateException("unreachable")
   }
 }
