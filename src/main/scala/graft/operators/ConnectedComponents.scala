@@ -56,11 +56,21 @@ object ConnectedComponents {
     // plan: EVERYTHING downstream — iterations, convergence probes, the
     // final node list — reads the materialized edges, so the upstream
     // pipeline (e.g. a full MinHash-LSH pass) executes exactly once.
-    val initEdges = pairs
-      .select(greatest(a, b).as("u"), least(a, b).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    val initEdges = {
+      val ck = pairs
+        .select(greatest(a, b).as("u"), least(a, b).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // Right-size loop parallelism to the MEASURED edge count (the count
+      // reads already-materialized blocks — cheap): every star round runs
+      // 2 shuffles + 2 convergence probes, and on a small-to-medium pair
+      // graph those are 32 near-empty tasks each. One partition per ~100k
+      // edges, min 1 (the kCore rule).
+      val nParts = math.max(1L, math.min(
+        ck.rdd.getNumPartitions.toLong, ck.count() / 100000L + 1L)).toInt
+      if (nParts < ck.rdd.getNumPartitions) ck.coalesce(nParts) else ck
+    }
     var edges = initEdges
 
     // large-star: per center u over the FULL neighborhood (symmetrize
