@@ -16,8 +16,8 @@ import graft.functions.TextFunctions
   * Determinism: each round's winning pair is (max frequency-weighted
   * count, ties to the lexicographically smallest (lhs, rhs)); merge
   * application is the standard greedy non-overlapping left-to-right pass,
-  * expressed as a codegen'd `aggregate()` fold — no UDF, so re-encoding
-  * stays inside whole-stage codegen. Same corpus → same merge table on
+  * expressed as the native codegen kernel [[graft.plans.BpeMergeFold]] —
+  * no UDF, so re-encoding stays inside whole-stage codegen. Same corpus → same merge table on
   * any partitioning or engine (the DuckDB oracle replays training round
   * by round, including the greedy overlap rule on runs like "aaa").
   *
@@ -59,49 +59,22 @@ object BpeTrainer {
         (l, r) => struct(l.as("l"), r.as("r"))),
       p => p.getField("r").isNotNull)
 
-  /** Apply merge (a, b) → ab to a symbol array: greedy non-overlapping
-    * left-to-right, as a single sequential fold — accumulator carries the
-    * rebuilt prefix plus one pending symbol, so "a a a" under (a, a)
-    * becomes "aa a", never "a aa". */
-  private def applyMerge(syms: Column, a: String, b: String): Column = {
-    val zero = struct(
-      typedLit(Seq.empty[String]).as("out"),
-      lit(null).cast("string").as("carry"))
-    aggregate(
-      syms,
-      zero,
-      (acc, x) => {
-        val out = acc.getField("out")
-        val carry = acc.getField("carry")
-        when(carry === lit(a) && x === lit(b),
-          struct(
-            concat(out, array(lit(a + b))).as("out"),
-            lit(null).cast("string").as("carry")))
-          .otherwise(struct(
-            when(carry.isNotNull, concat(out, array(carry))).otherwise(out).as("out"),
-            x.as("carry")))
-      },
-      acc =>
-        when(acc.getField("carry").isNotNull,
-          concat(acc.getField("out"), array(acc.getField("carry"))))
-          .otherwise(acc.getField("out")))
-  }
-
   /** ENCODE with a frozen merge table — the production side of BPE (train
     * once on a sample epoch, encode every corpus snapshot after): char-
     * split each word and apply the merges in rank order, each one the same
-    * greedy left-to-right fold as training. Map-only (merges arrive as
-    * literals, one chained projection, no shuffle) — encoding 100 TB is
-    * embarrassingly parallel. The chained-fold form suits bounded merge
-    * tables (catalog-scale); a 32k-merge production table would apply via
-    * a loop + periodic localCheckpoint instead, same semantics. */
+    * greedy left-to-right pass as training. Map-only (the merge table
+    * ships once per task inside ONE kernel expression, no shuffle, no
+    * per-merge plan nodes) — encoding 100 TB is embarrassingly parallel,
+    * and a 32k-merge production table is one expression whose cost is
+    * merges × word length, not 32k nested projections. */
   def encodeVocab(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val init = vocab.select(
-      col("word"), col("freq").cast("long").as("freq"),
-      charSyms(col("word")).as("syms"))
-    merges.sortBy(_.rank).foldLeft(init) { (df, m) =>
-      df.withColumn("syms", applyMerge(col("syms"), m.lhs, m.rhs))
-    }
+    val syms =
+      if (merges.isEmpty) charSyms(col("word"))
+      else graft.plans.GraftFunctions.bpeMergeFold(
+        charSyms(col("word")),
+        merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)))
+    vocab.select(
+      col("word"), col("freq").cast("long").as("freq"), syms.as("syms"))
   }
 
   /** Train `nMerges` rounds over a (word, freq) vocabulary. Returns the
@@ -167,12 +140,11 @@ object BpeTrainer {
             used += a; used += b; used += (a + b)
           }
         }
-        // Apply the round's merges in rank order as ONE chained
-        // projection — one re-encode pass, one checkpoint per ROUND.
-        state = picked
-          .foldLeft(state) { case (df, (a, b, _)) =>
-            df.withColumn("syms", applyMerge(col("syms"), a, b))
-          }
+        // Apply the round's merges in rank order as ONE kernel pass —
+        // one re-encode, one checkpoint per ROUND.
+        state = state
+          .withColumn("syms", graft.plans.GraftFunctions.bpeMergeFold(
+            col("syms"), picked.toSeq.map { case (a, b, _) => (a, b) }))
           .localCheckpoint()
         val mass =
           if (trackSymbolMass)

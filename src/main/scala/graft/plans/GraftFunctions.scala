@@ -64,6 +64,12 @@ object GraftFunctions {
     ColumnBridge.column(
       SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Apply a BPE merge table, in rank order, each merge a greedy
+    * non-overlapping left-to-right pass (see [[BpeMergeFold]]) — the BPE
+    * train/encode kernel. */
+  def bpeMergeFold(syms: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeMergeFold(ColumnBridge.expression(syms), merges))
+
   private[plans] val nfcBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 1, "graft_nfc expects exactly 1 argument")
     NfcNormalize(children.head)

@@ -214,4 +214,52 @@ class ExpressionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"), plan.take(2000))
   }
+
+  test("BpeMergeFold applies merges greedily left-to-right, in rank order") {
+    val df = Seq(
+      Seq("a", "a", "a"),          // greedy overlap rule: (a,a) -> [aa, a]
+      Seq("a", "b", "a", "b"),     // both occurrences merge in one pass
+      Seq("b", "a"),               // no match
+      Seq.empty[String]
+    ).toDF("s")
+    val got = df.select(
+        GraftFunctions.bpeMergeFold($"s", Seq(("a", "a"))).as("one"),
+        // rank order: (a,b) first creates "ab", then (ab,ab) sees the NEW
+        // symbols from pass one
+        GraftFunctions.bpeMergeFold($"s", Seq(("a", "b"), ("ab", "ab"))).as("two"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1))).toSeq
+    assert(got == Seq(
+      (Seq("aa", "a"), Seq("a", "a", "a")),
+      (Seq("a", "b", "a", "b"), Seq("abab")),
+      (Seq("b", "a"), Seq("b", "a")),
+      (Seq.empty[String], Seq.empty[String])))
+  }
+
+  test("BpeMergeFold: null array is null, null elements never match and copy through") {
+    val nullArr = Seq((Option.empty[Seq[String]], 1)).toDF("s", "k")
+      .select(GraftFunctions.bpeMergeFold($"s", Seq(("a", "a")))).collect()(0)
+    assert(nullArr.isNullAt(0))
+    val withNullElem = Seq(Seq[String]("a", null, "a")).toDF("s")
+      .select(GraftFunctions.bpeMergeFold($"s", Seq(("a", "a"))))
+      .collect()(0).getSeq[String](0)
+    assert(withNullElem == Seq("a", null, "a"))
+  }
+
+  test("BpeMergeFold interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = graft.plans.BpeMergeFold(
+      Literal.create(Seq("a", "a", "a", "b"), ArrayType(StringType)),
+      Seq(("a", "a"), ("aa", "a")))
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(got.toSeq[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(s => if (s == null) null else s.toString) == Seq("aaa", "b"))
+  }
+
+  test("BpeMergeFold participates in codegen (no CodegenFallback)") {
+    val plan = Seq(Seq("a", "a")).toDF("s")
+      .select(GraftFunctions.bpeMergeFold($"s", Seq(("a", "a"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(2000))
+  }
 }
