@@ -7289,6 +7289,61 @@ object Queries {
        |FROM fw f JOIN pieces p ON p.word = f.word
        |GROUP BY f.lang ORDER BY f.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  // HTML → text extraction (TextFunctions.htmlToText) — the FIRST step of
+  // every web-corpus pipeline, upstream of every scrub the catalog already
+  // has (line dedup q196, quality q22, lang-id q23, dedup tiers). Each doc
+  // synthesizes a full page around its text (the q186/q196 convention)
+  // exercising every extraction rule: a <style> block and a <script>
+  // containing both a '<' comparison and a literal "</p>" (contents must
+  // DROP, and the embedded block tag must not leak a newline), block tags
+  // (title/nav/h1/p/div) that become line structure, inline <em> that must
+  // NOT split words, entities including the &amp;amp; single-decode trap
+  // (renders as the five characters "&amp;", never double-decodes), &nbsp;
+  // and quotes, and tag-noise whitespace that must collapse. The oracle
+  // does NOT replay the regex chain — it derives the EXPECTED text
+  // arithmetically from the generator's pieces (title line, nav line,
+  // entity line decoded by hand, body, byline), so every rule is
+  // value-checked against an independent derivation, full-string compare.
+  private val q198: Q = (s, dir) => {
+    val k = col("doc_id").cast("long")
+    val body = concat_ws(" ", TextFunctions.tokens(col("text")))
+    val page = format_string(
+      "<!DOCTYPE html><html><head><title>Doc %d</title>" +
+        "<style>body{color:#333}</style></head><body>" +
+        "<script>var x=1<2; s=\"</p>\";</script>" +
+        "<nav>Home | About</nav><h1>Doc %d</h1>" +
+        "<p>A &amp;amp; B &lt;i&gt; &quot;Q&quot;&nbsp;!</p>" +
+        "<div>%s</div><em>by %s</em></body></html>",
+      k, k, body, col("source"))
+    Tables.documents(s, dir)
+      .select(k.as("doc_id"),
+        TextFunctions.htmlToText(page).as("extracted"))
+      .select(col("doc_id"), col("extracted"),
+        size(split(col("extracted"), "\n")).cast("long").as("n_lines"),
+        length(col("extracted")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val q198Sql =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k, source,
+       |    array_to_string(
+       |      CASE WHEN length(trim(text)) = 0 THEN []
+       |           ELSE regexp_split_to_array(trim(text), '\\s+') END, ' ') AS body
+       |  FROM documents),
+       |e AS (SELECT k, array_to_string(list_filter([
+       |    'Doc ' || CAST(k AS VARCHAR),
+       |    'Home | About',
+       |    'Doc ' || CAST(k AS VARCHAR),
+       |    'A &amp; B <i> "Q" !',
+       |    body,
+       |    'by ' || source], x -> x <> ''), chr(10)) AS extracted
+       |  FROM d)
+       |SELECT k AS doc_id, extracted,
+       |  CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(length(extracted) AS BIGINT) AS n_chars
+       |FROM e ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7486,7 +7541,8 @@ object Queries {
     "q194_epoch_mix_plan" -> q194,
     "q195_stream_real_join" -> q195,
     "q196_line_dedup" -> q196,
-    "q197_tokenizer_fertility" -> q197
+    "q197_tokenizer_fertility" -> q197,
+    "q198_html_extract" -> q198
   )
 
   val oracles: Map[String, String] = Map(
@@ -7684,6 +7740,7 @@ object Queries {
     "q194_epoch_mix_plan" -> q194Sql,
     "q195_stream_real_join" -> q195Sql,
     "q196_line_dedup" -> q196Sql,
-    "q197_tokenizer_fertility" -> q197Sql
+    "q197_tokenizer_fertility" -> q197Sql,
+    "q198_html_extract" -> q198Sql
   )
 }

@@ -220,4 +220,48 @@ object TextFunctions {
     rules.foldRight(lit(default)) { case ((kw, cat), acc) =>
       when(array_contains(toks, kw), lit(cat)).otherwise(acc)
     }
+
+  /** HTML → text extraction — the FIRST step of every web-corpus pipeline
+    * (the simplified deterministic tier of the trafilatura/resiliparse
+    * class, as pure codegen regex passes — no UDF, no parser library, so
+    * the 100 TB extraction pass rides the scan like every other
+    * TextFunction):
+    *
+    *  1. script/style elements drop WITH their contents (code is not
+    *     prose; the backreferenced close-tag match is Java-regex only,
+    *     which is fine — extraction runs on the Spark side; oracles
+    *     derive expected text independently);
+    *  2. block-level tags become newlines (paragraph structure survives
+    *     for the line-level scrubs downstream — [[graft.operators.Dedup
+    *     .dropDuplicatedLines]] composes directly);
+    *  3. remaining tags strip to spaces (inline markup does not split
+    *     words);
+    *  4. the common entities decode, `&amp;` LAST — single-decode
+    *     semantics: `&amp;lt;` renders as the four characters `&lt;`,
+    *     never double-decodes to `<`;
+    *  5. whitespace normalizes: runs containing a newline collapse to one
+    *     newline, other runs to one space, lines trim, ends trim.
+    *
+    * Not a spec-complete HTML5 parser (comments/CDATA with embedded `>`
+    * and exotic entities pass through) — the production trade every
+    * regex-tier extractor makes; the value is determinism and scan-speed.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val blocks = regexp_replace(noScript,
+      "(?i)</?(p|br|hr|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|blockquote|pre|" +
+        "section|article|header|footer|nav|aside|form|figure|figcaption)\\b[^>]*/?>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    val amp = regexp_replace(entities, "&amp;", "&")
+    val nlRuns = regexp_replace(amp, "[ \\t\\x0B\\f\\r]*\\n\\s*", "\n")
+    val spRuns = regexp_replace(nlRuns, "[ \\t\\x0B\\f\\r]+", " ")
+    // regex trim, not trim(): built-in trim strips SPACES only, and a
+    // block tag at the document edge leaves a leading/trailing newline
+    regexp_replace(regexp_replace(spRuns, "(?m)^ | $", ""), "^\\s+|\\s+$", "")
+  }
 }

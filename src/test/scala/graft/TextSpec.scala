@@ -86,4 +86,29 @@ class TextSpec extends SparkSpec {
     // "streaming" the TOKEN does not match the keyword "stream"
     assert(out == Seq("other", "streaming"))
   }
+
+  test("htmlToText: scripts/styles drop with contents, blocks become lines, inline tags do not split words") {
+    val html =
+      """<html><head><SCRIPT type="text/js">if (1 < 2) { x = "</p>"; }</SCRIPT>
+        |<StYlE>p { margin: 0 }</sTyLe></head>
+        |<body><p>first para</p><p>sec<em>on</em>d</p><br/>after break</body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextFunctions.htmlToText($"h")).as[String].head()
+    // case-insensitive script/style strip WITH contents (the "</p>" inside
+    // the script must not leak a line break); <em> strips to a space
+    assert(out == "first para\nsec on d\nafter break")
+  }
+
+  test("htmlToText: entity single-decode, &amp; decodes last") {
+    val out = Seq("<p>x &lt;tag&gt; &amp;lt;literal&amp;gt; a&nbsp;&amp;&nbsp;b &quot;q&quot; &#39;s&#39;</p>")
+      .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // &amp;lt; renders as the four characters "&lt;" — never double-decodes to "<"
+    assert(out == "x <tag> &lt;literal&gt; a & b \"q\" 's'")
+  }
+
+  test("htmlToText: whitespace collapses, empty lines vanish, attributes strip") {
+    val out = Seq("<div class=\"a b\"  data-x='1'>  one   two </div>\n\n<div>\t</div><div>three</div>")
+      .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    assert(out == "one two\nthree")
+  }
 }
