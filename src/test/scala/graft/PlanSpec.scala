@@ -610,6 +610,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p.take(4000))
   }
 
+  test("q196 line dedup: no cartesian, no nested loop, line explode in codegen") {
+    val p = plan(SparkEntry.queries("q196_line_dedup")(spark, sf))
+    // boilerplate detection is aggregation + anti-probe — never pairwise
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("Generate"), p.take(4000)) // the posexplode of lines
+  }
+
+  test("q197 tokenizer fertility: document words probe the encoded vocab via broadcast") {
+    val df = SparkEntry.queries("q197_tokenizer_fertility")(spark, sf)
+    df.collect() // AQE finalizes the plan (q21 precedent)
+    val p = df.queryExecution.executedPlan.toString()
+    val fin = p.split("== Initial Plan ==").head
+    // the corpus-side word stream must meet the bounded piece table as a
+    // broadcast hash join — a sort-merge there shuffles the corpus on a
+    // string key for nothing
+    assert(fin.contains("BroadcastHashJoin"), fin.take(4000))
+    assert(!fin.contains("SortMergeJoin"), fin.take(4000))
+    assert(!fin.contains("CartesianProduct"), fin.take(4000))
+  }
+
+  test("q198 html extraction: join-free scan-riding projection") {
+    val p = plan(SparkEntry.queries("q198_html_extract")(spark, sf))
+    // extraction is a per-row regex chain — any join or aggregate before
+    // the presentation sort means it stopped riding the scan
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("q168 codec round-trip is shuffle-free up to the final presentation sort") {
     val df = SparkEntry.queries("q168_codec_roundtrip")(spark, sf)
     val p = plan(df)
