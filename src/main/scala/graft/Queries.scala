@@ -7344,6 +7344,76 @@ object Queries {
        |  CAST(length(extracted) AS BIGINT) AS n_chars
        |FROM e ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  // Web-corpus curation CAPSTONE — the round's new operators composing in
+  // ONE lazy plan, the way a FineWeb-style pipeline actually ships: raw
+  // HTML page (synthesized per doc: nav banner, body paragraph, a
+  // doc-unique ref line, a per-source footer — docs with k%7==0 plant a
+  // SHARED boilerplate body so both scrub regimes fire) → htmlToText
+  // (q198's extractor) → corpus-wide duplicated-line scrub (q196's
+  // operator: the nav line spans all 500 docs, each footer spans its
+  // source's 25, the planted bodies span ~71 — all drop at minDocs=5;
+  // real bodies and ref lines survive) → survival gate (a doc whose BODY
+  // was boilerplate has only its ref line left and is dropped) →
+  // per-source export rollup (docs, kept docs, kept token mass). Scale
+  // shape: extraction rides the scan, the scrub is q196's two
+  // aggregations + anti-probe, the gate is a filter, the rollup is
+  // source-keyed — one lazy plan, no collect. The oracle re-derives the
+  // extracted lines arithmetically (q198's convention) and replays
+  // scrub→gate→rollup in SQL, so the whole composition is value-checked
+  // end-to-end.
+  private val q199: Q = (s, dir) => {
+    val k = col("doc_id").cast("long")
+    val docs = Tables.documents(s, dir)
+    val body = when(k % 7 === 0, lit("lorem ipsum boilerplate body"))
+      .otherwise(concat_ws(" ", TextFunctions.tokens(col("text"))))
+    val page = concat(
+      lit("<html><body><nav>Site Nav</nav><p>"), body,
+      lit("</p><div>"), format_string("ref %d", k),
+      lit("</div><footer>(c) "), col("source"),
+      lit(" network</footer></body></html>"))
+    val pages = docs.select(k.as("doc_id"),
+      TextFunctions.htmlToText(page).as("page"))
+    val scrubbed = Dedup.dropDuplicatedLines(pages, "doc_id", "page", minDocs = 5L)
+      .withColumn("__kept", (col("n_lines") - col("n_removed")) >= 2)
+      .withColumn("__toks", when(col("__kept"),
+        TextFunctions.tokenCount(col("cleaned_text")).cast("long")).otherwise(0L))
+    docs.select(k.as("doc_id"), col("source"))
+      .join(scrubbed, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("__toks")).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val q199Sql =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k, source, text FROM documents),
+       |b AS (SELECT k, source,
+       |    CASE WHEN k % 7 = 0 THEN 'lorem ipsum boilerplate body'
+       |         ELSE array_to_string(
+       |           CASE WHEN length(trim(text)) = 0 THEN []
+       |                ELSE regexp_split_to_array(trim(text), '\\s+') END, ' ') END AS body
+       |  FROM d),
+       |ln AS (
+       |  SELECT k, source, 0 AS pos, 'Site Nav' AS line FROM b
+       |  UNION ALL SELECT k, source, 1, body FROM b
+       |  UNION ALL SELECT k, source, 2, 'ref ' || CAST(k AS VARCHAR) FROM b
+       |  UNION ALL SELECT k, source, 3, '(c) ' || source || ' network' FROM b),
+       |nb AS (SELECT * FROM ln WHERE length(trim(line)) > 0),
+       |boiler AS (SELECT line FROM (
+       |    SELECT line, count(DISTINCT k) AS nd FROM nb GROUP BY line) WHERE nd >= 5),
+       |kept AS (SELECT nb.k, nb.source, nb.line FROM nb
+       |  LEFT JOIN boiler bo ON nb.line = bo.line WHERE bo.line IS NULL),
+       |doc AS (SELECT k, source, count(*) AS n_kept,
+       |    sum(len(regexp_split_to_array(trim(line), '\\s+'))) AS n_toks
+       |  FROM kept GROUP BY k, source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_kept >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       |  CAST(sum(CASE WHEN n_kept >= 2 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM doc GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7542,7 +7612,8 @@ object Queries {
     "q195_stream_real_join" -> q195,
     "q196_line_dedup" -> q196,
     "q197_tokenizer_fertility" -> q197,
-    "q198_html_extract" -> q198
+    "q198_html_extract" -> q198,
+    "q199_web_curation_e2e" -> q199
   )
 
   val oracles: Map[String, String] = Map(
@@ -7741,6 +7812,7 @@ object Queries {
     "q195_stream_real_join" -> q195Sql,
     "q196_line_dedup" -> q196Sql,
     "q197_tokenizer_fertility" -> q197Sql,
-    "q198_html_extract" -> q198Sql
+    "q198_html_extract" -> q198Sql,
+    "q199_web_curation_e2e" -> q199Sql
   )
 }
