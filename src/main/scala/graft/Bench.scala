@@ -212,10 +212,23 @@ object Bench {
     // to a stable file in the repo. The file is (over)written every run
     // and committed, making the per-query record loss-proof even when the
     // process is killed right after this point.
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
-    try java.nio.file.Files.writeString(outPath, json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] bench_out write failed: $e") }
+    // Output location: full-path overrides (SPARK_GRAFT_BENCH_OUT /
+    // SPARK_GRAFT_METRICS_OUT) win; otherwise files land in
+    // SPARK_GRAFT_BENCH_OUT_DIR (default: the process cwd — NOT a
+    // hard-coded repo root, which made every ad-hoc run clobber the
+    // committed record). Subset runs (SPARK_GRAFT_BENCH_ONLY set) get a
+    // ".subset" suffix so a partial sweep can never overwrite a full one.
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT_DIR", "."))
+    val subsetSuffix = if (only.isDefined) ".subset" else ""
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(outDir.resolve(s"bench_out$subsetSuffix.json"))
+    try {
+      val parent = outPath.toAbsolutePath.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.writeString(outPath, json + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_out write failed: $e") }
     // stderr gets ONLY a compact line (total + 10 slowest): a 90-query
     // line on stderr is what overflowed the tail window; the compact form
     // always fits and names the file carrying the full record.
@@ -243,8 +256,9 @@ object Bench {
       System.err.println("[bench] metrics bus still draining at deadline — sheet may undercount tail tasks")
     // Each query's sheet = its WINNING pass's execution only (one clean
     // run, same semantics as the min-across-passes timing beside it).
-    val metricsPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "/root/repo/bench_metrics.json"))
+    val metricsPath = sys.env.get("SPARK_GRAFT_METRICS_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(outDir.resolve(s"bench_metrics$subsetSuffix.json"))
     val selection = resultsWithPass.collect {
       case (n, t, p) if t >= 0 => s"bench-$n" -> s"bench-$n#p$p"
     }

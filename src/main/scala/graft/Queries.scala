@@ -1105,6 +1105,12 @@ object Queries {
         lit(false))
     // left join: a flag the sample somehow missed still audits (as a
     // deterministic FALSE through rankOk's coalesce) instead of vanishing.
+    // Deliberate failure surface: a FULLY-empty sample (possible only if
+    // the ~10% hash sample drew zero rows — i.e. a near-empty table)
+    // likewise yields all-FALSE audit rows, which the oracle flags as a
+    // mismatch; there is no in-engine assertion because empty-input runs
+    // of an audit must still return a frame (the gate compares, the
+    // engine doesn't throw).
     li.join(broadcast(est), Seq("l_returnflag"), "left")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -7296,15 +7302,21 @@ object Queries {
   // synthesizes a full page around its text (the q186/q196 convention)
   // exercising every extraction rule: a <style> block and a <script>
   // containing both a '<' comparison and a literal "</p>" (contents must
-  // DROP, and the embedded block tag must not leak a newline), block tags
-  // (title/nav/h1/p/div) that become line structure, inline <em> that must
-  // NOT split words, entities including the &amp;amp; single-decode trap
-  // (renders as the five characters "&amp;", never double-decodes), &nbsp;
-  // and quotes, and tag-noise whitespace that must collapse. The oracle
-  // does NOT replay the regex chain — it derives the EXPECTED text
-  // arithmetically from the generator's pieces (title line, nav line,
-  // entity line decoded by hand, body, byline), so every rule is
-  // value-checked against an independent derivation, full-string compare.
+  // DROP, and the embedded block tag must not leak a newline), an HTML
+  // comment whose contents (prose AND an embedded <p>) must drop without
+  // leaking a newline, a <![CDATA[...]]> section that likewise drops with
+  // contents, block tags (title/nav/h1/p/div and table cells td/th) that
+  // become line structure, inline <em> that must NOT split words,
+  // entities including the &amp;amp; single-decode trap (renders as the
+  // five characters "&amp;", never double-decodes), NUMERIC character
+  // references (decimal &#8217;, hex &#x2019;/&#X2019;, and the
+  // &amp;#60; numeric single-decode trap — stays the five characters
+  // "&#60;"), &nbsp; and quotes, and tag-noise whitespace that must
+  // collapse. The oracle does NOT replay the regex chain — it derives
+  // the EXPECTED text arithmetically from the generator's pieces (title
+  // line, nav line, entity lines decoded by hand, table cells, body,
+  // byline), so every rule is value-checked against an independent
+  // derivation, full-string compare.
   private val q198: Q = (s, dir) => {
     val k = col("doc_id").cast("long")
     val body = concat_ws(" ", TextFunctions.tokens(col("text")))
@@ -7312,8 +7324,12 @@ object Queries {
       "<!DOCTYPE html><html><head><title>Doc %d</title>" +
         "<style>body{color:#333}</style></head><body>" +
         "<script>var x=1<2; s=\"</p>\";</script>" +
+        "<!-- draft note <p>never ships</p> -->" +
         "<nav>Home | About</nav><h1>Doc %d</h1>" +
         "<p>A &amp;amp; B &lt;i&gt; &quot;Q&quot;&nbsp;!</p>" +
+        "<p>It&#8217;s &#x2019;quoted&#X2019; &amp;#60;kept&#59;</p>" +
+        "<![CDATA[raw <td> bytes]]>" +
+        "<table><tr><td>c1</td><th>c2</th></tr></table>" +
         "<div>%s</div><em>by %s</em></body></html>",
       k, k, body, col("source"))
     Tables.documents(s, dir)
@@ -7336,6 +7352,10 @@ object Queries {
        |    'Home | About',
        |    'Doc ' || CAST(k AS VARCHAR),
        |    'A &amp; B <i> "Q" !',
+       |    'It' || chr(8217) || 's ' || chr(8217) || 'quoted' || chr(8217)
+       |      || ' &#60;kept;',
+       |    'c1',
+       |    'c2',
        |    body,
        |    'by ' || source], x -> x <> ''), chr(10)) AS extracted
        |  FROM d)
@@ -7413,6 +7433,112 @@ object Queries {
        |  CAST(sum(CASE WHEN n_kept >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
        |  CAST(sum(CASE WHEN n_kept >= 2 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
        |FROM doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+  // Watermark-evicted dedup through the REAL streaming engine
+  // (StreamingDedup.dedupFileStream — the q174/q191/q195 recipe applied
+  // to dropDuplicatesWithinWatermark, the last stateful operator class
+  // the gate previously saw only as q92's batch Deduplicate substitute):
+  // readStream file source over documents → synthesized event time →
+  // the watermark-keyed dedup state store → append sink, run to
+  // completion. The eviction horizon is wider than the synthesized time
+  // span, so no eviction and no late-drop can fire and the surviving
+  // fingerprint SET equals the batch twin under ANY file batching (see
+  // dedupFileStream's scaladoc); tight-horizon eviction semantics are
+  // pinned by StreamingSpec. Oracle: q92's replay verbatim.
+  private val q200: Q = (s, dir) =>
+    graft.streaming.StreamingDedup
+      .dedupFileStream(s, s"$dir/documents.parquet")
+      .orderBy("fp")
+
+  private val q200Sql = q92Sql
+
+  // ---------------------------------------------------------------- q201
+  // Per-user quota throttle through the REAL streaming engine
+  // (StreamingThrottle.throttledFileStream): readStream file source →
+  // the admitted-counter state-store fold → append sink run to
+  // completion → per-user ADMITTED COUNTS. The count projection is
+  // batching-independent — admitted-per-user = min(limit, events) under
+  // any delivery order — so a lost or doubled state round-trip surfaces
+  // as over/under-admission; WHICH events are admitted is pinned by
+  // StreamingSpec's controlled-batch MemoryStream test. Oracle: the
+  // min(limit, count) identity computed directly.
+  private val q201: Q = (s, dir) =>
+    graft.streaming.StreamingThrottle
+      .throttledFileStream(s, s"$dir/events.parquet", limit = 5)
+      .orderBy("user_id")
+
+  private val q201Sql =
+    """SELECT user_id, LEAST(5, count(*)) AS n_admitted
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  // First-touch funnel through the REAL streaming engine
+  // (StreamingFunnel.stepsFileStream): readStream file source → the
+  // per-user step-time-vector state-store fold → append sink, run to
+  // completion — every (user, step, reach time) row, value-checked
+  // against q83's derivation per user (not just the stage counts). A
+  // funnel is order-sensitive, so this row leans on AvailableNow's
+  // one-data-batch property for a source with no per-trigger cap (see
+  // stepsFileStream's scaladoc); out-of-order behavior is pinned by
+  // StreamingSpec. Oracle: q83's v/c/p chain emitting the rows
+  // themselves.
+  private val q202: Q = (s, dir) =>
+    graft.streaming.StreamingFunnel
+      .stepsFileStream(s, s"$dir/events.parquet", Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("step"), col("ts"))
+      .orderBy("user_id", "step")
+
+  private val q202Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+      |SELECT user_id, CAST(1 AS INTEGER) AS step, CAST(t AS TIMESTAMP) AS ts FROM v
+      |UNION ALL SELECT user_id, CAST(2 AS INTEGER), CAST(t AS TIMESTAMP) FROM c
+      |UNION ALL SELECT user_id, CAST(3 AS INTEGER), CAST(t AS TIMESTAMP) FROM p
+      |ORDER BY user_id, step""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  // Journey-transition matrix through the REAL streaming engine
+  // (StreamingTransitions.edgesFileStream): readStream file source → the
+  // last-event state-store fold → append sink run to completion → the
+  // (from_type, to_type, n) matrix. Order-sensitive like q202 — same
+  // one-data-batch rationale; the edge multiset then equals
+  // Funnel.transitions exactly. Oracle: q112's lead() replay, counts
+  // only (the share column is q112's own certificate).
+  private val q203: Q = (s, dir) =>
+    graft.streaming.StreamingTransitions
+      .edgesFileStream(s, s"$dir/events.parquet")
+      .orderBy("from_type", "to_type")
+
+  private val q203Sql =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+      |FROM seq WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  // Running top-k leaderboard through the REAL streaming engine
+  // (StreamingLeaders.topKLeadersFileStream — the recipe applied to the
+  // stateful-AGGREGATION operator, StateStoreSave, whose serialized
+  // k-heap buffers no other real-engine row exercises): readStream file
+  // source → streaming groupBy + TopKAgg → COMPLETE-mode sink run to
+  // completion (final table = final aggregation state). TopKAgg's merge
+  // is commutative with a total tiebreak, so the result is deterministic
+  // under ANY file batching. Oracle: q162's row_number replay verbatim.
+  private val q204: Q = (s, dir) =>
+    graft.streaming.StreamingLeaders
+      .topKLeadersFileStream(s, s"$dir/events.parquet", k = 3)
+      .orderBy("event_type", "rnk")
+
+  private val q204Sql = q162Sql
 
   // ------------------------------------------------------------------
 
@@ -7613,7 +7739,12 @@ object Queries {
     "q196_line_dedup" -> q196,
     "q197_tokenizer_fertility" -> q197,
     "q198_html_extract" -> q198,
-    "q199_web_curation_e2e" -> q199
+    "q199_web_curation_e2e" -> q199,
+    "q200_stream_real_dedup" -> q200,
+    "q201_stream_real_throttle" -> q201,
+    "q202_stream_real_funnel" -> q202,
+    "q203_stream_real_transitions" -> q203,
+    "q204_stream_real_leaders" -> q204
   )
 
   val oracles: Map[String, String] = Map(
@@ -7813,6 +7944,11 @@ object Queries {
     "q196_line_dedup" -> q196Sql,
     "q197_tokenizer_fertility" -> q197Sql,
     "q198_html_extract" -> q198Sql,
-    "q199_web_curation_e2e" -> q199Sql
+    "q199_web_curation_e2e" -> q199Sql,
+    "q200_stream_real_dedup" -> q200Sql,
+    "q201_stream_real_throttle" -> q201Sql,
+    "q202_stream_real_funnel" -> q202Sql,
+    "q203_stream_real_transitions" -> q203Sql,
+    "q204_stream_real_leaders" -> q204Sql
   )
 }

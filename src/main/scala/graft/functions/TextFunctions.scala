@@ -231,33 +231,45 @@ object TextFunctions {
     *     prose; the backreferenced close-tag match is Java-regex only,
     *     which is fine — extraction runs on the Spark side; oracles
     *     derive expected text independently);
-    *  2. block-level tags become newlines (paragraph structure survives
+    *  2. HTML comments and `<![CDATA[...]]>` sections drop WITH their
+    *     contents (comment prose is author notes, not page text; HTML5
+    *     tokenizes a CDATA section in HTML content as a bogus comment —
+    *     neither renders). An UNTERMINATED opener drops to end-of-input,
+    *     the browser behavior — truncated pages must not leak markup;
+    *  3. block-level tags become newlines (paragraph structure survives
     *     for the line-level scrubs downstream — [[graft.operators.Dedup
-    *     .dropDuplicatedLines]] composes directly);
-    *  3. remaining tags strip to spaces (inline markup does not split
+    *     .dropDuplicatedLines]] composes directly); `title`/`td`/`th`/
+    *     `caption` are block-level here — head content and table cells
+    *     must not glue onto the adjacent text;
+    *  4. remaining tags strip to spaces (inline markup does not split
     *     words);
-    *  4. the common entities decode, `&amp;` LAST — single-decode
+    *  5. character references decode — named entities AND decimal/hex
+    *     numeric refs (`&#8217;`/`&#x2019;`) — in ONE pass of the
+    *     [[graft.plans.HtmlEntityDecode]] kernel, single-decode
     *     semantics: `&amp;lt;` renders as the four characters `&lt;`,
     *     never double-decodes to `<`;
-    *  5. whitespace normalizes: runs containing a newline collapse to one
+    *  6. whitespace normalizes: runs containing a newline collapse to one
     *     newline, other runs to one space, lines trim, ends trim.
     *
-    * Not a spec-complete HTML5 parser (comments/CDATA with embedded `>`
-    * and exotic entities pass through) — the production trade every
-    * regex-tier extractor makes; the value is determinism and scan-speed.
+    * Not a spec-complete HTML5 parser (exotic NAMED entities pass
+    * through literally) — the production trade every regex-tier
+    * extractor makes; the value is determinism and scan-speed.
     */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
-    val blocks = regexp_replace(noScript,
-      "(?i)</?(p|br|hr|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|blockquote|pre|" +
+    // comments/CDATA AFTER script/style (a commented-out <script> block
+    // is removed by the script rule first, so the comment rule sees only
+    // the empty shell) and BEFORE the block-tag rule (a block tag inside
+    // a comment must not emit a newline).
+    val noComments = regexp_replace(noScript, "(?s)<!--.*?(?:-->|$)", " ")
+    val noCdata = regexp_replace(noComments, "(?s)<!\\[CDATA\\[.*?(?:\\]\\]>|$)", " ")
+    val blocks = regexp_replace(noCdata,
+      "(?i)</?(p|br|hr|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|td|th|caption|" +
+        "title|blockquote|pre|" +
         "section|article|header|footer|nav|aside|form|figure|figcaption)\\b[^>]*/?>", "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
-    val entities = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
-      .foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
-    val amp = regexp_replace(entities, "&amp;", "&")
+    val amp = graft.plans.GraftFunctions.htmlUnescape(noTags)
     val nlRuns = regexp_replace(amp, "[ \\t\\x0B\\f\\r]*\\n\\s*", "\n")
     val spRuns = regexp_replace(nlRuns, "[ \\t\\x0B\\f\\r]+", " ")
     // regex trim, not trim(): built-in trim strips SPACES only, and a

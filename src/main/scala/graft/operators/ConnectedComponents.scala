@@ -56,22 +56,27 @@ object ConnectedComponents {
     // plan: EVERYTHING downstream — iterations, convergence probes, the
     // final node list — reads the materialized edges, so the upstream
     // pipeline (e.g. a full MinHash-LSH pass) executes exactly once.
-    val initEdges = {
-      val ck = pairs
-        .select(greatest(a, b).as("u"), least(a, b).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      // Right-size loop parallelism to the MEASURED edge count (the count
-      // reads already-materialized blocks — cheap): every star round runs
-      // 2 shuffles + 2 convergence probes, and on a small-to-medium pair
-      // graph those are 32 near-empty tasks each. One partition per ~100k
-      // edges, min 1 (the kCore rule).
-      val nParts = math.max(1L, math.min(
-        ck.rdd.getNumPartitions.toLong, ck.count() / 100000L + 1L)).toInt
-      if (nParts < ck.rdd.getNumPartitions) ck.coalesce(nParts) else ck
-    }
-    var edges = initEdges
+    val ckInit = pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // Right-size loop parallelism to the MEASURED edge count (the count
+    // reads already-materialized blocks — cheap): every star round runs
+    // 2 shuffles + 2 convergence probes, and on a small-to-medium pair
+    // graph those are 32 near-empty tasks each. One partition per ~100k
+    // edges, min 1 (the kCore rule). Re-applied after EVERY star round:
+    // each round's groupBy/join re-shuffles to spark.sql.shuffle
+    // .partitions, so a one-shot coalesce would only size round 1. Edge
+    // counts shrink monotonically under star contraction, so the initial
+    // sizing stays an upper bound.
+    val nParts = math.max(1L, math.min(
+      ckInit.rdd.getNumPartitions.toLong, ckInit.count() / 100000L + 1L)).toInt
+    // coalesce(n) never INCREASES partition count, so applying it
+    // unconditionally is safe (no-op when the frame already has ≤ nParts,
+    // including after AQE's own shuffle coalescing).
+    def rightSize(e: DataFrame): DataFrame = e.coalesce(nParts)
+    var edges = rightSize(ckInit)
 
     // large-star: per center u over the FULL neighborhood (symmetrize
     // first), m = min(N(u) ∪ {u}); re-point every larger neighbor at m.
@@ -129,7 +134,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = rightSize(smallStar(largeStar(edges))).localCheckpoint()
       converged = isStarForm(edges)
       iter += 1
     }
@@ -147,8 +152,8 @@ object ConnectedComponents {
     // the CHECKPOINTED initial edges, not the raw pairs plan (self-pairs
     // (x,x) carry no merge information, so dropping them with the u≠v
     // filter loses nothing).
-    val nodes = initEdges.select(col("u").as("node"))
-      .union(initEdges.select(col("v").as("node"))).distinct()
+    val nodes = ckInit.select(col("u").as("node"))
+      .union(ckInit.select(col("v").as("node"))).distinct()
     nodes
       .join(edges.select(col("u").as("node"), col("v").as("root")), Seq("node"), "left")
       .select(col("node"), coalesce(col("root"), col("node")).as("cluster"))

@@ -78,6 +78,19 @@ object GraftFunctions {
   private[plans] val nfcInfo =
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
 
+  /** HTML character-reference decode (see [[HtmlEntityDecode]]) — named
+    * entities + decimal/hex numeric refs, single-pass single-decode. */
+  def htmlUnescape(s: Column): Column =
+    ColumnBridge.column(HtmlEntityDecode(ColumnBridge.expression(s)))
+
+  private[plans] val htmlUnescapeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_html_unescape expects exactly 1 argument")
+    HtmlEntityDecode(children.head)
+  }
+
+  private[plans] val htmlUnescapeInfo =
+    new ExpressionInfo(classOf[HtmlEntityDecode].getName, "graft_html_unescape")
+
   /** Grouped top-k aggregate (see [[TopKAgg]]): the k largest `(ord, id)`
     * pairs by (ord DESC, id ASC), in rank order. Use instead of a
     * `row_number` window when only the top k rows per group are needed —
@@ -131,6 +144,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_nfc"), nfcInfo, nfcBuilder)
     spark.sessionState.functionRegistry
+      .registerFunction(
+        FunctionIdentifier("graft_html_unescape"), htmlUnescapeInfo, htmlUnescapeBuilder)
+    spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_topk"), topkInfo, topkBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder)
@@ -153,6 +169,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_nfc"), GraftFunctions.nfcInfo,
         GraftFunctions.nfcBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_html_unescape"), GraftFunctions.htmlUnescapeInfo,
+        GraftFunctions.htmlUnescapeBuilder))
     ext.injectFunction(
       (FunctionIdentifier("graft_topk"), GraftFunctions.topkInfo,
         GraftFunctions.topkBuilder))

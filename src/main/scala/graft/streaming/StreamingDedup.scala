@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -39,4 +39,39 @@ object StreamingDedup {
   def dedupBatch(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", TextFunctions.fingerprintMd5(col(textCol)))
       .dropDuplicates("fp")
+
+  /** [[dedupStream]] driven through the REAL Structured-Streaming engine —
+    * the q174/q191/q195 recipe applied to the WATERMARK-EVICTED dedup
+    * state store, the last stateful operator class the gate otherwise sees
+    * only as the batch `Deduplicate` substitute (q92): `readStream` file
+    * source over the documents parquet → synthesized event time →
+    * `dropDuplicatesWithinWatermark` through the engine's checkpointed
+    * state store → append-mode sink, run to completion with
+    * `Trigger.AvailableNow()`.
+    *
+    * Determinism under ANY file batching: documents carry no timestamp, so
+    * event time is synthesized deterministically from `doc_id` (spread
+    * over one day), and the eviction horizon is far wider than that span —
+    * the watermark can therefore never evict a fingerprint from state nor
+    * drop an input row as late, and the SURVIVING FINGERPRINT SET equals
+    * the batch twin's exactly, whatever the batching. Which physical row
+    * survives per fingerprint is nondeterministic (q92's caveat), hence
+    * the fp-only projection. TIGHT-horizon behavior — eviction after the
+    * watermark passes, a late re-post admitted as new — is pinned by
+    * StreamingSpec's MemoryStream test, where batch boundaries are
+    * controlled.
+    *
+    * EAGER like the q164/q174/q191/q195 twins: a terminal streaming result
+    * has no lazy form. */
+  def dedupFileStream(spark: SparkSession, documentsPath: String): DataFrame = {
+    val raw = StreamingHarness.fileSource(spark, documentsPath)
+    val docs = raw.select(
+      col("text"),
+      timestamp_seconds(
+        lit(1704067200L) + pmod(col("doc_id").cast("long"), lit(86400L))).as("ts"))
+    StreamingHarness.runToMemorySink(
+      spark,
+      dedupStream(docs, "ts", "text", horizon = "3650 days").select(col("fp")),
+      "append")
+  }
 }

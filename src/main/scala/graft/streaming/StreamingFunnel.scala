@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming funnel — the live feed behind the batch first-touch
@@ -61,5 +62,40 @@ object StreamingFunnel {
           state.update(t)
           out.result().iterator
         })
+  }
+
+  /** [[stepsReached]] driven through the REAL Structured-Streaming engine
+    * — the q174/q191/q195 recipe applied to the funnel's per-user
+    * step-time vector: `readStream` file source over the events parquet →
+    * the state-store fold → append-mode sink, run to completion with
+    * `Trigger.AvailableNow()`. Output: every (user, step, reach time),
+    * the full per-user funnel record, value-checked row for row.
+    *
+    * Determinism: a funnel is ORDER-SENSITIVE (an out-of-order batch can
+    * delay a conversion), so this row leans on the engine's one-data-batch
+    * property — `Trigger.AvailableNow` with no per-trigger cap
+    * (maxFilesPerTrigger unset) delivers ALL available files in a single
+    * data micro-batch, and the fold's in-batch (ts, event_id) sort is then
+    * the batch operator's total order, making the result equal
+    * `Funnel.userSteps` exactly. Arbitrary-batching behavior (late events
+    * can only delay, never invent, a conversion) is pinned by
+    * StreamingSpec's MemoryStream test, where batch boundaries are
+    * controlled.
+    *
+    * EAGER like the q164/q174/q191/q195 twins: a terminal streaming
+    * result has no lazy form. */
+  def stepsFileStream(
+      spark: SparkSession,
+      eventsPath: String,
+      steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
+    val ev = raw.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"),
+      graft.Tables.instantTs(raw.schema, "ts").as("ts")).as[Event]
+    StreamingHarness.runToMemorySink(
+      spark, stepsReached(ev, steps).toDF(), "append")
   }
 }

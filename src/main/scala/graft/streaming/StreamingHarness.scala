@@ -53,8 +53,12 @@ private[streaming] object StreamingHarness {
     // return, no recovery reader), so durable-disk latency buys nothing. A
     // production stream with a recovery contract checkpoints to durable
     // storage through its own writeStream, not this harness.
+    // spark.local.dir legally holds a comma-separated list of volumes —
+    // take the first entry, or a naive mkdirs creates (and checkpoints
+    // into) a literal directory named "dir1,dir2".
     val scratch = spark.conf.getOption("spark.local.dir")
       .orElse(sys.props.get("spark.local.dir"))
+      .map(_.split(",").head.trim).filter(_.nonEmpty)
       .map { d => val f = new java.io.File(d); f.mkdirs(); f.toPath }
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val ckpt = java.nio.file.Files

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.GraftFunctions
@@ -42,4 +42,37 @@ object StreamingLeaders {
         (col("pos") + 1).cast("long").as("rnk"),
         col("col.ord").as("ord"),
         col("col.id").as("id")): _*)
+
+  /** [[topKLeaders]] driven through the REAL Structured-Streaming engine —
+    * the q174/q191/q195 recipe applied to the stateful-AGGREGATION
+    * operator (`StateStoreSave`), whose serialized k-heap buffers the gate
+    * otherwise sees only in batch shuffles: `readStream` file source over
+    * the events parquet → streaming groupBy + TopKAgg → COMPLETE-mode
+    * memory sink (the sink table is replaced each trigger, so the final
+    * table IS the final aggregation state), run to completion with
+    * `Trigger.AvailableNow()`.
+    *
+    * Deterministic under ANY file batching: TopKAgg's merge is
+    * commutative/associative with a total (ord DESC, id ASC) tiebreak, so
+    * the final heap per group — and therefore the final complete-mode
+    * emission — equals the batch aggregation whatever order batches
+    * deliver rows in.
+    *
+    * EAGER like the q164/q174/q191/q195 twins: a terminal streaming
+    * result has no lazy form. */
+  def topKLeadersFileStream(
+      spark: SparkSession,
+      eventsPath: String,
+      k: Int = 3): DataFrame = {
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
+    val ev = raw
+      .select(col("event_type"),
+        col("value").cast("double").as("value"),
+        col("event_id").cast("long").as("event_id"))
+      .filter(col("value").isNotNull)
+    StreamingHarness.runToMemorySink(
+      spark,
+      topKLeaders(ev, Seq("event_type"), col("value"), col("event_id"), k),
+      "complete")
+  }
 }

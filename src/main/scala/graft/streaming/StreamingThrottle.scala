@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -54,5 +54,39 @@ object StreamingThrottle {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= limit)
       .drop("__rn")
+  }
+
+  /** [[throttled]] driven through the REAL Structured-Streaming engine —
+    * the q174/q191/q195 recipe applied to the quota counter: `readStream`
+    * file source over the events parquet → the per-key state-store fold →
+    * append-mode sink, run to completion with `Trigger.AvailableNow()`,
+    * then the admitted stream aggregated to PER-USER ADMITTED COUNTS.
+    *
+    * The count projection is what makes the gate row deterministic under
+    * ANY file batching: the state counter counts every event seen, so the
+    * total admitted per user is min(limit, total events) whatever order
+    * batches deliver them in — only WHICH events are admitted varies, and
+    * that set is pinned (as exactly the batch twin's `throttleBatch`
+    * prefix) by StreamingSpec's MemoryStream test, where batch boundaries
+    * are controlled. A lost or double-counted state round-trip would
+    * surface here as over/under-admission.
+    *
+    * EAGER like the q164/q174/q191/q195 twins: a terminal streaming
+    * result has no lazy form. */
+  def throttledFileStream(
+      spark: SparkSession,
+      eventsPath: String,
+      limit: Int = 5): DataFrame = {
+    import spark.implicits._
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
+    val ev = raw.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"),
+      graft.Tables.instantTs(raw.schema, "ts").as("ts")).as[Event]
+    StreamingHarness
+      .runToMemorySink(spark, throttled(ev, limit).toDF(), "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_admitted"))
   }
 }

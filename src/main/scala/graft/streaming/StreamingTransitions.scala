@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming transition edges — the live feed behind the batch
@@ -51,5 +52,39 @@ object StreamingTransitions {
           last.foreach(state.update)
           out.result().iterator
         })
+  }
+
+  /** [[edges]] driven through the REAL Structured-Streaming engine — the
+    * q174/q191/q195 recipe applied to the last-event state record:
+    * `readStream` file source over the events parquet → the state-store
+    * fold → append-mode sink, run to completion with
+    * `Trigger.AvailableNow()`, then the emitted edges aggregated to the
+    * (from_type, to_type, n_transitions) matrix the batch twin (q112)
+    * publishes.
+    *
+    * Determinism: transition edges are ORDER-SENSITIVE (an out-of-order
+    * batch splices the chain differently), so like
+    * [[StreamingFunnel.stepsFileStream]] this row leans on the engine's
+    * one-data-batch property — `Trigger.AvailableNow` with no per-trigger
+    * cap delivers all available files in a single data micro-batch, whose
+    * in-batch (ts, event_id) sort is the batch operator's total order, so
+    * the edge multiset equals `Funnel.transitions` exactly.
+    * Arbitrary-batching behavior (a late event appends in arrival order)
+    * is pinned by StreamingSpec's MemoryStream test.
+    *
+    * EAGER like the q164/q174/q191/q195 twins: a terminal streaming
+    * result has no lazy form. */
+  def edgesFileStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    import spark.implicits._
+    val raw = StreamingHarness.fileSource(spark, eventsPath)
+    val ev = raw.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"),
+      graft.Tables.instantTs(raw.schema, "ts").as("ts")).as[Event]
+    StreamingHarness
+      .runToMemorySink(spark, edges(ev).toDF(), "append")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
   }
 }

@@ -111,4 +111,38 @@ class TextSpec extends SparkSpec {
       .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
     assert(out == "one two\nthree")
   }
+
+  test("htmlToText: numeric character references decode, invalid ones stay literal") {
+    val out = Seq(
+      "<p>It&#8217;s &#x2019;q&#X2019; nb&#160;sp &amp;#60;trap " +
+        "&#; &#x; &#1114112; &#xD800; &#0; &unknown;</p>")
+      .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // dec + hex (both X cases) decode; &#160; joins the whitespace
+    // collapse like &nbsp;; &amp;#60; single-decodes to the literal five
+    // characters "&#60;"; empty/overflow/surrogate/zero refs and unknown
+    // named entities pass through untouched
+    assert(out == "It’s ’q’ nb sp &#60;trap " +
+      "&#; &#x; &#1114112; &#xD800; &#0; &unknown;")
+  }
+
+  test("htmlToText: comments and CDATA drop with contents, even unterminated") {
+    val out = Seq(
+      "<p>keep1</p><!-- secret <p>never</p> --><p>keep2</p>" +
+        "<![CDATA[raw <td> bytes]]><p>keep3</p><!-- trailing junk")
+      .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // comment prose and its embedded block tag vanish (no newline leak);
+    // CDATA contents vanish; an unterminated comment drops to end-of-input
+    assert(out == "keep1\nkeep2\nkeep3")
+  }
+
+  test("htmlToText: title and table cells are block-level") {
+    val out = Seq(
+      "<html><head><title>T</title></head><body>lead" +
+        "<table><tr><td>c1</td><th>c2</th></tr><caption>cap</caption></table>" +
+        "tail</body></html>")
+      .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // head content must not glue onto the first body line; each cell and
+    // the caption gets its own line
+    assert(out == "T\nlead\nc1\nc2\ncap\ntail")
+  }
 }
