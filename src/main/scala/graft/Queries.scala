@@ -7540,6 +7540,154 @@ object Queries {
 
   private val q204Sql = q162Sql
 
+  // ---------------------------------------------------------------- q205
+  // PLANTED-STRUCTURE recall certificate — the missing half of q190/q122,
+  // which measure recall on uniform-random embeddings where LOW absolute
+  // recall is the correct answer (they certify the measurement pipeline,
+  // not the index). This row makes the recall NUMBER itself meaningful to
+  // the driver: embeddings are synthesized with known product-quantizable
+  // cluster structure, and all three index tiers (IVF-Flat, PQ, IVFPQ)
+  // must achieve recall@5 = 1.0 on it — value-checked hash-exact against
+  // the SAME DuckDB replay chains as q48/q185/q187 (the planted table is
+  // a CTE shadowing `embeddings`, so the chains run verbatim).
+  //
+  // Fixture (SimilaritySpec's planted-cluster convention promoted to a
+  // catalog row, sized to the index chain's hard parameters): 384 vectors
+  // (ids < 384 so the fixture is SF-invariant), 64 dims = 4 subspaces of
+  // 16. Micro-cluster g = id mod 64 has EXACTLY 6 members; its per-
+  // subspace patterns c_s (a spike of 10.0 at dim 2·c_s of subspace s,
+  // plus ≤0.096 deterministic integer-rational jitter) are chosen so
+  // (a) ids 0..7 — the chains' hard-coded seeds — cover all 8 patterns in
+  // EVERY subspace (odd multipliers mod 8 are bijections), so one Lloyd
+  // round recovers every codebook exactly, and (b) (c_0, c_1) determines
+  // g (c1 = (3b + a) mod 8 is injective in a given b), so distinct
+  // micro-clusters differ in ≥ 1 subspace by ~200 squared-L2 while mates
+  // differ by jitter only. True top-5 of any query = its 5 mates; every
+  // tier must rank all 5 above everything else: IVF probes the query's
+  // own cell (mates share it) and scores candidates EXACTLY; PQ/IVFPQ
+  // ADC error is jitter-scale, 3 orders below the inter-cluster margin.
+  // recall < 1.0 here means the INDEX degraded, not the fixture.
+  private val q205: Q = (s, dir) => {
+    val id = col("doc_id").cast("long")
+    val bb = id % 8
+    val aa = ((id % 64) / 8).cast("long")
+    val emb = transform(sequence(lit(0), lit(63)), d => {
+      val sub = (d / 16).cast("int")
+      val c = when(sub === 0, bb)
+        .when(sub === 1, (bb * 3 + aa) % 8)
+        .when(sub === 2, (bb * 5 + aa * 3) % 8)
+        .otherwise((bb * 7 + aa * 5) % 8)
+      (when((d % 16) === c * 2, lit(10.0)).otherwise(lit(0.0))
+        + ((id * 31 + d.cast("long") * 7) % 97).cast("double") / 1000.0).cast("float")
+    })
+    val e = Tables.documents(s, dir)
+      .filter(col("doc_id") < 384)
+      .select(id.as("vec_id"), emb.as("embedding"))
+    val qs = e.filter(col("vec_id") < 5)
+    val truth = Similarity.knnExactL2(e, qs, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // three eager training chains (each collects centroids/codebooks at
+    // construction), no shared state — build concurrently (q190's move)
+    val Seq(ivf, pq, ivfpq) = graft.operators.Concurrency.inParallel(Seq(
+      () => Similarity
+        .knnIvf(e, qs, "vec_id", "embedding",
+          k = 5, kClusters = 8, nProbe = 2, iters = 1, exact = true)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivf")),
+      () => Similarity
+        .knnPq(e, qs, "vec_id", "embedding", dim = 64, k = 5, m = 4, kCodes = 8, iters = 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__pq")),
+      () => Similarity
+        .knnIvfPq(e, qs, "vec_id", "embedding",
+          dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivfpq"))))
+    def recallCols(hits: Column, tag: String) = Seq(
+      hits.as(s"${tag}_hits"),
+      (hits.cast("double") / col("k").cast("double")).as(s"${tag}_recall"),
+      (hits.cast("double") / col("k").cast("double") >= 0.999).as(s"${tag}_ok"))
+    truth
+      .join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(pq), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(ivfpq), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("__ivf"), lit(0L))).as("__ih"),
+        sum(coalesce(col("__pq"), lit(0L))).as("__ph"),
+        sum(coalesce(col("__ivfpq"), lit(0L))).as("__vh"))
+      .select(col("query_id") +: col("k") +:
+        (recallCols(col("__ih"), "ivf") ++
+          recallCols(col("__ph"), "pq") ++
+          recallCols(col("__vh"), "ivfpq")): _*)
+      .orderBy("query_id")
+  }
+
+  private val q205Sql = {
+    def qz(x: String) = duckQz(x)
+    s"""WITH psrc AS (SELECT CAST(doc_id AS BIGINT) AS vec_id FROM documents WHERE doc_id < 384),
+       |embeddings AS (SELECT vec_id, list_transform(range(0, 64), d -> CAST(
+       |    CASE WHEN (d % 16) = 2 * (CASE d // 16
+       |        WHEN 0 THEN vec_id % 8
+       |        WHEN 1 THEN ((vec_id % 8) * 3 + (vec_id % 64) // 8) % 8
+       |        WHEN 2 THEN ((vec_id % 8) * 5 + ((vec_id % 64) // 8) * 3) % 8
+       |        ELSE ((vec_id % 8) * 7 + ((vec_id % 64) // 8) * 5) % 8 END)
+       |      THEN 10.0 ELSE 0.0 END
+       |    + CAST((vec_id * 31 + d * 7) % 97 AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding
+       |  FROM psrc),
+       |$duckIvfA1Ctes,
+       |$duckIvfPqChainCtes,
+       |${duckPqChainCtes("p")},
+       |iq AS (SELECT vec_id AS query_id, cluster FROM (
+       |        SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |        FROM d1 WHERE vec_id < 5) WHERE rn <= 2),
+       |icand AS (SELECT p.query_id, a1.vec_id AS neighbor_id
+       |         FROM iq p JOIN a1 ON a1.cluster = p.cluster AND a1.vec_id <> p.query_id),
+       |ipr AS (SELECT c.query_id, c.neighbor_id, unnest(q.embedding) AS qe, unnest(n.embedding) AS ne
+       |       FROM icand c JOIN embeddings q ON q.vec_id = c.query_id
+       |                    JOIN embeddings n ON n.vec_id = c.neighbor_id),
+       |isc AS (SELECT query_id, neighbor_id,
+       |        CAST(sum(CAST(${qz("qe")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS dot,
+       |        CAST(sum(CAST(${qz("qe")} * ${qz("qe")} AS DECIMAL(36,12))) AS DOUBLE) AS nq,
+       |        CAST(sum(CAST(${qz("ne")} * ${qz("ne")} AS DECIMAL(36,12))) AS DOUBLE) AS nn
+       |       FROM ipr GROUP BY query_id, neighbor_id),
+       |ivf5 AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY dot/sqrt(nq*nn) DESC, neighbor_id) AS rnk
+       |        FROM isc) WHERE rnk <= 5),
+       |xq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       |xp AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |        unnest(q.embedding) AS qe, unnest(n.embedding) AS ne
+       |       FROM xq q JOIN embeddings n ON n.vec_id <> q.vec_id),
+       |xd AS (SELECT query_id, neighbor_id, ${duckDsq("qe", "ne")} AS dist
+       |       FROM xp GROUP BY query_id, neighbor_id),
+       |xt AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+       |        FROM xd) WHERE rn <= 5),
+       |pq5 AS (SELECT query_id, neighbor_id FROM pr WHERE rnk <= 5),
+       |vq5 AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5)
+       |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS ivf_recall,
+       |  (CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) >= 0.999) AS ivf_ok,
+       |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+       |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS pq_recall,
+       |  (CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) >= 0.999) AS pq_ok,
+       |  CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits,
+       |  CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS ivfpq_recall,
+       |  (CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) >= 0.999) AS ivfpq_ok
+       |FROM xt t
+       |LEFT JOIN ivf5 i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+       |LEFT JOIN pq5 p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+       |LEFT JOIN vq5 v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -7744,7 +7892,8 @@ object Queries {
     "q201_stream_real_throttle" -> q201,
     "q202_stream_real_funnel" -> q202,
     "q203_stream_real_transitions" -> q203,
-    "q204_stream_real_leaders" -> q204
+    "q204_stream_real_leaders" -> q204,
+    "q205_planted_recall" -> q205
   )
 
   val oracles: Map[String, String] = Map(
@@ -7949,6 +8098,7 @@ object Queries {
     "q201_stream_real_throttle" -> q201Sql,
     "q202_stream_real_funnel" -> q202Sql,
     "q203_stream_real_transitions" -> q203Sql,
-    "q204_stream_real_leaders" -> q204Sql
+    "q204_stream_real_leaders" -> q204Sql,
+    "q205_planted_recall" -> q205Sql
   )
 }

@@ -639,6 +639,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("q205 planted recall: index legs broadcast back onto the truth table, no cartesian") {
+    val p = plan(SparkEntry.queries("q205_planted_recall")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the three top-k legs are output-sized (|queries|*k rows) — they must
+    // meet the truth table as broadcast hash joins, never a sort-merge
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
   test("q168 codec round-trip is shuffle-free up to the final presentation sort") {
     val df = SparkEntry.queries("q168_codec_roundtrip")(spark, sf)
     val p = plan(df)
