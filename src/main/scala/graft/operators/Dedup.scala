@@ -845,8 +845,23 @@ object Dedup {
           least(col("a.__sz") - col("a.__i"), col("b.__sz") - col("b.__i")) * tauDen >=
             greatest(col("a.__sz"), col("b.__sz")) * tauNum
       else baseCond
-    val cand = indexed.as("a")
-      .join(indexed.as("b"), cond)
+    // Pin the candidate join's parallelism to the CONFIGURED shuffle
+    // partitions (an explicit-N repartition is a strict requirement AQE
+    // will not coalesce): the join's shuffle INPUT is the compact prefix
+    // index, but its OUTPUT explodes by the same-token bucket-pair mass —
+    // AQE's byte-based coalescing reads the input size and under-
+    // provisions exactly this stage (measured at sf1: 61 task-seconds
+    // squeezed into 5 tasks of ~12 s on a 32-slot box — the catalog's
+    // worst max-task outlier, and the source of q167's adverse task_skew
+    // trend; per-stage balance was never the problem, the df-ascending
+    // prefix order keeps bucket keys near-uniform at skew ≈ 1.0). The
+    // repartition IS the join's exchange (HashPartitioning on the join
+    // key, computed once and reused by both self-join legs), so this
+    // costs no extra shuffle — it only fixes the reducer count.
+    val nShuffle = df.sparkSession.sessionState.conf.numShufflePartitions
+    val probe = indexed.repartition(nShuffle, col("__t"))
+    val cand = probe.as("a")
+      .join(probe.as("b"), cond)
       .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
       .distinct()
     // Exact verify: both token arrays join back by doc id; intersection is
