@@ -104,6 +104,20 @@ object BpeTrainer {
       nMerges: Int,
       trackSymbolMass: Boolean = false,
       batchSize: Int = 1): (Seq[Merge], DataFrame) = {
+    val (m, s, _) = trainRounds(vocab, nMerges, trackSymbolMass, batchSize)
+    (m, s)
+  }
+
+  /** [[train]] plus the number of batched ROUNDS actually executed — the
+    * quantity the top-B batching contract promises is ≈ nMerges/batchSize
+    * (conflict skips can stretch it slightly). Exposed for the scale
+    * rehearsal ([[graft.BpeScale]]); the training semantics are
+    * [[train]]'s, verbatim. */
+  def trainRounds(
+      vocab: DataFrame,
+      nMerges: Int,
+      trackSymbolMass: Boolean = false,
+      batchSize: Int = 1): (Seq[Merge], DataFrame, Int) = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var state = vocab
       .select(col("word"), col("freq").cast("long").as("freq"),
@@ -111,6 +125,7 @@ object BpeTrainer {
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 0
+    var rounds = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
       val want = math.min(batchSize, nMerges - rank)
@@ -126,6 +141,7 @@ object BpeTrainer {
         .collect()
       if (top.isEmpty) exhausted = true
       else {
+        rounds += 1
         // Greedy symbol-disjoint selection in rank order; `used` also
         // carries each pick's concatenation so no later pick can touch a
         // symbol this round creates.
@@ -156,6 +172,6 @@ object BpeTrainer {
         }
       }
     }
-    (merges.result(), state)
+    (merges.result(), state, rounds)
   }
 }

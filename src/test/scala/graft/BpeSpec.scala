@@ -142,4 +142,17 @@ class BpeSpec extends SparkSpec {
     val encoded = BpeTrainer.encodeVocab(vocab, merges)
     assert(finalSyms(encoded) == finalSyms(trained))
   }
+
+  test("trainRounds reports the executed round count and matches train verbatim") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val (m1, s1) = BpeTrainer.train(vocab, nMerges = 4, batchSize = 2)
+    val (m2, s2, rounds) = BpeTrainer.trainRounds(vocab, nMerges = 4, batchSize = 2)
+    assert(m1 == m2)
+    assert(finalSyms(s1) == finalSyms(s2))
+    // rounds is bounded below by the batching floor and above by the
+    // sequential count (conflict skips can only stretch, never compress)
+    assert(rounds >= (m2.size + 1) / 2 && rounds <= m2.size,
+      s"rounds=$rounds for ${m2.size} merges at B=2")
+  }
 }
