@@ -4816,15 +4816,18 @@ object Queries {
   // shared-shingle join + exact set sizes in DuckDB — it never
   // re-implements the prefix logic, so agreement validates the filter's
   // exactness theorem, not a shared bug.
-  // maxCandidatePairs: generous ceiling (true candidate mass here is ~10⁴)
-  // so every bench/gate run re-proves the guard SILENT on the known-safe
-  // corpus, and any future fixture change that blows up the prefix buckets
-  // fails loudly in the guard stage instead of spilling in the join.
+  // Guard: SCALE-RELATIVE (≤ 32 candidate pairs per indexed prefix entry
+  // — true ratio here is ~0.001) so every bench/gate run re-proves the
+  // guard SILENT on the known-safe corpus, any future fixture change that
+  // blows up the prefix buckets fails loudly in the guard stage instead
+  // of spilling in the join, and a linear scale-up never trips it (the
+  // old absolute 10M cap was a fixture-scale constant — the sf10
+  // rehearsal tripped it at a healthy 1.2 pairs/entry).
   private val q141: Q = (s, dir) =>
     graft.operators.Dedup.prefixFilterJaccardJoin(
         Tables.documents(s, dir), "doc_id", "text",
         tauNum = 7, tauDen = 10, shingleK = 5,
-        maxCandidatePairs = 10000000L)
+        maxPairsPerEntry = 32L)
       .orderBy("doc_a", "doc_b")
 
   private val q141Sql =
@@ -5666,7 +5669,7 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val truth = Dedup
       .prefixFilterJaccardJoin(docs, "doc_id", "text", 7, 10, shingleK = 3,
-        maxCandidatePairs = 10000000L) // q141's always-on guard convention
+        maxPairsPerEntry = 32L) // q141's always-on scale-relative guard
       .select(col("doc_a"), col("doc_b"), lit(1L).as("__true"))
     val cand = Dedup
       .minHashLshPairs(docs, "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 2)
@@ -5760,7 +5763,7 @@ object Queries {
     def side(tag: String) = docs.select(
       col("doc_id").as(s"doc_$tag"), col("source").as(s"__src_$tag"))
     Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 7, 10, shingleK = 3,
-        maxCandidatePairs = 10000000L) // q141's always-on guard convention
+        maxPairsPerEntry = 32L) // q141's always-on scale-relative guard
       .join(side("a"), Seq("doc_a"))
       .join(side("b"), Seq("doc_b"))
       .select(

@@ -559,20 +559,28 @@ object Dedup {
     // in this exchange's partitions, and their per-row cost is string CPU
     // that AQE's byte-based coalescer systematically underestimates —
     // measured 3× wall on this stage when left advisory.
-    // Pinned at HALF the session's shuffle parallelism (floor 16) —
-    // explicit, so AQE's byte-based coalescer can't shrink it (string CPU
-    // per row is what it underestimates; measured 3× wall when left
-    // advisory); CLUSTER-PROPORTIONAL, not a fixed cap (an absolute pin
-    // of 16 would idle every core past the 16th at the design scale);
-    // and 2× coarser than the session default because both pinned stages
-    // are CPU-dense and byte-light — at full width their per-task
-    // constant costs dominate the mean and the whole-job skew ratio
-    // degrades on fixture-scale inputs (measured 2.6 → 7.6 max/mean at
-    // 16 → 32 tasks with the hot stage itself balanced at 1.2).
-    val para = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions / 2, 16)
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .repartition(para, col("__id"))
+    // Pinned EXPLICITLY so AQE's byte-based coalescer can't shrink it
+    // (string CPU per row is what it underestimates; measured 3× wall
+    // when left advisory), and sized by BOTH cluster and data:
+    //  - floor: half the session's shuffle parallelism (min 16) —
+    //    cluster-proportional; 2× coarser than the session default
+    //    because at fixture scale the pinned stages' per-task constants
+    //    dominate and full width degrades the whole-job skew ratio
+    //    (measured 2.6 → 7.6 max/mean at 16 → 32 tasks with the hot
+    //    stage itself balanced at 1.2);
+    //  - growth: one extra slot per ~50k input rows, capped at the
+    //    session width — the pinned stages' work is rows × (len+1)
+    //    string CPU, so their right width grows with DATA: the sf10
+    //    rehearsal measured the half-width pin costing ~2× wall on
+    //    these stages once the key build carries real mass.
+    // The sizing count is one scan of a two-column projection of a
+    // DIMENSION (this operator's input contract) — metadata-priced.
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    val proj = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val para = math.min(
+      conf.toLong,
+      math.max(math.max(conf / 2, 16).toLong, proj.count() / 50000L + 1L)).toInt
+    val base = proj.repartition(para, col("__id"))
     val keys = base
       .select(col("__id"), col("__s"),
         explode(sequence(lit(0), length(col("__s")))).as("__i"))
@@ -736,7 +744,18 @@ object Dedup {
     * the estimate — turning "6 hours of shuffle spill" into an immediate,
     * actionable error (raise τ, use shingles, set `maxPrefixFreq`). The
     * estimate is an upper bound on candidate-join output (length/position
-    * filters only shrink it), so a passing guard is a real certificate. */
+    * filters only shrink it), so a passing guard is a real certificate.
+    *
+    * `maxPairsPerEntry` (> 0 to enable) is the SCALE-RELATIVE form of the
+    * same guard: it caps the mass at `maxPairsPerEntry × total indexed
+    * prefix entries` instead of an absolute number. An absolute cap is a
+    * fixture-scale constant — a corpus 100× larger legitimately carries
+    * ~100× the candidate mass and would trip it while perfectly healthy
+    * (measured: the sf10 rehearsal tripped the catalog's 10M cap at a
+    * healthy 1.2 pairs/entry) — while the per-entry ratio is
+    * scale-invariant under linear growth and still explodes when a hot
+    * prefix bucket goes quadratic, which is the condition the guard
+    * exists to catch. Both caps may be active; either one firing aborts. */
   def prefixFilterJaccardJoin(
       df: DataFrame,
       idCol: String,
@@ -745,7 +764,8 @@ object Dedup {
       tauDen: Int,
       shingleK: Int = 1,
       maxPrefixFreq: Long = 0L,
-      maxCandidatePairs: Long = 0L): DataFrame = {
+      maxCandidatePairs: Long = 0L,
+      maxPairsPerEntry: Long = 0L): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"need 0 < tau <= 1, got $tauNum/$tauDen")
     require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
@@ -806,19 +826,34 @@ object Dedup {
     // optimizing the check away; n·(n−1) runs in decimal(38,0) (a single
     // 10¹⁰-doc boilerplate token squares past 2^63).
     val indexed =
-      if (maxCandidatePairs <= 0) pruned
+      if (maxCandidatePairs <= 0 && maxPairsPerEntry <= 0) pruned
       else {
+        // One aggregation computes BOTH the pair mass Σn(n−1) and the
+        // index size Σn, so the absolute and the scale-relative caps
+        // share a single guard stage.
+        val absFire =
+          if (maxCandidatePairs <= 0) lit(false)
+          else col("__p2") > lit(BigDecimal(maxCandidatePairs) * 2)
+        val relFire =
+          if (maxPairsPerEntry <= 0) lit(false)
+          else col("__p2") >
+            col("__tot") * lit(BigDecimal(maxPairsPerEntry) * 2)
         val chk = pruned
           .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
-          .agg(coalesce(
-            sum(col("__n").cast("decimal(38,0)") *
-              (col("__n") - 1).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("__p2"))
+          .agg(
+            coalesce(
+              sum(col("__n").cast("decimal(38,0)") *
+                (col("__n") - 1).cast("decimal(38,0)")),
+              lit(0).cast("decimal(38,0)")).as("__p2"),
+            coalesce(sum(col("__n").cast("decimal(38,0)")),
+              lit(0).cast("decimal(38,0)")).as("__tot"))
           .select(
-            when(col("__p2") > lit(BigDecimal(maxCandidatePairs) * 2),
+            when(absFire || relFire,
               expr("CAST(raise_error(concat('prefixFilterJaccardJoin: same-prefix " +
-                s"candidate pairs ', CAST(__p2 div 2 AS STRING), ' exceed " +
-                s"maxCandidatePairs=$maxCandidatePairs — raise tau, use " +
+                s"candidate pairs ', CAST(__p2 div 2 AS STRING), ' over ', " +
+                "CAST(__tot AS STRING), ' indexed entries exceed the cap (" +
+                s"maxCandidatePairs=$maxCandidatePairs, " +
+                s"maxPairsPerEntry=$maxPairsPerEntry) — raise tau, use " +
                 "shingles, or set maxPrefixFreq')) AS INT)"))
               .otherwise(lit(1)).as("__guard"))
         pruned.crossJoin(broadcast(chk))

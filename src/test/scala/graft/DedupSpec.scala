@@ -76,6 +76,23 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("prefixFilterJaccardJoin scale-relative guard: silent on healthy ratio, fires on a hot bucket") {
+    // healthy: distinct texts, tiny buckets — well under 4 pairs/entry
+    val ok = Seq.tabulate(12)(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i"))
+      .toDF("id", "text")
+    assert(Dedup.prefixFilterJaccardJoin(ok, "id", "text", 7, 10,
+      maxPairsPerEntry = 4L).count() == 0L)
+    // hot: every doc shares the same rare tokens — one bucket holds all 12
+    // docs, mass 12*11/2 = 66 over ~24 entries > 2 pairs/entry
+    val hot = Seq.tabulate(12)(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val e = intercept[Exception] {
+      Dedup.prefixFilterJaccardJoin(hot, "id", "text", 7, 10,
+        maxPairsPerEntry = 2L).count()
+    }
+    assert(e.getMessage.contains("exceed the cap"), e.getMessage)
+  }
+
   test("editOnePairs hot-key prune drops pairs only reachable through pruned keys") {
     val rows = (0L to 9L).map(i => (i, s"x$i")).toDF("id", "name")
     // every "x<d>" emits deletion key "x": freq 10 → pruned at maxKeyFreq=5,
