@@ -739,10 +739,13 @@ object Dedup {
     * documents, and the same-prefix buckets silently explode. The guard
     * pre-computes the exact bucket-pair mass Σ_t n_t·(n_t−1)/2 over the
     * prefix index (one count aggregation, shuffle ∝ distinct prefix
-    * tokens — metadata-sized next to the join it screens) and fails the
-    * job loudly via `raise_error` BEFORE the candidate join runs, naming
-    * the estimate — turning "6 hours of shuffle spill" into an immediate,
-    * actionable error (raise τ, use shingles, set `maxPrefixFreq`). The
+    * tokens — metadata-sized next to the join it screens) EAGERLY at
+    * operator-call time and fails loudly driver-side BEFORE the candidate
+    * join is planned, naming the estimate — turning "6 hours of shuffle
+    * spill" into an immediate, actionable error (raise τ, use shingles,
+    * set `maxPrefixFreq`). The same measured mass sizes the candidate
+    * join's reducer count (pair-proportional — see the width comment in
+    * the body), so the aggregation runs once regardless of caps. The
     * estimate is an upper bound on candidate-join output (length/position
     * filters only shrink it), so a passing guard is a real certificate.
     *
@@ -787,6 +790,8 @@ object Dedup {
         concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(shingleK))).as("__t"))
       .distinct()
     val dfreq = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val confWidth =
+      df.sparkSession.sessionState.conf.numShufflePartitions.toLong
     // Per-doc arrays in canonical (df asc, token asc) order. The struct
     // sort key is dropped after sorting; sizes ride along for the length
     // filter and the union denominator.
@@ -819,46 +824,41 @@ object Dedup {
         prefix.groupBy(col("__t")).agg(count(lit(1)).as("__pf"))
           .filter(col("__pf") <= maxPrefixFreq).select(col("__t")),
         Seq("__t"), "left_semi")
-    // Pre-flight blowup guard (see scaladoc): the exact same-prefix pair
-    // mass, evaluated while BUILDING a broadcast 1-row frame — so the job
-    // dies during the (cheap) guard stage, never inside the candidate
-    // join it screens. The filter on __guard keeps column pruning from
-    // optimizing the check away; n·(n−1) runs in decimal(38,0) (a single
-    // 10¹⁰-doc boilerplate token squares past 2^63).
-    val indexed =
-      if (maxCandidatePairs <= 0 && maxPairsPerEntry <= 0) pruned
-      else {
-        // One aggregation computes BOTH the pair mass Σn(n−1) and the
-        // index size Σn, so the absolute and the scale-relative caps
-        // share a single guard stage.
-        val absFire =
-          if (maxCandidatePairs <= 0) lit(false)
-          else col("__p2") > lit(BigDecimal(maxCandidatePairs) * 2)
-        val relFire =
-          if (maxPairsPerEntry <= 0) lit(false)
-          else col("__p2") >
-            col("__tot") * lit(BigDecimal(maxPairsPerEntry) * 2)
-        val chk = pruned
-          .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
-          .agg(
-            coalesce(
-              sum(col("__n").cast("decimal(38,0)") *
-                (col("__n") - 1).cast("decimal(38,0)")),
-              lit(0).cast("decimal(38,0)")).as("__p2"),
-            coalesce(sum(col("__n").cast("decimal(38,0)")),
-              lit(0).cast("decimal(38,0)")).as("__tot"))
-          .select(
-            when(absFire || relFire,
-              expr("CAST(raise_error(concat('prefixFilterJaccardJoin: same-prefix " +
-                s"candidate pairs ', CAST(__p2 div 2 AS STRING), ' over ', " +
-                "CAST(__tot AS STRING), ' indexed entries exceed the cap (" +
-                s"maxCandidatePairs=$maxCandidatePairs, " +
-                s"maxPairsPerEntry=$maxPairsPerEntry) — raise tau, use " +
-                "shingles, or set maxPrefixFreq')) AS INT)"))
-              .otherwise(lit(1)).as("__guard"))
-        pruned.crossJoin(broadcast(chk))
-          .filter(col("__guard") === 1).drop("__guard")
-      }
+    // Pre-flight blowup guard (see scaladoc), evaluated EAGERLY at
+    // operator-call time (the operator is already eager — `ordered` is a
+    // localCheckpoint — so this adds one index-sized aggregation job from
+    // the checkpoint, not a new eagerness class). One aggregation computes
+    // BOTH the pair mass Σn(n−1) and the index size Σn; the collected
+    // numbers serve two masters: the caps fire driver-side (the job dies
+    // before the candidate join is even PLANNED), and the measured mass
+    // sizes the candidate join's reducer count below — an output-exploding
+    // join's right width is pair-proportional, and only the guard knows
+    // the pair mass. n·(n−1) runs in decimal(38,0) (a single 10¹⁰-doc
+    // boilerplate token squares past 2^63).
+    val guardRow = pruned
+      .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(
+          sum(col("__n").cast("decimal(38,0)") *
+            (col("__n") - 1).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("__p2"),
+        coalesce(sum(col("__n").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("__tot"))
+      .collect()(0)
+    val pairMass2 = BigDecimal(guardRow.getDecimal(0)) // Σn(n−1) = 2·pairs
+    val idxEntries = BigDecimal(guardRow.getDecimal(1))
+    val absFire = maxCandidatePairs > 0 &&
+      pairMass2 > BigDecimal(maxCandidatePairs) * 2
+    val relFire = maxPairsPerEntry > 0 &&
+      pairMass2 > idxEntries * BigDecimal(maxPairsPerEntry) * 2
+    if (absFire || relFire)
+      throw new IllegalStateException(
+        s"prefixFilterJaccardJoin: same-prefix candidate pairs " +
+          s"${(pairMass2 / 2).toBigInt} over ${idxEntries.toBigInt} indexed " +
+          s"entries exceed the cap (maxCandidatePairs=$maxCandidatePairs, " +
+          s"maxPairsPerEntry=$maxPairsPerEntry) — raise tau, use shingles, " +
+          "or set maxPrefixFreq")
+    val indexed = pruned
     // Prefix-prefix candidates with the LENGTH filter (τ|A| ≤ |B| ≤ |A|/τ)
     // and — in exact mode only — PPJoin's POSITION filter, both as
     // integer cross-multiplies: a token matched at 0-based positions
@@ -880,20 +880,32 @@ object Dedup {
           least(col("a.__sz") - col("a.__i"), col("b.__sz") - col("b.__i")) * tauDen >=
             greatest(col("a.__sz"), col("b.__sz")) * tauNum
       else baseCond
-    // Pin the candidate join's parallelism to the CONFIGURED shuffle
-    // partitions (an explicit-N repartition is a strict requirement AQE
-    // will not coalesce): the join's shuffle INPUT is the compact prefix
-    // index, but its OUTPUT explodes by the same-token bucket-pair mass —
-    // AQE's byte-based coalescing reads the input size and under-
-    // provisions exactly this stage (measured at sf1: 61 task-seconds
-    // squeezed into 5 tasks of ~12 s on a 32-slot box — the catalog's
-    // worst max-task outlier, and the source of q167's adverse task_skew
-    // trend; per-stage balance was never the problem, the df-ascending
-    // prefix order keeps bucket keys near-uniform at skew ≈ 1.0). The
-    // repartition IS the join's exchange (HashPartitioning on the join
-    // key, computed once and reused by both self-join legs), so this
-    // costs no extra shuffle — it only fixes the reducer count.
-    val nShuffle = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Size the candidate join's parallelism by the MEASURED pair mass (an
+    // explicit-N repartition is a strict requirement AQE will not
+    // coalesce): the join's shuffle INPUT is the compact prefix index, but
+    // its OUTPUT explodes by the same-token bucket-pair mass — AQE's
+    // byte-based coalescing reads the input size and under-provisions
+    // exactly this stage (measured at sf1: 61 task-seconds squeezed into 5
+    // tasks of ~12 s on a 32-slot box — the catalog's worst max-task
+    // outlier, and the source of q167's adverse task_skew trend; per-stage
+    // balance was never the problem, the df-ascending prefix order keeps
+    // bucket keys near-uniform at skew ≈ 1.0). A session-width pin fixed
+    // the under-provisioning but is itself a cluster-scale constant: at
+    // sf1 it left ~2 s join tasks next to ~0.2 s scan tasks (global
+    // task_skew 5.5 with the stage internally balanced at 1.05), and at
+    // 100 TB pair mass ≫ width × ideal-task-size makes a fixed width the
+    // bottleneck. The guard aggregation already measured the exact output
+    // mass, so the width is data-proportional: one reducer per
+    // `pairsPerTask` candidate pairs (~1M ≈ sub-second of probe+emit
+    // work), floored at the session width (never WORSE than configured
+    // parallelism on a small corpus) and capped at 16× session width (the
+    // same work-per-slot bound every explicit width in the engine
+    // respects). The repartition IS the join's exchange (HashPartitioning
+    // on the join key, computed once and reused by both self-join legs),
+    // so this costs no extra shuffle — it only fixes the reducer count.
+    val pairsPerTask = BigDecimal(1L << 20)
+    val nShuffle = (pairMass2 / 2 / pairsPerTask + 1)
+      .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
     val probe = indexed.repartition(nShuffle, col("__t"))
     val cand = probe.as("a")
       .join(probe.as("b"), cond)
@@ -907,10 +919,21 @@ object Dedup {
     // intersection cardinality runs as a zero-allocation merge walk
     // (plans.SortedIntersectCount — size(array_intersect(...)) builds and
     // materializes a hash set per PAIR, measured 2.3 s of q141's verify
-    // leg at sf0.1; the per-DOC sort is corpus-linear).
+    // leg at sf0.1; the per-DOC sort is corpus-linear). Both verify joins
+    // get the same explicit width treatment as the candidate join: their
+    // per-row cost (a token-array merge walk) is CPU AQE's byte-based
+    // sizing underestimates (measured at sf1: 19 task-seconds coalesced
+    // into 6 tasks, q167's max-task outlier after the candidate fix), and
+    // the right width is pair-proportional — the guard already measured
+    // the pair mass, an upper bound on the candidate count. ~128k verified
+    // pairs ≈ a sub-second task.
+    val verifyWidth = (pairMass2 / 2 / BigDecimal(1L << 17) + 1)
+      .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
     cand
+      .repartition(verifyWidth, col("doc_a"))
       .join(ordered.select(col("__doc").as("doc_a"),
         array_sort(col("__tk")).as("__ta"), col("__sz").as("n_a")), Seq("doc_a"))
+      .repartition(verifyWidth, col("doc_b"))
       .join(ordered.select(col("__doc").as("doc_b"),
         array_sort(col("__tk")).as("__tb"), col("__sz").as("n_b")), Seq("doc_b"))
       .withColumn("n_inter",

@@ -18,22 +18,13 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
-  /** Upper bound on BroadcastNestedLoopJoin count attributable to the
-    * simjoin blowup guard's 1-row scalar broadcast (unmistakable in the
-    * plan text by its raise_error message). The guarded `indexed` frame
-    * feeds BOTH legs of the candidate self-join, so one guard prints as
-    * up to TWO BNL nodes per plan section (fewer when a leg collapses to
-    * a reused query-stage reference). Any BNL beyond the bound is a real
-    * all-pairs regression. Counted on the FINAL plan section only — AQE
-    * appends an Initial Plan dump that double-counts. */
-  private def guardBnlCount(p: String): Int = {
-    val fin = p.split("== Initial Plan ==").head
-    val guards = "prefixFilterJaccardJoin: same-prefix".r.findAllIn(fin).length
-    assert(guards > 0, "expected the blowup guard in the plan:\n" + fin.take(4000))
-    2 * guards
-  }
-
-  /** BNL count on the final plan section (see [[guardBnlCount]]). */
+  /** BNL count on the final plan section. The simjoin blowup guard used
+    * to plan as a 1-row scalar broadcast (one BNL per self-join leg);
+    * since the guard moved driver-side (eager, its measured pair mass now
+    * sizes the candidate join's width) the simjoin plans carry NO
+    * nested-loop nodes at all — any BNL in them is a real all-pairs
+    * regression. Counted on the FINAL plan section only — AQE appends an
+    * Initial Plan dump that double-counts. */
   private def bnlCount(p: String): Int =
     "BroadcastNestedLoopJoin".r
       .findAllIn(p.split("== Initial Plan ==").head).length
@@ -505,12 +496,10 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString()
     // candidates come ONLY from the prefix-token equi-join; any
     // nested-loop/cartesian node would be the all-pairs comparison the
-    // prefix filter exists to avoid — EXCEPT the blowup guard's 1-row
-    // scalar broadcast (`crossJoin(broadcast(chk))`, the repo's standard
-    // scalar-attach idiom), which plans as exactly one
-    // BroadcastNestedLoopJoin and is identified by its raise_error stage
+    // prefix filter exists to avoid (the blowup guard is driver-side
+    // eager now, so the plan is nested-loop-FREE)
     assert(!p.contains("CartesianProduct"), p.take(4000))
-    assert(bnlCount(p) <= guardBnlCount(p), p.take(4000))
+    assert(bnlCount(p) == 0, p.take(4000))
     // the shingle explode must ride whole-stage codegen (the position-
     // sequence staging rule): every Generate line must carry the `*(n)`
     // span marker — a bare Generate is the 10x interpreted fallback the
@@ -594,17 +583,17 @@ class PlanSpec extends SparkSpec {
     // FullOuter equi-join on the pair key; a second evaluation of either
     // leg (the left-join + recount formulation) would show a second
     // FullOuter/aggregate pair or a nested loop. The truth leg's blowup
-    // guard contributes exactly one 1-row scalar broadcast (see q141).
+    // guard is driver-side eager — no scalar broadcast in the plan.
     assert("FullOuter".r.findAllIn(p).length == 1, p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
-    assert(bnlCount(p) <= guardBnlCount(p), p.take(4000))
+    assert(bnlCount(p) == 0, p.take(4000))
   }
 
   test("q167 cross-source matrix: label joins stay hash joins, explode in codegen") {
     val p = plan(SparkEntry.queries("q167_cross_source_dup")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(4000))
-    // exact-tier blowup guard = one 1-row scalar broadcast (see q141)
-    assert(bnlCount(p) <= guardBnlCount(p), p.take(4000))
+    // exact-tier blowup guard is driver-side eager — nested-loop-free plan
+    assert(bnlCount(p) == 0, p.take(4000))
     // the 2-row endpoint explode is a plain CreateArray generate — a
     // higher-order-function input would knock it out of codegen
     assert(p.contains("Generate explode"), p.take(4000))
