@@ -208,12 +208,13 @@ object Centrality {
     // per-round cost on a small-to-medium graph is task overhead, not
     // compute — shuffles × 32 partitions × N rounds of near-empty tasks.
     // One partition per ~100k edges (min 1) keeps big graphs parallel and
-    // makes small-graph rounds single-task. coalesce is a cheap post-
-    // shuffle block merge, and edge counts only shrink as rounds peel —
-    // so the initial sizing stays an upper bound. It must be RE-APPLIED
-    // after every rebuild: each peel's semi-join pair re-shuffles to
-    // spark.sql.shuffle.partitions, and a round-1-only coalesce would
-    // leave every later round back at 32 near-empty tasks.
+    // makes small-graph rounds single-task. Re-applied after every
+    // rebuild so later rounds' READS stay few-task — but strictly AFTER
+    // the rebuild's localCheckpoint: a coalesce between the semi-joins
+    // and the checkpoint collapses the join's shuffle-read stage itself
+    // to nParts tasks (coalesce merges the shuffle partitions at read
+    // time), serializing the peel compute on a graph big enough to want
+    // width. On the already-materialized frame it is a free block merge.
     val nParts = math.max(1L, math.min(
       e.rdd.getNumPartitions.toLong, nEdges / 100000L + 1L)).toInt
     if (nParts < e.rdd.getNumPartitions) e = e.coalesce(nParts)
@@ -240,8 +241,8 @@ object Centrality {
       e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .coalesce(nParts)
         .localCheckpoint()
+        .coalesce(nParts)
     }
     throw new IllegalStateException("unreachable")
   }

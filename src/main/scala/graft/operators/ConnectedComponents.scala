@@ -65,9 +65,11 @@ object ConnectedComponents {
     // reads already-materialized blocks — cheap): every star round runs
     // 2 shuffles + 2 convergence probes, and on a small-to-medium pair
     // graph those are 32 near-empty tasks each. One partition per ~100k
-    // edges, min 1 (the kCore rule). Re-applied after EVERY star round:
-    // each round's groupBy/join re-shuffles to spark.sql.shuffle
-    // .partitions, so a one-shot coalesce would only size round 1. Edge
+    // edges, min 1 (the kCore rule). Re-applied after EVERY star round so
+    // later rounds' reads stay few-task — but strictly AFTER the round's
+    // localCheckpoint: coalescing between the star transforms and the
+    // checkpoint collapses the round's own shuffle-read compute to nParts
+    // tasks (coalesce merges shuffle partitions at read time). Edge
     // counts shrink monotonically under star contraction, so the initial
     // sizing stays an upper bound.
     val nParts = math.max(1L, math.min(
@@ -134,7 +136,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      edges = rightSize(smallStar(largeStar(edges))).localCheckpoint()
+      edges = rightSize(smallStar(largeStar(edges)).localCheckpoint())
       converged = isStarForm(edges)
       iter += 1
     }
