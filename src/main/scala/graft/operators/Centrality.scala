@@ -208,13 +208,17 @@ object Centrality {
     // per-round cost on a small-to-medium graph is task overhead, not
     // compute — shuffles × 32 partitions × N rounds of near-empty tasks.
     // One partition per ~100k edges (min 1) keeps big graphs parallel and
-    // makes small-graph rounds single-task. Re-applied after every
-    // rebuild so later rounds' READS stay few-task — but strictly AFTER
-    // the rebuild's localCheckpoint: a coalesce between the semi-joins
-    // and the checkpoint collapses the join's shuffle-read stage itself
-    // to nParts tasks (coalesce merges the shuffle partitions at read
-    // time), serializing the peel compute on a graph big enough to want
-    // width. On the already-materialized frame it is a free block merge.
+    // makes small-graph rounds single-task. Applied to ROUND 1 ONLY, by
+    // measurement: each rebuild's semi-joins re-shuffle to
+    // spark.sql.shuffle.partitions, so later rounds run at session width
+    // regardless — but BOTH re-apply variants benched worse at sf1.
+    // Pre-checkpoint, the coalesce merges the join's shuffle partitions
+    // at read time and serializes the peel compute (~2.5x wall at
+    // sf0.1); post-checkpoint, the fat merged blocks imbalance the
+    // consumers' map stages with no wall win. AQE already right-sizes
+    // the later rounds' near-empty shuffle reads; round 1 — the only
+    // round whose input arrives UN-shuffled from the caller's
+    // checkpoint — is where explicit sizing pays.
     val nParts = math.max(1L, math.min(
       e.rdd.getNumPartitions.toLong, nEdges / 100000L + 1L)).toInt
     if (nParts < e.rdd.getNumPartitions) e = e.coalesce(nParts)
@@ -242,7 +246,6 @@ object Centrality {
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
-        .coalesce(nParts)
     }
     throw new IllegalStateException("unreachable")
   }

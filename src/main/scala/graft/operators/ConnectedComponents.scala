@@ -65,20 +65,19 @@ object ConnectedComponents {
     // reads already-materialized blocks — cheap): every star round runs
     // 2 shuffles + 2 convergence probes, and on a small-to-medium pair
     // graph those are 32 near-empty tasks each. One partition per ~100k
-    // edges, min 1 (the kCore rule). Re-applied after EVERY star round so
-    // later rounds' reads stay few-task — but strictly AFTER the round's
-    // localCheckpoint: coalescing between the star transforms and the
-    // checkpoint collapses the round's own shuffle-read compute to nParts
-    // tasks (coalesce merges shuffle partitions at read time). Edge
-    // counts shrink monotonically under star contraction, so the initial
-    // sizing stays an upper bound.
+    // edges, min 1 (the kCore rule). Applied to the INITIAL edge set
+    // only, by measurement (the kCore finding): later rounds re-shuffle
+    // to session width and AQE right-sizes their near-empty reads, while
+    // both per-round re-apply variants bench worse — pre-checkpoint
+    // serializes the round's own shuffle-read compute, post-checkpoint
+    // imbalances consumers with fat merged blocks at no wall win. Round 1
+    // is the only round whose input arrives un-shuffled, so it is where
+    // explicit sizing pays.
     val nParts = math.max(1L, math.min(
       ckInit.rdd.getNumPartitions.toLong, ckInit.count() / 100000L + 1L)).toInt
-    // coalesce(n) never INCREASES partition count, so applying it
-    // unconditionally is safe (no-op when the frame already has ≤ nParts,
-    // including after AQE's own shuffle coalescing).
-    def rightSize(e: DataFrame): DataFrame = e.coalesce(nParts)
-    var edges = rightSize(ckInit)
+    var edges =
+      if (nParts < ckInit.rdd.getNumPartitions) ckInit.coalesce(nParts)
+      else ckInit
 
     // large-star: per center u over the FULL neighborhood (symmetrize
     // first), m = min(N(u) ∪ {u}); re-point every larger neighbor at m.
@@ -136,7 +135,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      edges = rightSize(smallStar(largeStar(edges)).localCheckpoint())
+      edges = smallStar(largeStar(edges)).localCheckpoint()
       converged = isStarForm(edges)
       iter += 1
     }
