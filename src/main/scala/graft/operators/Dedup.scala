@@ -825,39 +825,48 @@ object Dedup {
           .filter(col("__pf") <= maxPrefixFreq).select(col("__t")),
         Seq("__t"), "left_semi")
     // Pre-flight blowup guard (see scaladoc), evaluated EAGERLY at
-    // operator-call time (the operator is already eager — `ordered` is a
-    // localCheckpoint — so this adds one index-sized aggregation job from
-    // the checkpoint, not a new eagerness class). One aggregation computes
-    // BOTH the pair mass Σn(n−1) and the index size Σn; the collected
-    // numbers serve two masters: the caps fire driver-side (the job dies
-    // before the candidate join is even PLANNED), and the measured mass
-    // sizes the candidate join's reducer count below — an output-exploding
-    // join's right width is pair-proportional, and only the guard knows
-    // the pair mass. n·(n−1) runs in decimal(38,0) (a single 10¹⁰-doc
+    // operator-call time when a cap is requested (the operator is already
+    // eager — `ordered` is a localCheckpoint — so this adds one
+    // index-sized aggregation job from the checkpoint, not a new
+    // eagerness class). One aggregation computes BOTH the pair mass
+    // Σn(n−1) and the index size Σn; the collected numbers serve two
+    // masters: the caps fire driver-side (the job dies before the
+    // candidate join is even PLANNED), and the measured mass sizes the
+    // candidate and verify widths below — an output-exploding join's
+    // right width is pair-proportional, and only the guard knows the pair
+    // mass. Uncapped callers skip the guard job AND the pins entirely and
+    // get the planner's own choices — the r9-measured fast path for
+    // fixture-scale dense graphs (q148's 31-token-vocabulary unigram
+    // corpus: the guard job + pinned exchanges cost more than the whole
+    // uncapped query). n·(n−1) runs in decimal(38,0) (a single 10¹⁰-doc
     // boilerplate token squares past 2^63).
-    val guardRow = pruned
-      .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
-      .agg(
-        coalesce(
-          sum(col("__n").cast("decimal(38,0)") *
-            (col("__n") - 1).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("__p2"),
-        coalesce(sum(col("__n").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("__tot"))
-      .collect()(0)
-    val pairMass2 = BigDecimal(guardRow.getDecimal(0)) // Σn(n−1) = 2·pairs
-    val idxEntries = BigDecimal(guardRow.getDecimal(1))
-    val absFire = maxCandidatePairs > 0 &&
-      pairMass2 > BigDecimal(maxCandidatePairs) * 2
-    val relFire = maxPairsPerEntry > 0 &&
-      pairMass2 > idxEntries * BigDecimal(maxPairsPerEntry) * 2
-    if (absFire || relFire)
-      throw new IllegalStateException(
-        s"prefixFilterJaccardJoin: same-prefix candidate pairs " +
-          s"${(pairMass2 / 2).toBigInt} over ${idxEntries.toBigInt} indexed " +
-          s"entries exceed the cap (maxCandidatePairs=$maxCandidatePairs, " +
-          s"maxPairsPerEntry=$maxPairsPerEntry) — raise tau, use shingles, " +
-          "or set maxPrefixFreq")
+    val guarded = maxCandidatePairs > 0 || maxPairsPerEntry > 0
+    val pairMass2: BigDecimal = if (!guarded) BigDecimal(0) else {
+      val guardRow = pruned
+        .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+        .agg(
+          coalesce(
+            sum(col("__n").cast("decimal(38,0)") *
+              (col("__n") - 1).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("__p2"),
+          coalesce(sum(col("__n").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("__tot"))
+        .collect()(0)
+      val p2 = BigDecimal(guardRow.getDecimal(0)) // Σn(n−1) = 2·pairs
+      val idxEntries = BigDecimal(guardRow.getDecimal(1))
+      val absFire = maxCandidatePairs > 0 &&
+        p2 > BigDecimal(maxCandidatePairs) * 2
+      val relFire = maxPairsPerEntry > 0 &&
+        p2 > idxEntries * BigDecimal(maxPairsPerEntry) * 2
+      if (absFire || relFire)
+        throw new IllegalStateException(
+          s"prefixFilterJaccardJoin: same-prefix candidate pairs " +
+            s"${(p2 / 2).toBigInt} over ${idxEntries.toBigInt} indexed " +
+            s"entries exceed the cap (maxCandidatePairs=$maxCandidatePairs, " +
+            s"maxPairsPerEntry=$maxPairsPerEntry) — raise tau, use shingles, " +
+            "or set maxPrefixFreq")
+      p2
+    }
     val indexed = pruned
     // Prefix-prefix candidates with the LENGTH filter (τ|A| ≤ |B| ≤ |A|/τ)
     // and — in exact mode only — PPJoin's POSITION filter, both as
@@ -904,9 +913,11 @@ object Dedup {
     // on the join key, computed once and reused by both self-join legs),
     // so this costs no extra shuffle — it only fixes the reducer count.
     val pairsPerTask = BigDecimal(1L << 20)
-    val nShuffle = (pairMass2 / 2 / pairsPerTask + 1)
-      .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
-    val probe = indexed.repartition(nShuffle, col("__t"))
+    val probe = if (!guarded) indexed else {
+      val nShuffle = (pairMass2 / 2 / pairsPerTask + 1)
+        .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
+      indexed.repartition(nShuffle, col("__t"))
+    }
     val cand = probe.as("a")
       .join(probe.as("b"), cond)
       .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
@@ -919,21 +930,27 @@ object Dedup {
     // intersection cardinality runs as a zero-allocation merge walk
     // (plans.SortedIntersectCount — size(array_intersect(...)) builds and
     // materializes a hash set per PAIR, measured 2.3 s of q141's verify
-    // leg at sf0.1; the per-DOC sort is corpus-linear). Both verify joins
-    // get the same explicit width treatment as the candidate join: their
-    // per-row cost (a token-array merge walk) is CPU AQE's byte-based
-    // sizing underestimates (measured at sf1: 19 task-seconds coalesced
-    // into 6 tasks, q167's max-task outlier after the candidate fix), and
-    // the right width is pair-proportional — the guard already measured
-    // the pair mass, an upper bound on the candidate count. ~128k verified
-    // pairs ≈ a sub-second task.
+    // leg at sf0.1; the per-DOC sort is corpus-linear). The verify stage's
+    // WIDTH is pinned explicitly, but on the DEDUPED pair table, after the
+    // distinct: its per-row cost (a token-array merge walk) is CPU AQE's
+    // byte-based sizing underestimates (measured at sf1: 19 task-seconds
+    // coalesced into 6 tasks), and the right width is pair-proportional —
+    // the guard already measured the mass. ONE pin, on the bare pair
+    // table, and none between the joins: at fixture scale the doc-table
+    // side of both joins BROADCASTS, so the pinned exchange ships only
+    // (doc_a, doc_b) longs and the joins run map-side at its width. A
+    // second repartition between the joins ships the JOINED rows — pairs
+    // with their full token arrays attached — and measured 32 MB → 404 MB
+    // total shuffle, 4.8 s → 12 s wall on q148's dense unigram graph.
+    // Keyed on doc_a so a planner that picks a shuffle join at real scale
+    // reuses the exchange.
     val verifyWidth = (pairMass2 / 2 / BigDecimal(1L << 17) + 1)
       .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
-    cand
-      .repartition(verifyWidth, col("doc_a"))
+    val candSized =
+      if (guarded) cand.repartition(verifyWidth, col("doc_a")) else cand
+    candSized
       .join(ordered.select(col("__doc").as("doc_a"),
         array_sort(col("__tk")).as("__ta"), col("__sz").as("n_a")), Seq("doc_a"))
-      .repartition(verifyWidth, col("doc_b"))
       .join(ordered.select(col("__doc").as("doc_b"),
         array_sort(col("__tk")).as("__tb"), col("__sz").as("n_b")), Seq("doc_b"))
       .withColumn("n_inter",
