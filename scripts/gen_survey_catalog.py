@@ -44,12 +44,13 @@ def main():
         seen.add(key)
         catalog.append((key, q))
 
-    # qNN -> (description, body)
+    # qNN -> (description, body). A header may name several queries that
+    # share one block ("// ---- q26/q27"): each name gets the block.
     blocks = {}
     for m in re.finditer(
-        r"// -{10,} (q\d+[a-z]?)\n(.*?)(?=\n  // -{10,} q|\n  // -{30,}\n\n  val all)",
+        r"// -{10,} (q\d+[a-z]?(?:/q\d+[a-z]?)*)\n(.*?)(?=\n  // -{10,} q|\n  // -{30,}\n\n  val all)",
         src, re.S):
-        q, block = m.group(1), m.group(2)
+        header, block = m.group(1), m.group(2)
         comment_lines = [
             line.strip().lstrip("/ ").strip()
             for line in block.splitlines() if line.strip().startswith("//")
@@ -62,7 +63,8 @@ def main():
         desc = re.sub(r"\s+", " ", desc)[:140].rstrip()
         body = re.sub(r"//[^\n]*", "", block)  # ops from code, not comments
         ops = sorted(set(OPERATOR_RE.findall(body)))
-        blocks[q] = (desc, ops)
+        for q in header.split("/"):
+            blocks[q] = (desc, ops)
 
     rows = []
     for key, q in catalog:
