@@ -4,6 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions, TextFunctions}
 
+/** Thrown DRIVER-SIDE, at operator-call time, when a simjoin blowup guard's
+  * measured same-prefix candidate-pair mass exceeds its cap
+  * ([[Dedup.prefixFilterJaccardJoin]] `maxCandidatePairs` /
+  * `maxPairsPerEntry`). A dedicated type (still an IllegalStateException,
+  * so pre-existing broad catches keep working) lets callers distinguish
+  * "your corpus would go quadratic" from unrelated illegal states — the
+  * failure used to surface as a Spark runtime exception at ACTION time;
+  * the eager guard moved it to call time where a catch can react (raise
+  * tau, switch to shingles, set maxPrefixFreq) before any join is planned. */
+final class CandidateCapExceededException(message: String)
+    extends IllegalStateException(message)
+
 /** Document deduplication for training-data pipelines, at four fidelity
   * tiers (SURVEY-adjacent north-star surface):
   *
@@ -758,7 +770,18 @@ object Dedup {
     * healthy 1.2 pairs/entry) — while the per-entry ratio is
     * scale-invariant under linear growth and still explodes when a hot
     * prefix bucket goes quadratic, which is the condition the guard
-    * exists to catch. Both caps may be active; either one firing aborts. */
+    * exists to catch. Both caps may be active; either one firing aborts
+    * (driver-side, as [[CandidateCapExceededException]], before the
+    * candidate join is planned).
+    *
+    * Uncapped callers skip the guard job AND the measured width pins —
+    * the r9-measured fast path for fixture-scale corpora, but it means a
+    * production-scale caller should ALWAYS set a cap (maxPairsPerEntry is
+    * the scale-invariant one): the cap is the blowup certificate, and the
+    * same measured mass buys the data-proportional exchange widths that
+    * protect the candidate and verify stages from AQE's byte-based
+    * under-provisioning (61 task-seconds squeezed into 5 tasks at sf1
+    * without them). */
   def prefixFilterJaccardJoin(
       df: DataFrame,
       idCol: String,
@@ -859,12 +882,15 @@ object Dedup {
       val relFire = maxPairsPerEntry > 0 &&
         p2 > idxEntries * BigDecimal(maxPairsPerEntry) * 2
       if (absFire || relFire)
-        throw new IllegalStateException(
+        throw new CandidateCapExceededException(
           s"prefixFilterJaccardJoin: same-prefix candidate pairs " +
             s"${(p2 / 2).toBigInt} over ${idxEntries.toBigInt} indexed " +
             s"entries exceed the cap (maxCandidatePairs=$maxCandidatePairs, " +
             s"maxPairsPerEntry=$maxPairsPerEntry) — raise tau, use shingles, " +
             "or set maxPrefixFreq")
+      if (sys.env.contains("GRAFT_SIMJOIN_DEBUG"))
+        System.err.println(s"[simjoin-guard] pairs=${(p2 / 2).toBigInt} " +
+          s"idxEntries=${idxEntries.toBigInt} tau=$tauNum/$tauDen k=$shingleK")
       p2
     }
     val indexed = pruned
@@ -913,7 +939,21 @@ object Dedup {
     // on the join key, computed once and reused by both self-join legs),
     // so this costs no extra shuffle — it only fixes the reducer count.
     val pairsPerTask = BigDecimal(1L << 20)
-    val probe = if (!guarded) indexed else {
+    // The pins engage for EVERY guarded call, with no small-mass floor —
+    // a floor was tried (r11) and measured SLOWER at fixture scale: the
+    // pin's value is not spreading the pair mass (210k pairs at sf0.1 is
+    // ~6 task-seconds) but holding the index exchange at session width so
+    // the whole candidate→verify chain inherits real parallelism.
+    // Unpinned, the small-bytes prefix index invites AQE coalescing and
+    // broadcast self-joins that collapse the downstream chain to a few
+    // tasks and serialize the CPU-dense verify work (measured in-window:
+    // q165 5.06→7.05 s, q167 2.69→4.04 s with a 2²¹-pair floor; the
+    // unguarded r9 tree rebuilt today shows the same collapsed walls, so
+    // the r10 record's apparent +16% vs r9 was host-window drift, not pin
+    // overhead — pinned HEAD is ~11% FASTER than the unpinned r9 tree
+    // method-for-method in the same window).
+    val pinned = guarded
+    val probe = if (!pinned) indexed else {
       val nShuffle = (pairMass2 / 2 / pairsPerTask + 1)
         .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
       indexed.repartition(nShuffle, col("__t"))
@@ -943,11 +983,17 @@ object Dedup {
     // with their full token arrays attached — and measured 32 MB → 404 MB
     // total shuffle, 4.8 s → 12 s wall on q148's dense unigram graph.
     // Keyed on doc_a so a planner that picks a shuffle join at real scale
-    // reuses the exchange.
-    val verifyWidth = (pairMass2 / 2 / BigDecimal(1L << 17) + 1)
-      .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
-    val candSized =
-      if (guarded) cand.repartition(verifyWidth, col("doc_a")) else cand
+    // reuses the exchange. Caveat: a hub document that dominates doc_a
+    // keys concentrates in one reducer regardless of width (the
+    // pair-proportional width only helps when mass spreads across doc_a
+    // values) — keying on (doc_a, doc_b) would spread hubs but costs a
+    // second exchange on the second verify join; not paid until a hub
+    // shows up in a measured profile.
+    val candSized = if (!pinned) cand else {
+      val verifyWidth = (pairMass2 / 2 / BigDecimal(1L << 17) + 1)
+        .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
+      cand.repartition(verifyWidth, col("doc_a"))
+    }
     candSized
       .join(ordered.select(col("__doc").as("doc_a"),
         array_sort(col("__tk")).as("__ta"), col("__sz").as("n_a")), Seq("doc_a"))

@@ -353,7 +353,10 @@ class DedupSpec extends SparkSpec {
         .count()
     }
     assert(e.getMessage.contains("maxCandidatePairs=100"),
-      s"expected the guard's raise_error, got: ${e.getMessage.take(200)}")
+      s"expected the driver-side eager guard's CandidateCapExceededException, " +
+        s"got: ${e.getMessage.take(200)}")
+    assert(e.isInstanceOf[graft.operators.CandidateCapExceededException],
+      s"expected CandidateCapExceededException, got ${e.getClass.getName}")
 
     // Same corpus, bound above the mass → identical results to unguarded.
     val rng = new scala.util.Random(7)
