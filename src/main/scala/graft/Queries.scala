@@ -5112,13 +5112,21 @@ object Queries {
   // quantile-normalization audit a feature pipeline prints per segment;
   // rank() agrees bit-for-bit where percent_rank()'s double division
   // invites cross-engine rounding drift.
+  // Runs on the BY-VALUE form (Encoding.percentRankPpmByValue): the decile
+  // rollup is rank-derived, so it never needs per-row ranks — the window
+  // sorts only the distinct (flag, price) table (count-shrunk map-side)
+  // and the rollup weights by n_rows. The per-row form sorts every row of
+  // a group in ONE partition (parallelism = 3 flags; measured at sf1:
+  // 5.7 s max task under a balanced 1.001 hot stage, task_skew 7.06 —
+  // the r10 watch item), the by-value form's heavy work is the
+  // map-combined count.
   private val q149: Q = (s, dir) =>
-    Encoding.percentRankPpm(Tables.lineitem(s, dir),
+    Encoding.percentRankPpmByValue(Tables.lineitem(s, dir),
         Seq("l_returnflag"), "l_extendedprice")
       .withColumn("decile", least(expr("pr_ppm div 100000"), lit(9L)))
       .groupBy(col("l_returnflag"), col("decile"))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(col("n_rows")).as("n_rows"),
         min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
       .orderBy("l_returnflag", "decile")

@@ -100,4 +100,53 @@ object Encoding {
           .otherwise(expr("((__rnk - 1) * 1000000) div (__n - 1)")))
       .drop("__rnk", "__n")
   }
+
+  /** [[percentRankPpm]] collapsed to one row per DISTINCT (group, value):
+    * `(groupCols…, valueCol, n_rows, pr_ppm)` — bit-identical ppm to the
+    * per-row form (SQL `rank()` gives every tie its group's FIRST rank,
+    * which is exactly `1 + Σ counts of strictly smaller values`, a
+    * cumulative sum over the distinct-value table).
+    *
+    * This is the SCALE form for rank-derived aggregates (decile tables,
+    * CDF plots, calibration curves): the per-row operator must sort every
+    * row of a group inside ONE window partition — parallelism = number of
+    * groups, so a 3-flag billion-row table runs its heavy sort 3-wide
+    * (measured at sf1: q149's 5.7 s max task under a balanced 1.001
+    * hot-stage, the catalog's 4th-worst task_skew at 7.06) — while this
+    * form sorts only the DISTINCT values per group (map-combined count
+    * first, so the window input shrinks by the duplication factor) and
+    * never joins back to the rows: any rank-only downstream aggregate
+    * can weight by `n_rows` instead. Same loud null contract as the
+    * per-row form. */
+  def percentRankPpmByValue(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      dropNulls: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val guarded =
+      if (dropNulls) df.filter(col(valueCol).isNotNull)
+      else df.withColumn(valueCol,
+        when(col(valueCol).isNull,
+          raise_error(lit(s"percentRankPpmByValue: null $valueCol — engines " +
+            "disagree on null rank placement; filter nulls first or pass " +
+            "dropNulls = true")).cast(df.schema(valueCol).dataType))
+          .otherwise(col(valueCol)))
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val wg = Window.partitionBy(g: _*)
+    guarded
+      .groupBy((g :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__rnk",
+        coalesce(
+          sum(col("n_rows")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+      .withColumn("__n", sum(col("n_rows")).over(wg))
+      .withColumn("pr_ppm",
+        when(col("__n") === 1L, 0L)
+          .otherwise(expr("((__rnk - 1) * 1000000) div (__n - 1)")))
+      .drop("__rnk", "__n")
+  }
 }

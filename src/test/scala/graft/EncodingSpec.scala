@@ -92,4 +92,34 @@ class EncodingSpec extends SparkSpec {
       .orderBy("grp", "v", "pr_ppm").collect().toSeq
     assert(a == b)
   }
+
+  test("percentRankPpmByValue: bit-identical ppm to the per-row form, counted") {
+    // Heavy ties + singleton group + all-equal group: every regime where
+    // rank()'s first-of-ties convention and the n==1 zero must agree
+    // between the per-row window and the distinct-value cumulative sum.
+    val df = ((1 to 200).map(i => (s"g${i % 3}", (i * 37 % 7).toDouble)) ++
+      Seq(("solo", 5.0), ("flat", 2.0), ("flat", 2.0), ("flat", 2.0)))
+      .toDF("grp", "v")
+    val perRow = Encoding.percentRankPpm(df, Seq("grp"), "v")
+      .groupBy("grp", "v", "pr_ppm").count()
+      .select("grp", "v", "pr_ppm", "count")
+      .as[(String, Double, Long, Long)].collect().toSet
+    val byValue = Encoding.percentRankPpmByValue(df, Seq("grp"), "v")
+      .select("grp", "v", "pr_ppm", "n_rows")
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(byValue == perRow)
+  }
+
+  test("percentRankPpmByValue: loud on nulls by default, drops on opt-in") {
+    val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(30.0)))
+      .toDF("grp", "v")
+    val e = intercept[Exception] {
+      Encoding.percentRankPpmByValue(df, Seq("grp"), "v").collect()
+    }
+    assert(e.getMessage.contains("percentRankPpmByValue"))
+    val got = Encoding.percentRankPpmByValue(df, Seq("grp"), "v", dropNulls = true)
+      .select("v", "pr_ppm", "n_rows").as[(Option[Double], Long, Long)]
+      .collect().toSet
+    assert(got == Set((Some(10.0), 0L, 1L), (Some(30.0), 1000000L, 1L)))
+  }
 }
