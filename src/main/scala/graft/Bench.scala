@@ -214,12 +214,19 @@ object Bench {
     // process is killed right after this point.
     // Output location: full-path overrides (SPARK_GRAFT_BENCH_OUT /
     // SPARK_GRAFT_METRICS_OUT) win; otherwise files land in
-    // SPARK_GRAFT_BENCH_OUT_DIR (default: the process cwd — NOT a
-    // hard-coded repo root, which made every ad-hoc run clobber the
-    // committed record). Subset runs (SPARK_GRAFT_BENCH_ONLY set) get a
+    // SPARK_GRAFT_BENCH_OUT_DIR. The default is the process cwd — EXCEPT
+    // when cwd is a repo root (a `.git` directory is present): there the
+    // default flips to /tmp/graft_bench, because every ad-hoc or
+    // driver-side pass launched from the repo root was clobbering the
+    // committed bench_out.json/bench_metrics.json records (r10 finding).
+    // A deliberate record refresh sets SPARK_GRAFT_BENCH_OUT_DIR=.
+    // explicitly. Subset runs (SPARK_GRAFT_BENCH_ONLY set) get a
     // ".subset" suffix so a partial sweep can never overwrite a full one.
     val outDir = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT_DIR", "."))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT_DIR",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(".git")))
+          "/tmp/graft_bench"
+        else "."))
     val subsetSuffix = if (only.isDefined) ".subset" else ""
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))

@@ -61,6 +61,18 @@ final class MetricsListener extends SparkListener {
         if (n == 0 || total == 0) 1.0 else max.toDouble / (total.toDouble / n)
       }
 
+    /** The five heaviest stages by total task time — the per-stage profile
+      * that turns an adverse `task_skew` into a diagnosis (is the max-task
+      * outlier inside the heavy stage, or is a compact-input stage
+      * AQE-coalesced under the work?) without re-running the query under a
+      * scratch harness. */
+    def stagesJson: String =
+      stageTasks.toSeq.sortBy(-_._2._2).take(5)
+        .map { case (id, (n, total, max)) =>
+          s"""{"stage":$id,"n":$n,"total_ms":$total,"max_ms":$max}"""
+        }
+        .mkString("[", ",", "]")
+
     def json: String =
       s"""{"n_tasks":$nTasks,"failed_tasks":$failedTasks,""" +
         s""""total_task_ms":$totalTaskMs,"max_task_ms":$maxTaskMs,""" +
@@ -72,7 +84,8 @@ final class MetricsListener extends SparkListener {
         s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
         s""""output_records":$outputRecords,""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
-        s""""memory_spill_bytes":$memorySpillBytes,"disk_spill_bytes":$diskSpillBytes}"""
+        s""""memory_spill_bytes":$memorySpillBytes,"disk_spill_bytes":$diskSpillBytes,""" +
+        s""""top_stages":$stagesJson}"""
   }
 
   private val byGroup = new ConcurrentHashMap[String, GroupMetrics]()

@@ -39,6 +39,12 @@ class MetricsSpec extends SparkSpec {
       assert("\"task_skew\":([0-9.]+)".r.findFirstMatchIn(ds)
         .exists(_.group(1).toDouble >= 1.0), ds.take(300))
       assert("\"failed_tasks\":0".r.findFirstIn(ds).isDefined, ds.take(300))
+      // per-stage profile rides the sheet: at least the shuffle's two
+      // stages, heaviest first by total task time
+      val stages = "\"top_stages\":\\[([^\\]]*)\\]".r.findFirstMatchIn(ds)
+      assert(stages.exists(_.group(1).contains("\"total_ms\":")), ds.take(500))
+      val totals = "\"total_ms\":(\\d+)".r.findAllMatchIn(ds).map(_.group(1).toLong).toSeq
+      assert(totals.size >= 2 && totals == totals.sortBy(-_), s"want desc totals, got $totals")
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
