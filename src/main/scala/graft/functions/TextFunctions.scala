@@ -248,7 +248,15 @@ object TextFunctions {
     *     [[graft.plans.HtmlEntityDecode]] kernel, single-decode
     *     semantics: `&amp;lt;` renders as the four characters `&lt;`,
     *     never double-decodes to `<`;
-    *  6. whitespace normalizes: runs containing a newline collapse to one
+    *  6. `<pre>` content keeps its whitespace layout (code blocks are
+    *     the one place collapse destroys meaning): the
+    *     [[graft.plans.PreWhitespaceSentinels]] kernel rewrites
+    *     in-`pre` whitespace to C0 sentinels BEFORE the block/strip
+    *     passes and the extractor translates them back AFTER the global
+    *     collapse — HTML5's ignore-first-newline rule applies, inner
+    *     inline markup still strips to a (collapsible) space, and
+    *     document-EDGE trim still applies to restored whitespace;
+    *  7. whitespace normalizes: runs containing a newline collapse to one
     *     newline, other runs to one space, lines trim, ends trim.
     *
     * Not a spec-complete HTML5 parser (exotic NAMED entities pass
@@ -264,7 +272,11 @@ object TextFunctions {
     // a comment must not emit a newline).
     val noComments = regexp_replace(noScript, "(?s)<!--.*?(?:-->|$)", " ")
     val noCdata = regexp_replace(noComments, "(?s)<!\\[CDATA\\[.*?(?:\\]\\]>|$)", " ")
-    val blocks = regexp_replace(noCdata,
+    // pre protection AFTER the drop-with-contents rules (a <pre> inside a
+    // comment never renders) and BEFORE block/strip (the whitespace must
+    // be sentineled before any global pass can touch it)
+    val protectedPre = graft.plans.GraftFunctions.preSentinels(noCdata)
+    val blocks = regexp_replace(protectedPre,
       "(?i)</?(p|br|hr|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|td|th|caption|" +
         "title|blockquote|pre|" +
         "section|article|header|footer|nav|aside|form|figure|figcaption)\\b[^>]*/?>", "\n")
@@ -274,6 +286,13 @@ object TextFunctions {
     val spRuns = regexp_replace(nlRuns, "[ \\t\\x0B\\f\\r]+", " ")
     // regex trim, not trim(): built-in trim strips SPACES only, and a
     // block tag at the document edge leaves a leading/trailing newline
-    regexp_replace(regexp_replace(spRuns, "(?m)^ | $", ""), "^\\s+|\\s+$", "")
+    val trimmed =
+      regexp_replace(regexp_replace(spRuns, "(?m)^ | $", ""), "^\\s+|\\s+$", "")
+    // restore pre whitespace AFTER every collapse/trim pass (sentinels are
+    // not \s, so they rode through untouched); one more edge trim so a
+    // document ENDING in a pre still honors the ends-trim contract
+    regexp_replace(
+      translate(trimmed, "\u0001\u0002\u0003", " \t\n"),
+      "^\\s+|\\s+$", "")
   }
 }

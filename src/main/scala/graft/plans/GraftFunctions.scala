@@ -91,6 +91,20 @@ object GraftFunctions {
   private[plans] val htmlUnescapeInfo =
     new ExpressionInfo(classOf[HtmlEntityDecode].getName, "graft_html_unescape")
 
+  /** `<pre>` whitespace → C0 sentinels (see [[PreWhitespaceSentinels]]) —
+    * the protect half of htmlToText's preformatted-block rule; the
+    * extractor translates the sentinels back after its global collapse. */
+  def preSentinels(s: Column): Column =
+    ColumnBridge.column(PreWhitespaceSentinels(ColumnBridge.expression(s)))
+
+  private[plans] val preSentinelsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_pre_sentinels expects exactly 1 argument")
+    PreWhitespaceSentinels(children.head)
+  }
+
+  private[plans] val preSentinelsInfo =
+    new ExpressionInfo(classOf[PreWhitespaceSentinels].getName, "graft_pre_sentinels")
+
   /** Grouped top-k aggregate (see [[TopKAgg]]): the k largest `(ord, id)`
     * pairs by (ord DESC, id ASC), in rank order. Use instead of a
     * `row_number` window when only the top k rows per group are needed —
@@ -147,6 +161,9 @@ object GraftFunctions {
       .registerFunction(
         FunctionIdentifier("graft_html_unescape"), htmlUnescapeInfo, htmlUnescapeBuilder)
     spark.sessionState.functionRegistry
+      .registerFunction(
+        FunctionIdentifier("graft_pre_sentinels"), preSentinelsInfo, preSentinelsBuilder)
+    spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_topk"), topkInfo, topkBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder)
@@ -172,6 +189,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_html_unescape"), GraftFunctions.htmlUnescapeInfo,
         GraftFunctions.htmlUnescapeBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pre_sentinels"), GraftFunctions.preSentinelsInfo,
+        GraftFunctions.preSentinelsBuilder))
     ext.injectFunction(
       (FunctionIdentifier("graft_topk"), GraftFunctions.topkInfo,
         GraftFunctions.topkBuilder))

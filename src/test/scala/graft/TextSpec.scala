@@ -135,6 +135,33 @@ class TextSpec extends SparkSpec {
     assert(out == "keep1\nkeep2\nkeep3")
   }
 
+  test("htmlToText: pre keeps its whitespace layout through the global collapse") {
+    val out = Seq(
+      "<p>intro</p><pre>\n  x = 1;\n\ty &lt; 2;\n\n  done</pre><p>after</p>")
+      .toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // HTML5 ignore-first-newline applies; indentation, the tab, and the
+    // BLANK line inside the pre all survive; the entity decodes in place
+    assert(out == "intro\n  x = 1;\n\ty < 2;\n\n  done\nafter")
+  }
+
+  test("htmlToText: pre edge cases — name boundary, self-closing, unterminated, inner markup") {
+    def x(h: String) =
+      Seq(h).toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // <presentation> is NOT <pre>: whitespace collapses normally
+    assert(x("<presentation>a   b</presentation>") == "a b")
+    // self-closing <pre/> protects nothing
+    assert(x("a<pre/>b   c") == "a\nb c")
+    // unterminated <pre> protects to end-of-input (browser behavior)
+    assert(x("<p>t</p><pre>a  b\n  c") == "t\na  b\n  c")
+    // inner inline markup strips to a real (collapsible) space — the
+    // regex-tier trade: sentinels keep the "  " but <code> adds one space
+    assert(x("<pre>a<code>  b</code></pre>") == "a   b")
+    // attributes on the open tag are fine; case-insensitive
+    assert(x("<PRE class='c'>a  b</PRE>") == "a  b")
+    // document-EDGE trim still applies to restored whitespace
+    assert(x("<pre>  lead</pre>") == "lead")
+  }
+
   test("htmlToText: title and table cells are block-level") {
     val out = Seq(
       "<html><head><title>T</title></head><body>lead" +
