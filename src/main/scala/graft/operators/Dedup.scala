@@ -958,10 +958,32 @@ object Dedup {
         .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
       indexed.repartition(nShuffle, col("__t"))
     }
-    val cand = probe.as("a")
+    val rawPairs = probe.as("a")
       .join(probe.as("b"), cond)
       .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
-      .distinct()
+    // Pair dedup (a pair re-emits once per shared prefix token). UNPINNED,
+    // `.distinct()` is right: partial agg shrinks each join partition,
+    // and the final exchange at session width handles fixture-scale
+    // masses. PINNED, the distinct's own exchange is the one exchange
+    // the width pins did NOT cover, and at real mass it is the spill
+    // bomb: its final aggregation runs at session width no matter how
+    // wide the join ran — measured at sf10 (2.64B candidate rows,
+    // q148's corpus): 32 final-agg tasks × ~82M pairs of hash-agg state
+    // each = 56 GB of spill, 11.4k task-seconds in that stage alone. So
+    // the pinned path repartitions the RAW pair stream by (doc_a, doc_b)
+    // at the mass-proportional width FIRST and dedups partition-locally
+    // (hash partitioning on exactly the grouping keys — no second
+    // exchange): the same rows shuffle once either way, but the dedup
+    // state divides across verifyWidth tasks instead of 32. Keyed on
+    // (doc_a, doc_b), not doc_a alone: dedup correctness needs the full
+    // key, and the hub-doc caveat below applies unchanged.
+    val verifyWidth = (pairMass2 / 2 / BigDecimal(1L << 17) + 1)
+      .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
+    val cand =
+      if (!pinned) rawPairs.distinct()
+      else rawPairs
+        .repartition(verifyWidth, col("doc_a"), col("doc_b"))
+        .dropDuplicates()
     // Exact verify: both token arrays join back by doc id; intersection is
     // row-local. The candidate set is output-sized + false positives that
     // shared a rare prefix token — small by construction. The verify
@@ -982,19 +1004,14 @@ object Dedup {
     // second repartition between the joins ships the JOINED rows — pairs
     // with their full token arrays attached — and measured 32 MB → 404 MB
     // total shuffle, 4.8 s → 12 s wall on q148's dense unigram graph.
-    // Keyed on doc_a so a planner that picks a shuffle join at real scale
-    // reuses the exchange. Caveat: a hub document that dominates doc_a
-    // keys concentrates in one reducer regardless of width (the
-    // pair-proportional width only helps when mass spreads across doc_a
-    // values) — keying on (doc_a, doc_b) would spread hubs but costs a
-    // second exchange on the second verify join; not paid until a hub
-    // shows up in a measured profile.
-    val candSized = if (!pinned) cand else {
-      val verifyWidth = (pairMass2 / 2 / BigDecimal(1L << 17) + 1)
-        .min(BigDecimal(confWidth * 16)).max(BigDecimal(confWidth)).toInt
-      cand.repartition(verifyWidth, col("doc_a"))
-    }
-    candSized
+    // (r11) The former doc_a-keyed verify repartition is gone: the pinned
+    // dedup above already leaves the pair table hash-partitioned on
+    // (doc_a, doc_b) at the mass-proportional width, so the verify joins
+    // run map-side (broadcast doc table) in exactly those partitions — a
+    // second exchange shipped the deduped pairs again for nothing. The
+    // (doc_a, doc_b) key also spreads hub documents that a doc_a-only
+    // key concentrated into one reducer (the r10 ADVICE caveat).
+    cand
       .join(ordered.select(col("__doc").as("doc_a"),
         array_sort(col("__tk")).as("__ta"), col("__sz").as("n_a")), Seq("doc_a"))
       .join(ordered.select(col("__doc").as("doc_b"),
