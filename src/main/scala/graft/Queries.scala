@@ -2309,6 +2309,15 @@ object Queries {
   // pass, nothing materializes between stages. dist2 here is normalized
   // (÷n², one extra exact-integer division) so the threshold is
   // scale-invariant — the q71 form is rank-only within a label.
+  //
+  // Adjudicated task-skew shape (r11 per-stage profile at sf1): the
+  // three heavy stages are 32-task balanced (hot_stage_skew 1.11); the
+  // max task (~1.2 s) is the final `orderBy`'s AQE-coalesced sort of
+  // the RESULT — the total order exists only so the oracle can
+  // hash-compare deterministically. A production curation pass at
+  // 100 TB drops the global sort (sinks don't need total order; the
+  // survivors write partition-parallel), so the tail is a gate
+  // artifact bounded by result size, not a corpus-scale hazard.
   private val q73: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
     val keep = Dedup.dropExactDuplicates(d, "doc_id", "text")
@@ -2869,6 +2878,17 @@ object Queries {
   // nothing but three broadcast doubles. Exact-edge parity is the
   // PercentileSpec audit; PlanSpec pins the sample filter under the edge
   // aggregation.
+  //
+  // Adjudicated task-skew shape (r11 per-stage profile at sf1): every
+  // heavy stage runs 31-32 balanced tasks (hot_stage_skew 1.30); the
+  // max task is the exact `percentile`'s single-reducer finalize over
+  // the sample (929 ms, stage n=1) — single-buffer BY CONTRACT, because
+  // the edges must hash-match DuckDB's quantile_cont on the identical
+  // multiset. The buffer is bounded by the SAMPLE (~10% here), and the
+  // sample ppm is the scale knob: at 100 TB you shrink the fraction (or
+  // switch to the q41 GK-estimate tier and give up bit-parity), you do
+  // not parallelize the exact multiset. task_skew ≈ 6-10 is this one
+  // task against a sea of short scan tasks, not an idle cluster.
   private val q87: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
     val sampleKey = (col("l_orderkey") * lit(8L) + col("l_linenumber")).cast("long")
@@ -3911,9 +3931,20 @@ object Queries {
   // near-dups sit near cosine 0.5; real corpora use ~0.95+) — same move as
   // q43's banding parameters. The oracle replays quantizer, assignment,
   // and pairwise verdicts exactly.
+  //
+  // kClusters=8 is ALSO fixture-tuned, and unlike τ it has a scale
+  // hazard: SemDeDup's contract is k ∝ N (constant pairs-per-vector; the
+  // paper trains 110k clusters for LAION). The r11 sf10 rehearsal ran
+  // this fixture k over 200k vectors into ~2.5 BILLION within-cluster
+  // pairs — a silent >600 s timeout. The cap below is the operator's
+  // scale-relative guard: ~31 pairs/vector at gate SF, ~1.3k at sf1
+  // (both pass), 12.5k at sf10 → the guard fails LOUDLY naming the
+  // k ∝ N fix instead of burning the cluster. A production caller
+  // scales k and keeps the same cap.
   private val q116: Q = (s, dir) =>
     Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.35, kClusters = 8, iters = 1)
+        threshold = 0.35, kClusters = 8, iters = 1,
+        maxPairsPerVector = 4096L)
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -5064,8 +5095,21 @@ object Queries {
   // cross-engine, like q129.
   private val q148: Q = (s, dir) =>
     Centrality.kCore(
+        // CAPPED since r11 (reversing the r10 uncapped-fast-path call for
+        // this query): the sf10 rehearsal caught the uncapped plan's AQE
+        // under-provisioning concentrating the unigram pair mass (22.4M
+        // pairs at sf0.1, ×10 per decade — 1,602 pairs/entry, constant
+        // under copy growth) into few fat tasks whose buffers SPILLED
+        // 61 GB — 42.5k task-seconds, 5.5× the linear extrapolation, a
+        // >600 s timeout. With the cap, the guard's measured mass sizes
+        // the candidate/verify widths and sf10 runs spill-free and
+        // linear (r11 measurement); the ~2× fixture-scale wall cost
+        // (5.3 → 10.0 s at sf0.1) is the documented price. Cap = 8192,
+        // 5× above the measured scale-invariant ratio — real quadratic
+        // hot buckets still trip.
         graft.operators.Dedup.prefixFilterJaccardJoin(
-          Tables.documents(s, dir), "doc_id", "text", tauNum = 9, tauDen = 10),
+          Tables.documents(s, dir), "doc_id", "text", tauNum = 9, tauDen = 10,
+          maxPairsPerEntry = 8192L),
         "doc_a", "doc_b", k = 30,
         // simjoin output is distinct a<b by contract — skip the
         // re-canonicalize shuffle
@@ -7322,8 +7366,10 @@ object Queries {
   // five characters "&amp;", never double-decodes), NUMERIC character
   // references (decimal &#8217;, hex &#x2019;/&#X2019;, and the
   // &amp;#60; numeric single-decode trap — stays the five characters
-  // "&#60;"), &nbsp; and quotes, and tag-noise whitespace that must
-  // collapse. The oracle does NOT replay the regex chain — it derives
+  // "&#60;"), &nbsp; and quotes, tag-noise whitespace that must
+  // collapse, and a <pre> block whose indentation, tab and internal
+  // newline must SURVIVE the global collapse (the PreWhitespaceSentinels
+  // kernel). The oracle does NOT replay the regex chain — it derives
   // the EXPECTED text arithmetically from the generator's pieces (title
   // line, nav line, entity lines decoded by hand, table cells, body,
   // byline), so every rule is value-checked against an independent
@@ -7341,6 +7387,7 @@ object Queries {
         "<p>It&#8217;s &#x2019;quoted&#X2019; &amp;#60;kept&#59;</p>" +
         "<![CDATA[raw <td> bytes]]>" +
         "<table><tr><td>c1</td><th>c2</th></tr></table>" +
+        "<pre>  x = 1;\n\ty = 2;</pre>" +
         "<div>%s</div><em>by %s</em></body></html>",
       k, k, body, col("source"))
     Tables.documents(s, dir)
@@ -7367,6 +7414,7 @@ object Queries {
        |      || ' &#60;kept;',
        |    'c1',
        |    'c2',
+       |    '  x = 1;' || chr(10) || chr(9) || 'y = 2;',
        |    body,
        |    'by ' || source], x -> x <> ''), chr(10)) AS extracted
        |  FROM d)

@@ -663,6 +663,22 @@ object Similarity {
     * `cluster`, so each bucket's pairs stay in its partition. Assignment
     * is map-side (centroids broadcast, see [[ivfTrain]]).
     *
+    * THE SCALE CONTRACT IS k ∝ N. Σ n_c² only beats n² while per-cluster
+    * populations stay bounded — the paper trains cluster counts
+    * proportional to the corpus (110k clusters for LAION), keeping n_c
+    * (and so pairs-per-vector) CONSTANT as data grows. A fixed kClusters
+    * is a fixture parameter: the r11 sf10 rehearsal measured k=8 over
+    * 200k vectors at Σ n_c²/2 ≈ 2.5 BILLION exact-cosine pairs — a
+    * silent >600 s timeout. `maxPairsPerVector` (> 0 to enable) is the
+    * scale-relative blowup guard against exactly that: it measures the
+    * real pair mass Σ n_c·(n_c−1)/2 with ONE k-row aggregation at
+    * operator-call time (the operator is already eager — ivfTrain
+    * collects centroids) and fails loudly driver-side as
+    * [[CandidateCapExceededException]] BEFORE the pair join is planned,
+    * naming the measured ratio and the fix (raise kClusters with the
+    * corpus). Scale-invariant under k ∝ N, still trips when a fixture k
+    * meets grown data.
+    *
     * Returns one row per corpus vector: `(cluster, idCol, dropped)` —
     * aggregate for the audit, anti-join the dropped ids for the pruned
     * corpus. */
@@ -672,10 +688,29 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       kClusters: Int = 8,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1,
+      maxPairsPerVector: Long = 0L): DataFrame = {
     val assigned = ivfAssign(
         corpus, vecCol, ivfTrain(corpus, idCol, vecCol, kClusters, iters))
       .select(col("cluster"), col(idCol), col(vecCol))
+    if (maxPairsPerVector > 0) {
+      val row = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(
+          coalesce(sum(col("__n").cast("decimal(38,0)") *
+            (col("__n") - 1).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),
+          coalesce(sum(col("__n").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .collect()(0)
+      val p2 = BigDecimal(row.getDecimal(0)) // Σ n(n−1) = 2·pairs
+      val nVec = BigDecimal(row.getDecimal(1))
+      if (p2 > nVec * BigDecimal(maxPairsPerVector) * 2)
+        throw new CandidateCapExceededException(
+          s"semDedup: within-cluster pairs ${(p2 / 2).toBigInt} over " +
+            s"${nVec.toBigInt} vectors exceed maxPairsPerVector=" +
+            s"$maxPairsPerVector with kClusters=$kClusters — SemDeDup's " +
+            "scale contract is k ∝ N (keep pairs-per-vector constant); " +
+            "raise kClusters with the corpus")
+    }
     // Per-vector norms computed ONCE per side before the pair join, and
     // two-phase scoring (the nearDupPairs recipe): the fused double kernel
     // prefilters at a safety margin, only survivors pay the exact decimal

@@ -346,6 +346,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(0L -> false, 1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("semDedup blowup guard: trips when a fixture k meets grown data, silent in-bound") {
+    // 40 near-identical vectors collapse into ONE cluster at kClusters=2:
+    // pairs/vector ≈ 19.5, so a cap of 8 must trip driver-side (before
+    // any pair join runs) and name the k ∝ N contract.
+    val vecs = (0L until 40L)
+      .map(i => (i, Array(1.0f, (i % 3) * 1e-4f))).toDF("vec_id", "embedding")
+    val e = intercept[graft.operators.CandidateCapExceededException] {
+      Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, kClusters = 2, iters = 1, maxPairsPerVector = 8L)
+    }
+    assert(e.getMessage.contains("k ∝ N"), e.getMessage)
+    // same data, cap above the measured mass → identical results to uncapped
+    val uncapped = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, kClusters = 2, iters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toSet
+    val capped = Similarity.semDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, kClusters = 2, iters = 1, maxPairsPerVector = 64L)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toSet
+    assert(capped == uncapped)
+  }
+
   test("u64Mod: Column, JVM twin, and BigInteger unsigned mod all agree") {
     import graft.functions.HashFunctions
     val two64 = BigInt(1) << 64
