@@ -232,18 +232,22 @@ object Similarity {
   }
 
   /** Add a `cluster` column: the label of the nearest centroid (exact
-    * decimal squared-L2, ties to the smaller label). Map-only — centroids
-    * arrive as literals, the per-row argmin is a `least` over k structs. */
+    * decimal squared-L2, ties to the smaller label). Map-only — the
+    * centroid matrix ships once per task inside the
+    * [[graft.plans.IvfArgminL2]] kernel (r11; the previous k-way `least`
+    * over per-centroid struct literals inlined k × dim coordinates into
+    * the plan — codegen-explosive past k ≈ 64, while SemDeDup's scale
+    * contract is k ∝ N). Same quantized arithmetic, and the distance
+    * compare is now EXACT end-to-end (the struct form compared after a
+    * final double cast), matching the DuckDB oracle's decimal compare
+    * strictly better. */
   def ivfAssign(
       corpus: DataFrame,
       vecCol: String,
       cents: Array[(Long, Seq[Double])]): DataFrame = {
-    val dcs = cents.map { case (label, cv) =>
-      struct(
-        VectorFunctions.l2SqExact(col(vecCol), typedLit(cv)).as("d"),
-        lit(label).as("c"))
-    }
-    corpus.withColumn("cluster", least(dcs.toSeq: _*).getField("c"))
+    val (labels, rows) = graft.plans.IvfArgminL2.quantize(cents)
+    corpus.withColumn("cluster",
+      graft.plans.GraftFunctions.ivfArgmin(col(vecCol), labels, rows))
   }
 
   /** IVF-Flat ANN search: train (or accept) a coarse quantizer, probe each

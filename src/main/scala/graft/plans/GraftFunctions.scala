@@ -70,6 +70,15 @@ object GraftFunctions {
   def bpeMergeFold(syms: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeMergeFold(ColumnBridge.expression(syms), merges))
 
+  /** Nearest-centroid label by exact-decimal squared L2, ties to the
+    * smaller label (see [[IvfArgminL2]]) — the IVF coarse-assign kernel;
+    * the centroid matrix ships once per task as a reference object, so
+    * cluster counts scale with the corpus (k ∝ N) instead of with plan
+    * size. Column-API only (a matrix parameter is not SQL-expressible,
+    * the [[BpeMergeFold]] convention). */
+  def ivfArgmin(vec: Column, labels: Array[Long], cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(IvfArgminL2(ColumnBridge.expression(vec), labels, cents))
+
   private[plans] val nfcBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 1, "graft_nfc expects exactly 1 argument")
     NfcNormalize(children.head)

@@ -367,6 +367,33 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("ivfAssign kernel: bit-identical to the k-way least-struct form; exact ties to smaller label") {
+    import graft.functions.VectorFunctions
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 300L)
+      .map(i => (i, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents: Array[(Long, Seq[Double])] =
+      (0 until 12).map(c => (c * 7L, Seq.fill(8)(rng.nextDouble() * 2 - 1))).toArray
+    val viaKernel = Similarity.ivfAssign(vecs, "embedding", cents)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    // the replaced plan shape, reconstructed inline (k-way least over
+    // per-centroid struct(l2SqExact, label) literals)
+    val dcs = cents.map { case (label, cv) =>
+      struct(VectorFunctions.l2SqExact(col("embedding"), typedLit(cv)).as("d"),
+        lit(label).as("c"))
+    }
+    val viaStructs = vecs
+      .withColumn("cluster", least(dcs.toSeq: _*).getField("c"))
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(viaKernel == viaStructs)
+    // two IDENTICAL centroids: every distance ties exactly -> smaller label
+    val tie = Similarity.ivfAssign(vecs, "embedding",
+        Array((5L, Seq.fill(8)(0.25)), (3L, Seq.fill(8)(0.25))))
+      .select("cluster").distinct().as[Long].collect().toSeq
+    assert(tie == Seq(3L))
+  }
+
   test("u64Mod: Column, JVM twin, and BigInteger unsigned mod all agree") {
     import graft.functions.HashFunctions
     val two64 = BigInt(1) << 64
