@@ -106,6 +106,55 @@ object Bench {
       t
     }
 
+    // Host-calibration probe (VERDICT r11 #2): a FIXED, Spark-free
+    // micro-benchmark run at every pass boundary and recorded into the
+    // metrics datasheet, so cross-round wall-clock drift (this host shows
+    // ±16% windows — see the interleaving comment below) is attributable
+    // mechanically: if the committed record slows AND the probe ratio
+    // slows alike, it is the host window, not the code. CPU leg: 2^28
+    // splitmix64 steps (pure register arithmetic, no allocation — immune
+    // to heap/GC state). IO leg: 128 4-KiB write+force cycles in
+    // java.io.tmpdir (the state-store fsync shape). ~1 s total per probe.
+    def calibrate(): (Double, Double) = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < (1 << 28)) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      val cpuSec = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("[bench] calib sentinel") // defeat DCE
+      val f = java.io.File.createTempFile("graft_calib", ".bin")
+      val buf = java.nio.ByteBuffer.allocate(4096)
+      val t1 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var k = 0
+        while (k < 128) {
+          buf.clear(); buf.limit(4096)
+          ch.position(0); ch.write(buf); ch.force(true)
+          k += 1
+        }
+      } finally { ch.close(); f.delete() }
+      val ioSec = (System.nanoTime() - t1) / 1e9
+      (cpuSec, ioSec)
+    }
+    // (boundary index, cpu, io): probe i runs at the boundary BEFORE pass
+    // i; one final probe after the last pass carries index = passes-run.
+    val calibrations = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    def probe(boundary: Int): Unit = {
+      val (c, io) = calibrate()
+      calibrations += ((boundary, c, io))
+      System.err.println(f"[bench] calib@$boundary cpu=$c%.3fs fsync128=$io%.3fs")
+    }
+
     // Warm-up: JVM/codegen/parquet-footer caches (own group — must not
     // leak into any query's datasheet).
     run("q16_distinct_flags", "bench-warmup")
@@ -167,6 +216,7 @@ object Bench {
     var calmSeen = false
     var outOfTime = false
     while (!outOfTime && (pass < basePasses || (pass < maxPasses && !calmSeen))) {
+      probe(pass)
       val cur = scala.collection.mutable.LinkedHashMap[String, Double]()
       for (n <- names if !outOfTime) {
         cur(n) = run(n, s"bench-$n#p$pass")
@@ -187,6 +237,7 @@ object Bench {
           (if (cur.size != names.size) s" (partial ${cur.size}/${names.size})" else ""))
       if (elapsed > budgetSec) outOfTime = true
     }
+    probe(pass) // post-run boundary: a window opening DURING the last pass shows here
     // (name, min time, winning pass index) — passTimes(i) is pass i (a
     // partial pass can only be the LAST one, so full-pass indices align).
     val resultsWithPass = names.map { n =>
@@ -220,12 +271,17 @@ object Bench {
     // driver-side pass launched from the repo root was clobbering the
     // committed bench_out.json/bench_metrics.json records (r10 finding).
     // A deliberate record refresh sets SPARK_GRAFT_BENCH_OUT_DIR=.
-    // explicitly. Subset runs (SPARK_GRAFT_BENCH_ONLY set) get a
-    // ".subset" suffix so a partial sweep can never overwrite a full one.
+    // explicitly. The fallback is per-user under java.io.tmpdir (ADVICE
+    // r11: a fixed world-shared /tmp/graft_bench lets another user's run
+    // own the files and concurrent users clobber each other). Subset runs
+    // (SPARK_GRAFT_BENCH_ONLY set) get a ".subset" suffix so a partial
+    // sweep can never overwrite a full one.
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT_DIR",
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(".git")))
-          "/tmp/graft_bench"
+          java.nio.file.Paths.get(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            s"graft_bench-${sys.props.getOrElse("user.name", "unknown")}").toString
         else "."))
     val subsetSuffix = if (only.isDefined) ".subset" else ""
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
@@ -272,7 +328,19 @@ object Bench {
     try {
       val parent = metricsPath.toAbsolutePath.getParent
       if (parent != null) java.nio.file.Files.createDirectories(parent)
-      java.nio.file.Files.writeString(metricsPath, metrics.selectedJson(selection) + "\n")
+      // "calibration" leads the sheet: one probe per pass boundary (index
+      // i ran before pass i; the last entry is the post-run probe), so a
+      // committed record carries its own host-speed evidence.
+      val calibJson = calibrations.map { case (b, c, io) =>
+        String.format(java.util.Locale.ROOT,
+          """{"boundary":%d,"cpu_sec":%.4f,"fsync128_sec":%.4f}""",
+          Integer.valueOf(b), Double.box(c), Double.box(io))
+      }.mkString("[", ",", "]")
+      val sel = metrics.selectedJson(selection)
+      val sheet =
+        if (sel == "{}") s"""{"calibration":$calibJson}"""
+        else s"""{"calibration":$calibJson,""" + sel.substring(1)
+      java.nio.file.Files.writeString(metricsPath, sheet + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] metrics write failed: $e") }
     spark.stop()
   }

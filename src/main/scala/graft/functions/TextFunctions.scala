@@ -255,7 +255,16 @@ object TextFunctions {
     *     passes and the extractor translates them back AFTER the global
     *     collapse — HTML5's ignore-first-newline rule applies, inner
     *     inline markup still strips to a (collapsible) space, and
-    *     document-EDGE trim still applies to restored whitespace;
+    *     document-EDGE trim still applies to restored whitespace.
+    *     Accepted regex-tier limitation (ADVICE r11, pinned in TextSpec):
+    *     entity decode (step 5) runs AFTER sentineling, so whitespace
+    *     produced by character references inside a pre span (`&#10;`,
+    *     `&#9;`, `&#32;`, `&Tab;`) is NOT protected and collapses like
+    *     ordinary whitespace; conversely an entity decoding to U+0001-3
+    *     (`&#1;`) is translated to space/tab/newline at restore. Fixing
+    *     either would need entity decode INSIDE the pre scan — a parser,
+    *     not a regex tier; real-world pre blocks write their layout as
+    *     literal whitespace, which is protected;
     *  7. whitespace normalizes: runs containing a newline collapse to one
     *     newline, other runs to one space, lines trim, ends trim.
     *

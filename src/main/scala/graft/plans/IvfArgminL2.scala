@@ -31,9 +31,13 @@ import org.apache.spark.sql.types._
   * compare matches the DuckDB oracle's decimal arithmetic strictly
   * better — they differ only where two distances collide within a
   * double ulp, where the double form was the one diverging from the
-  * oracle.) Coordinates are O(1) by the embedding contract (as
-  * l2SqExact documents), so the long accumulator cannot overflow below
-  * ~10⁵-magnitude coordinates at 1k dims.
+  * oracle.) Overflow contract (corrected r12, ADVICE r11): with 10⁻⁶
+  * quantization, Σ over `dim` of (Δq)² stays within Long for coordinate
+  * magnitudes up to ~√(2⁶³/dim)/2 × 10⁻⁶ — ≈ 48 at 1,000 dims, ≈ 190 at
+  * 64 dims — NOT ~10⁵ as previously claimed. Embeddings are O(1) by the
+  * l2SqExact contract, far inside that bound; out-of-contract magnitudes
+  * now fail LOUDLY (ArithmeticException from [[IvfArgminL2.argmin]] /
+  * [[IvfArgminL2.quantize]]) instead of wrapping to a silent wrong argmin.
   *
   * Nulls: a null vector yields null (UnaryExpression contract); a null
   * ELEMENT or a length mismatch against the centroid dim yields null
@@ -76,10 +80,15 @@ case class IvfArgminL2(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lbl = ctx.addReferenceObj("ivfLabels", labels, "long[]")
     val cm = ctx.addReferenceObj("ivfCents", cents, "long[][]")
+    // freshName, not a fixed local: two graft_ivf_argmin calls fused into
+    // one whole-stage-codegen function would otherwise declare `r` twice —
+    // a Janino compile failure and a silent interpreted-mode fallback
+    // (ADVICE r11).
+    val r = ctx.freshName("ivfArgminRes")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |Object r = graft.plans.IvfArgminL2.argmin($a, $elemIsFloat, $lbl, $cm);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+         |Object $r = graft.plans.IvfArgminL2.argmin($a, $elemIsFloat, $lbl, $cm);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
        """.stripMargin
     })
   }
@@ -97,9 +106,30 @@ object IvfArgminL2 {
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
-  /** Quantize a centroid matrix (label, coords) → (labels, scaled rows). */
-  def quantize(cents: Array[(Long, Seq[Double])]): (Array[Long], Array[Array[Long]]) =
-    (cents.map(_._1), cents.map(_._2.map(qz6).toArray))
+  /** Largest scaled-long coordinate magnitude for which the Σ(Δq)²
+    * accumulator provably fits a Long at the given dim: worst-case
+    * |Δq| ≤ 2·maxAbs, so dim·(2·maxAbs)² ≤ 2⁶³−1. ≈ 4.8×10⁷ scaled units
+    * (coordinate ~48) at dim=1000. */
+  def magLimit(dim: Int): Long =
+    (math.sqrt(Long.MaxValue.toDouble / dim) / 2).toLong
+
+  private def checkMag(q: Long, dim: Int): Unit = {
+    val lim = magLimit(dim)
+    if (q > lim || q < -lim)
+      throw new ArithmeticException(
+        s"graft_ivf_argmin: coordinate magnitude ${q / 1e6} exceeds the " +
+          s"exact-arithmetic contract |x| <= ${lim / 1e6} at dim=$dim " +
+          "(Long accumulator would wrap); embeddings are O(1) by contract — " +
+          "normalize or scale the vectors before IVF assignment")
+  }
+
+  /** Quantize a centroid matrix (label, coords) → (labels, scaled rows).
+    * Out-of-contract magnitudes fail loudly here, at build time. */
+  def quantize(cents: Array[(Long, Seq[Double])]): (Array[Long], Array[Array[Long]]) = {
+    val rows = cents.map(_._2.map(qz6).toArray)
+    rows.foreach(r => r.foreach(checkMag(_, r.length)))
+    (cents.map(_._1), rows)
+  }
 
   /** Shared by interpreted eval and generated code. Returns a boxed Long
     * label, or null on a null element / dim mismatch. */
@@ -116,6 +146,7 @@ object IvfArgminL2 {
     while (i < n) {
       if (a.isNullAt(i)) return null
       q(i) = qz6(if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      checkMag(q(i), dim)
       i += 1
     }
     var bestD = Long.MaxValue

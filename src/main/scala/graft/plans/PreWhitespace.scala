@@ -31,6 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - an unterminated `<pre>` protects to end-of-input, the browser
   *     behavior for truncated pages.
   *
+  * Regex-tier fidelity limits, deliberate and pinned in TextSpec
+  * (ADVICE r11): the opening tag ends at the FIRST `>` — a quoted
+  * attribute containing `>` (`<pre data-x="a>b">`) truncates the tag
+  * there and the attribute remainder is protected as content (a real
+  * attribute scanner is parser-tier); and self-closing detection is
+  * `charAt(gt-1)=='/'`, so an unquoted attribute value ending in `/`
+  * (`<pre attr=foo/>`) reads as contentless `<pre/>`. Both degrade one
+  * pathological tag's span, never neighboring text.
+  *
   * Sentinel collision: U+0001-0003 are C0 controls that never appear in
   * legitimate web text (the HTML5 spec makes them parse errors); a
   * pathological input containing them would surface them as

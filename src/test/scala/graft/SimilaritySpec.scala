@@ -394,6 +394,50 @@ class SimilaritySpec extends SparkSpec {
     assert(tie == Seq(3L))
   }
 
+  test("ivfArgmin codegen: two kernel calls compile into ONE generated function") {
+    // ADVICE r11: a fixed `Object r` local in doGenCode meant two
+    // graft_ivf_argmin expressions fused into the same whole-stage-codegen
+    // function declared the variable twice — a Janino compile failure and a
+    // silent interpreted fallback. GenerateUnsafeProjection compiles the
+    // two expressions directly (no fallback layer), so a duplicate local
+    // fails THIS test rather than silently de-optimizing production plans.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.plans.IvfArgminL2
+    val (l1, c1) = IvfArgminL2.quantize(Array((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 1.0))))
+    val (l2, c2) = IvfArgminL2.quantize(Array((7L, Seq(0.9, 0.9)), (9L, Seq(-1.0, -1.0))))
+    val in = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(IvfArgminL2(in, l1, c1), IvfArgminL2(in, l2, c2)))
+    val out = proj(InternalRow(ArrayData.toArrayData(Array(0.8, 0.8))))
+    assert(out.getLong(0) == 2L && out.getLong(1) == 7L)
+  }
+
+  test("ivfArgmin magnitude guard: out-of-contract coordinates fail loudly, not wrap") {
+    // ADVICE r11: the scaled-long accumulator wraps at coordinate magnitude
+    // ~sqrt(2^63/dim)/2e6 (≈1518 at dim=2, ≈48 at dim=1000) — far below the
+    // old doc's ~1e5 claim. Both the centroid build (quantize) and the
+    // per-row path (argmin) must throw instead of returning a wrong argmin.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.plans.IvfArgminL2
+    val lim2 = IvfArgminL2.magLimit(2) / 1e6 // ≈ 1518 coordinate units at dim=2
+    assert(lim2 > 1000 && lim2 < 3000)
+    intercept[ArithmeticException] {
+      IvfArgminL2.quantize(Array((0L, Seq(lim2 * 2, 0.0))))
+    }
+    val (labels, rows) = IvfArgminL2.quantize(Array((0L, Seq(0.0, 0.0))))
+    intercept[ArithmeticException] {
+      IvfArgminL2.argmin(
+        ArrayData.toArrayData(Array(lim2 * 2, 0.0)), false, labels, rows)
+    }
+    // in-contract magnitudes still assign
+    assert(IvfArgminL2.argmin(
+      ArrayData.toArrayData(Array(lim2 / 2, 0.0)), false, labels, rows) == 0L)
+  }
+
   test("u64Mod: Column, JVM twin, and BigInteger unsigned mod all agree") {
     import graft.functions.HashFunctions
     val two64 = BigInt(1) << 64

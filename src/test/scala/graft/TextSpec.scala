@@ -162,6 +162,27 @@ class TextSpec extends SparkSpec {
     assert(x("<pre>  lead</pre>") == "lead")
   }
 
+  test("htmlToText: pre regex-tier limits are deliberate (entity whitespace, quoted '>', trailing-slash attr)") {
+    def x(h: String) =
+      Seq(h).toDF("h").select(TextFunctions.htmlToText($"h")).as[String].head()
+    // ADVICE r11, accepted + documented in the step-6 contract: entity
+    // decode runs AFTER sentineling, so whitespace written as character
+    // references inside a pre span is NOT protected — it decodes in step 5
+    // and collapses like ordinary whitespace (literal whitespace survives).
+    assert(x("<pre>a&#32;&#32;&#32;b</pre>") == "a b")
+    assert(x("<pre>a  b</pre>") == "a  b")
+    // ... and an entity decoding to a sentinel code point (U+0001) is
+    // translated to the sentinel's meaning (space) at restore time.
+    assert(x("<p>a&#1;b</p>") == "a b")
+    // protect() ends the opening tag at the FIRST '>': a quoted attribute
+    // containing '>' truncates the tag and the attribute remainder is
+    // protected as pre content — degraded span, neighbors untouched.
+    assert(x("<pre data-x=\"a>b\">c  d</pre>tail") == "b\">c  d\ntail")
+    // an unquoted attribute ending in '/' reads as self-closing <pre/>:
+    // nothing is protected, content collapses normally.
+    assert(x("<pre attr=foo/>a  b</pre>") == "a b")
+  }
+
   test("htmlToText: title and table cells are block-level") {
     val out = Seq(
       "<html><head><title>T</title></head><body>lead" +
