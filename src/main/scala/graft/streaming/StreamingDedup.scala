@@ -63,7 +63,13 @@ object StreamingDedup {
     *
     * EAGER like the q164/q174/q191/q195 twins: a terminal streaming result
     * has no lazy form. */
-  def dedupFileStream(spark: SparkSession, documentsPath: String): DataFrame = {
+  def dedupFileStream(spark: SparkSession, documentsPath: String): DataFrame =
+    dedupFileStream(spark, documentsPath, Nil)
+
+  private def dedupFileStream(
+      spark: SparkSession,
+      documentsPath: String,
+      extraConfs: Seq[(String, String)]): DataFrame = {
     val raw = StreamingHarness.fileSource(spark, documentsPath)
     val docs = raw.select(
       col("text"),
@@ -72,6 +78,25 @@ object StreamingDedup {
     StreamingHarness.runToMemorySink(
       spark,
       dedupStream(docs, "ts", "text", horizon = "3650 days").select(col("fp")),
-      "append")
+      "append",
+      extraConfs)
   }
+
+  /** [[dedupFileStream]] on the RocksDB state-store provider — the 100 TB
+    * state-size answer for watermark dedup / stream joins with large
+    * keyspaces. The default HDFS-backed provider keeps EVERY key's state
+    * in executor heap (per-partition hash maps; fine at fixture scale,
+    * an OOM ceiling when distinct-keys-per-partition outgrows memory);
+    * RocksDB spills state to local SSD with block-cache reads, and
+    * changelog checkpointing uploads per-batch DELTAS instead of
+    * re-snapshotting the full store — state size is then bounded by local
+    * disk, not heap, and checkpoint traffic by the batch's write set.
+    * Same query, same semantics, same output (catalog q206 value-checks
+    * it against q200's oracle); only the state backend differs. */
+  def dedupFileStreamRocksDb(spark: SparkSession, documentsPath: String): DataFrame =
+    dedupFileStream(spark, documentsPath, Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true"))
 }

@@ -45,7 +45,32 @@ private[streaming] object StreamingHarness {
     * returning (the returned DataFrame holds the already-resolved sink
     * relation, so the drop only releases the NAME — repeated bench passes
     * don't pile up catalog entries). */
-  def runToMemorySink(spark: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
+  def runToMemorySink(spark: SparkSession, df: DataFrame, outputMode: String): DataFrame =
+    runToMemorySink(spark, df, outputMode, Nil)
+
+  /** As above, with session confs overridden for the duration of the run
+    * and restored (to the prior value, or unset) afterwards — the hook the
+    * RocksDB state-store twin uses to select
+    * `spark.sql.streaming.stateStore.providerClass` per-query. Session
+    * confs are global: the harness contract (one terminal streaming run at
+    * a time — how Verify and Bench both drive it) is what makes the
+    * set/restore race-free. */
+  def runToMemorySink(
+      spark: SparkSession,
+      df: DataFrame,
+      outputMode: String,
+      extraConfs: Seq[(String, String)]): DataFrame = {
+    val prior = extraConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try runToMemorySinkInner(spark, df, outputMode)
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def runToMemorySinkInner(
+      spark: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_stream_run_${runSeq.incrementAndGet()}"
     // Checkpoint on Spark's SCRATCH volume (spark.local.dir — tmpfs in the
     // bench/gate JVMs), not java.io.tmpdir: the state store + commit log

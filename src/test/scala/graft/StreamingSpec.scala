@@ -228,6 +228,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupFileStreamRocksDb: identical fingerprint set to the default provider; confs restored") {
+    // VERDICT r11 #3: the RocksDB state store is the 100 TB state-size
+    // backend — same query, same output, only the backend differs. The
+    // provider conf must also be RESTORED after the run (it is session-
+    // global; a leak would silently flip every later streaming query's
+    // backend).
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val viaDefault = graft.streaming.StreamingDedup
+      .dedupFileStream(spark, docs).collect().map(_.getString(0)).toSet
+    val viaRocks = graft.streaming.StreamingDedup
+      .dedupFileStreamRocksDb(spark, docs).collect().map(_.getString(0)).toSet
+    assert(viaRocks == viaDefault && viaRocks.nonEmpty)
+    assert(spark.conf.getOption(key) == before)
+  }
+
   test("enrich joins a stream against a broadcast static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
