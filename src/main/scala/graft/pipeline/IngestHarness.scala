@@ -38,7 +38,7 @@ object IngestHarness {
   }
 
   /** The synthetic day-file rows, Milan traffic header layout. */
-  private def synthRows(ids: DataFrame): DataFrame = {
+  private[pipeline] def synthRows(ids: DataFrame): DataFrame = {
     val day = (col("k") % 2 + 1).cast("int")
     val dt = when(col("k") % 97 === 0, lit("not-a-timestamp"))
       .otherwise(format_string("2013-11-%02d %02d:%02d:00",
@@ -56,7 +56,7 @@ object IngestHarness {
     * day-file IS one file by contract), then rename the part files to the
     * reference's day-file naming (`<prefix>-<date>.csv`) that
     * `MilanCsvSource.discover`'s glob expects. */
-  private def writeDayFiles(spark: SparkSession, rows: DataFrame, dataDir: Path, prefix: String): Unit = {
+  private[pipeline] def writeDayFiles(spark: SparkSession, rows: DataFrame, dataDir: Path, prefix: String): Unit = {
     Seq(1, 2).foreach { d =>
       val stage = dataDir.resolve(s"__stage_$d")
       rows.filter(col("__day") === d).drop("__day")
@@ -122,7 +122,7 @@ object IngestHarness {
     MobilityCleanNames.filterNot(_ == "Atlantis").toDF("provincia")
   }
 
-  private def synthMobilityRows(ids: DataFrame): DataFrame = {
+  private[pipeline] def synthMobilityRows(ids: DataFrame): DataFrame = {
     val day = (col("k") % 2 + 1).cast("int")
     val dt = when(col("k") % 97 === 0, lit("not-a-timestamp"))
       .otherwise(format_string("2013-11-%02d %02d:%02d:00",

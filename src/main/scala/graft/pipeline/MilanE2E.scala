@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.sources.{GeoJsonFixture, GeoJsonSource}
+
+/** End-to-end Milan pipeline run record (VERDICT r11 #6) — the reference's
+  * E1 (`main.py --all`, reference main.py:56-94) executed as ONE run over
+  * synthesized inputs, emitting a committed datasheet (`MILAN_E2E.json`):
+  * per-stage wall seconds, row/file counts, the double-load ledger proof,
+  * and the constraint audit's violation counts (expected all-zero). The
+  * four stages call EXACTLY the code `MilanApp --all` dispatches to
+  * (GeoJsonSource loads → MilanPipeline.loadTraffic/loadMobility →
+  * topCells → auditConstraints); this main only adds staging of the
+  * deterministic fixtures and structured capture of what each stage
+  * returns, where MilanApp prints to stdout for a human.
+  *
+  * Fixtures (all deterministic — the artifact is refreshable bit-for-bit
+  * when the pipeline changes):
+  *   - grid GeoJSON: [[GeoJsonFixture.gridJson]] over ids 0..99;
+  *   - provinces GeoJSON: [[GeoJsonFixture.provincesJson]] over ids
+  *     0..35 EXCLUDING `id % 12 == 9` — the "Atlantis" rows — so the
+  *     dimension lacks exactly the one mobility vocabulary name whose
+  *     rows the semi-join must drop (the E1 unknown-province semantic);
+  *   - traffic + mobility day-file CSVs: the gate's own
+  *     [[IngestHarness]] synthesizers over ids 0..19999 (every cleaning
+  *     branch populated: bad-datetime drop, null→0 fill, negative clamp,
+  *     cell-range filter, province normalization).
+  *
+  * Output path: first arg, else `MILAN_E2E.json` under the Bench
+  * convention's per-user tmp fallback when cwd is a repo root (a
+  * deliberate refresh passes the repo path explicitly).
+  *
+  * Usage: runMain graft.pipeline.MilanE2E [outPath]
+  */
+object MilanE2E {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.prepare(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-milan-e2e")
+    deleteRecursively(root)
+    val dataDir = Files.createDirectories(root.resolve("data"))
+    val whDir = root.resolve("wh").toString
+    val pipe = new MilanPipeline(spark, whDir)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def j(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    // ---- stage fixtures (not timed as pipeline work: input synthesis) --
+    GeoJsonFixture.write(dataDir, "milano-grid.geojson",
+      GeoJsonFixture.gridJson(0L until 100L))
+    GeoJsonFixture.write(dataDir, "Italian_provinces.geojson",
+      GeoJsonFixture.provincesJson((0L until 36L).filter(_ % 12 != 9)))
+    val ids = spark.range(0, 20000).toDF("k")
+    IngestHarness.writeDayFiles(spark,
+      IngestHarness.synthRows(ids), dataDir, "sms-call-internet-mi")
+    IngestHarness.writeDayFiles(spark,
+      IngestHarness.synthMobilityRows(ids), dataDir, "mi-to-provinces")
+
+    // ---- stage 1: geometries (MilanApp --geometries) -------------------
+    val (geo, geoSec) = timed {
+      val cells = GeoJsonSource.gridCells(spark, s"$dataDir/milano-grid.geojson")
+      cells.write.mode("overwrite").parquet(s"$whDir/dim_grid_milan")
+      val prov = GeoJsonSource.provinces(spark, s"$dataDir/Italian_provinces.geojson")
+      prov.write.mode("overwrite").parquet(s"$whDir/dim_provinces_it")
+      (spark.read.parquet(s"$whDir/dim_grid_milan").count(),
+        spark.read.parquet(s"$whDir/dim_provinces_it").count())
+    }
+
+    // ---- stage 2: traffic ingest, run TWICE (K4 ledger proof) ----------
+    val (traffic, trafficSec) = timed {
+      val first = pipe.loadTraffic(dataDir.toString)
+      val second = pipe.loadTraffic(dataDir.toString)
+      (first, second, pipe.trafficFact.count())
+    }
+
+    // ---- stage 3: mobility ingest, run TWICE ---------------------------
+    val (mobility, mobilitySec) = timed {
+      val dim = spark.read.parquet(s"$whDir/dim_provinces_it")
+      val first = pipe.loadMobility(dataDir.toString, dim)
+      val second = pipe.loadMobility(dataDir.toString, dim)
+      (first, second, pipe.mobilityFact.count())
+    }
+
+    // ---- stage 4: acceptance query (MilanApp --test-query) -------------
+    val (topRows, querySec) = timed(pipe.topCells(limit = 10).collect().length)
+
+    // ---- stage 5: constraint audit (MilanApp --validate) ---------------
+    val (audit, auditSec) = timed {
+      pipe.auditConstraints().collect()
+        .map(r => r.getAs[String]("constraint") -> r.getAs[Long]("violations"))
+        .toSeq.sortBy(_._1)
+    }
+    val auditJson = audit
+      .map { case (c, v) => "\"" + c + "\":" + v }.mkString("{", ",", "}")
+
+    val json =
+      s"""{"fixture":{"grid_ids":100,"province_features":33,"day_file_ids":20000,"day_files_per_table":2},
+         |"stages":{
+         | "geometries":{"wall_sec":${j(geoSec)},"grid_cells":${geo._1},"provinces":${geo._2}},
+         | "traffic":{"wall_sec":${j(trafficSec)},"files_first":${traffic._1},"files_second":${traffic._2},"fact_rows":${traffic._3}},
+         | "mobility":{"wall_sec":${j(mobilitySec)},"files_first":${mobility._1},"files_second":${mobility._2},"fact_rows":${mobility._3}},
+         | "test_query":{"wall_sec":${j(querySec)},"top_cells_rows":$topRows},
+         | "validate":{"wall_sec":${j(auditSec)},"violations":$auditJson}}}"""
+        .stripMargin.replace("\n", "")
+    println(json)
+
+    val outPath = args.headOption.map(Paths.get(_)).getOrElse {
+      if (Files.isDirectory(Paths.get(".git")))
+        Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft_bench-${sys.props.getOrElse("user.name", "unknown")}",
+          "MILAN_E2E.json")
+      else Paths.get("MILAN_E2E.json")
+    }
+    val parent = outPath.toAbsolutePath.getParent
+    if (parent != null) Files.createDirectories(parent)
+    Files.writeString(outPath, json + "\n")
+    System.err.println(s"[milan-e2e] wrote $outPath")
+
+    deleteRecursively(root)
+    spark.stop()
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    if (!Files.exists(root)) return
+    val walk = Files.walk(root)
+    val all =
+      try walk.iterator().asScala.toSeq
+      finally walk.close()
+    all.reverse.foreach(p => Files.deleteIfExists(p))
+  }
+}
