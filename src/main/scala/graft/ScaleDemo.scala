@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CandidateCapExceededException, Similarity}
+
+/** SemDeDup scale-demonstration rows for the decade-rehearsal artifact
+  * (VERDICT r11 #1): the r11 sf10 findings — unscaled fixture-k SemDeDup
+  * trips the scale-relative guard FAST instead of burning 600 s, and the
+  * paper-contract scaled k (k ∝ N) completes — exist as committed,
+  * re-runnable measurements instead of SURVEY prose.
+  *
+  * Two rows over `<sfDir>/embeddings.parquet`:
+  *   1. `semdedup_unscaled_k` — q116's exact call (kClusters = 8,
+  *      maxPairsPerVector = 4096): at sf10's 200k vectors the
+  *      within-cluster pair mass is ~12.5k pairs/vector, so the expected
+  *      outcome is a DRIVER-SIDE `CandidateCapExceededException` in
+  *      seconds (the guard is one k-row aggregation) — `wall_sec` here
+  *      measures time-to-refusal, the cluster-burn these guards buy off.
+  *   2. `semdedup_scaled_k` — the production shape (kClusters scaled so
+  *      pairs/vector stays under the same cap; k = 64 at sf10 per the
+  *      r11 rehearsal ≈ 1.6k pairs/vector), run to completion with the
+  *      drop counts recorded.
+  *
+  * Usage: runMain graft.ScaleDemo <sfDir> <outPath> [scaledK]
+  */
+object ScaleDemo {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outPath = args(1)
+    val scaledK = if (args.length > 2) args(2).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Graft.prepare(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val nVec = emb.count()
+
+    def j(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    // Row 1: q116's exact parameters. Outcome is data-dependent — at gate
+    // SF / sf1 it completes (pairs/vector under the cap); at sf10 it must
+    // trip. Record which, with the wall either way.
+    val t0 = System.nanoTime()
+    val unscaled =
+      try {
+        val dropped = Similarity.semDedup(emb, "vec_id", "embedding",
+            threshold = 0.35, kClusters = 8, iters = 1,
+            maxPairsPerVector = 4096L)
+          .agg(sum(when(col("dropped"), 1L).otherwise(0L))).collect()(0).getLong(0)
+        s""""outcome":"completed","n_dropped":$dropped"""
+      } catch {
+        case e: CandidateCapExceededException =>
+          val msg = e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")
+          s""""outcome":"guard_trip","exception":"CandidateCapExceededException","message":"$msg""""
+      }
+    val unscaledSec = (System.nanoTime() - t0) / 1e9
+
+    // Row 2: the k ∝ N production shape under the SAME cap.
+    val t1 = System.nanoTime()
+    val scaledDropped = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.35, kClusters = scaledK, iters = 1,
+        maxPairsPerVector = 4096L)
+      .agg(sum(when(col("dropped"), 1L).otherwise(0L))).collect()(0).getLong(0)
+    val scaledSec = (System.nanoTime() - t1) / 1e9
+
+    val json =
+      s"""{"sf":"$sfDir","n_vectors":$nVec,
+         |"semdedup_unscaled_k":{"k_clusters":8,"max_pairs_per_vector":4096,"wall_sec":${j(unscaledSec)},$unscaled},
+         |"semdedup_scaled_k":{"k_clusters":$scaledK,"max_pairs_per_vector":4096,"wall_sec":${j(scaledSec)},"outcome":"completed","n_dropped":$scaledDropped}}"""
+        .stripMargin.replace("\n", "")
+    println(json)
+    val p = java.nio.file.Paths.get(outPath)
+    val parent = p.toAbsolutePath.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    java.nio.file.Files.writeString(p, json + "\n")
+    System.err.println(s"[scale-demo] wrote $p")
+    spark.stop()
+  }
+}

@@ -851,7 +851,15 @@ object Dedup {
     // operator-call time when a cap is requested (the operator is already
     // eager — `ordered` is a localCheckpoint — so this adds one
     // index-sized aggregation job from the checkpoint, not a new
-    // eagerness class). One aggregation computes BOTH the pair mass
+    // eagerness class). Fold-into-the-checkpoint-pass considered and
+    // SKIPPED (r12, VERDICT r11 #5's own skip clause): measured cost is
+    // 0.47-0.5 s warm at sf0.1 (1.4 s cold), dominated by the index-sized
+    // explode+shuffle that prefix counting inherently needs — the
+    // checkpoint job materializes per-DOC rows, and piggybacking a
+    // per-TOKEN count onto it means either checkpointing the exploded
+    // table instead (re-plans the checkpoint, larger materialization) or
+    // an accumulator inside mapPartitions (breaks codegen and the width
+    // pins). The guard stays a separate, correctly-sized job. One aggregation computes BOTH the pair mass
     // Σn(n−1) and the index size Σn; the collected numbers serve two
     // masters: the caps fire driver-side (the job dies before the
     // candidate join is even PLANNED), and the measured mass sizes the
