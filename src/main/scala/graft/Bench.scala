@@ -267,7 +267,7 @@ object Bench {
     // SPARK_GRAFT_METRICS_OUT) win; otherwise files land in
     // SPARK_GRAFT_BENCH_OUT_DIR. The default is the process cwd — EXCEPT
     // when cwd is a repo root (a `.git` directory is present): there the
-    // default flips to /tmp/graft_bench, because every ad-hoc or
+    // default flips to a tmpdir fallback, because every ad-hoc or
     // driver-side pass launched from the repo root was clobbering the
     // committed bench_out.json/bench_metrics.json records (r10 finding).
     // A deliberate record refresh sets SPARK_GRAFT_BENCH_OUT_DIR=.

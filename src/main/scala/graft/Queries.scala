@@ -2343,7 +2343,8 @@ object Queries {
       .join(d2, scored("doc_id") === d2("vec_id"))
       .filter(col("dist2") <= 1.03)
       .select(col("doc_id"), col("lang"), col("label"), col("quality_score"), col("dist2"))
-      .repartitionByRange(32, col("doc_id"))
+      .repartitionByRange(
+        s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .sortWithinPartitions("doc_id")
   }
 

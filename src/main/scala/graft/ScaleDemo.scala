@@ -46,37 +46,51 @@ object ScaleDemo {
 
     def j(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // Full JSON string escaping (quote, backslash, control chars): the
+    // artifact must stay machine-parseable whatever a future guard
+    // message or an exotic sfDir path contains.
+    def esc(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' =>
+          sb.append(String.format(java.util.Locale.ROOT, "\\u%04x", Integer.valueOf(c.toInt)))
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+    // Each row records EITHER outcome: a completion with drop counts, or
+    // a driver-side guard trip with the exception's message — so the
+    // artifact is always written even when a row refuses (the refusal IS
+    // the measurement).
+    def semDedupRow(k: Int): (String, Double) = {
+      val t0 = System.nanoTime()
+      val body =
+        try {
+          val dropped = Similarity.semDedup(emb, "vec_id", "embedding",
+              threshold = 0.35, kClusters = k, iters = 1,
+              maxPairsPerVector = 4096L)
+            .agg(sum(when(col("dropped"), 1L).otherwise(0L))).collect()(0).getLong(0)
+          s""""outcome":"completed","n_dropped":$dropped"""
+        } catch {
+          case e: CandidateCapExceededException =>
+            s""""outcome":"guard_trip","exception":"CandidateCapExceededException","message":"${esc(e.getMessage)}""""
+        }
+      (body, (System.nanoTime() - t0) / 1e9)
+    }
 
     // Row 1: q116's exact parameters. Outcome is data-dependent — at gate
     // SF / sf1 it completes (pairs/vector under the cap); at sf10 it must
-    // trip. Record which, with the wall either way.
-    val t0 = System.nanoTime()
-    val unscaled =
-      try {
-        val dropped = Similarity.semDedup(emb, "vec_id", "embedding",
-            threshold = 0.35, kClusters = 8, iters = 1,
-            maxPairsPerVector = 4096L)
-          .agg(sum(when(col("dropped"), 1L).otherwise(0L))).collect()(0).getLong(0)
-        s""""outcome":"completed","n_dropped":$dropped"""
-      } catch {
-        case e: CandidateCapExceededException =>
-          val msg = e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")
-          s""""outcome":"guard_trip","exception":"CandidateCapExceededException","message":"$msg""""
-      }
-    val unscaledSec = (System.nanoTime() - t0) / 1e9
-
-    // Row 2: the k ∝ N production shape under the SAME cap.
-    val t1 = System.nanoTime()
-    val scaledDropped = Similarity.semDedup(emb, "vec_id", "embedding",
-        threshold = 0.35, kClusters = scaledK, iters = 1,
-        maxPairsPerVector = 4096L)
-      .agg(sum(when(col("dropped"), 1L).otherwise(0L))).collect()(0).getLong(0)
-    val scaledSec = (System.nanoTime() - t1) / 1e9
+    // trip. Row 2: the k ∝ N production shape under the SAME cap.
+    val (unscaled, unscaledSec) = semDedupRow(8)
+    val (scaled, scaledSec) = semDedupRow(scaledK)
 
     val json =
-      s"""{"sf":"$sfDir","n_vectors":$nVec,
+      s"""{"sf":"${esc(sfDir)}","n_vectors":$nVec,
          |"semdedup_unscaled_k":{"k_clusters":8,"max_pairs_per_vector":4096,"wall_sec":${j(unscaledSec)},$unscaled},
-         |"semdedup_scaled_k":{"k_clusters":$scaledK,"max_pairs_per_vector":4096,"wall_sec":${j(scaledSec)},"outcome":"completed","n_dropped":$scaledDropped}}"""
+         |"semdedup_scaled_k":{"k_clusters":$scaledK,"max_pairs_per_vector":4096,"wall_sec":${j(scaledSec)},$scaled}}"""
         .stripMargin.replace("\n", "")
     println(json)
     val p = java.nio.file.Paths.get(outPath)

@@ -190,7 +190,7 @@ object IngestHarness {
     * CSVs AND the __stage_* dirs with their _SUCCESS/.crc droppings — is
     * deleted after the loads; the warehouse parquet must outlive the call
     * (the returned frame reads it lazily). */
-  private def deleteRecursively(root: Path): Unit = {
+  private[pipeline] def deleteRecursively(root: Path): Unit = {
     if (!Files.exists(root)) return
     val walk = Files.walk(root)
     val all =

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -52,7 +51,7 @@ object MilanE2E {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft-milan-e2e")
-    deleteRecursively(root)
+    IngestHarness.deleteRecursively(root)
     val dataDir = Files.createDirectories(root.resolve("data"))
     val whDir = root.resolve("wh").toString
     val pipe = new MilanPipeline(spark, whDir)
@@ -66,11 +65,14 @@ object MilanE2E {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     // ---- stage fixtures (not timed as pipeline work: input synthesis) --
+    val gridIds = 0L until 100L
+    val provinceIds = (0L until 36L).filter(_ % 12 != 9)
+    val nDayFileIds = 20000L
     GeoJsonFixture.write(dataDir, "milano-grid.geojson",
-      GeoJsonFixture.gridJson(0L until 100L))
+      GeoJsonFixture.gridJson(gridIds))
     GeoJsonFixture.write(dataDir, "Italian_provinces.geojson",
-      GeoJsonFixture.provincesJson((0L until 36L).filter(_ % 12 != 9)))
-    val ids = spark.range(0, 20000).toDF("k")
+      GeoJsonFixture.provincesJson(provinceIds))
+    val ids = spark.range(0, nDayFileIds).toDF("k")
     IngestHarness.writeDayFiles(spark,
       IngestHarness.synthRows(ids), dataDir, "sms-call-internet-mi")
     IngestHarness.writeDayFiles(spark,
@@ -114,7 +116,7 @@ object MilanE2E {
       .map { case (c, v) => "\"" + c + "\":" + v }.mkString("{", ",", "}")
 
     val json =
-      s"""{"fixture":{"grid_ids":100,"province_features":33,"day_file_ids":20000,"day_files_per_table":2},
+      s"""{"fixture":{"grid_ids":${gridIds.size},"province_features":${provinceIds.size},"day_file_ids":$nDayFileIds,"day_files_per_table":2},
          |"stages":{
          | "geometries":{"wall_sec":${j(geoSec)},"grid_cells":${geo._1},"provinces":${geo._2}},
          | "traffic":{"wall_sec":${j(trafficSec)},"files_first":${traffic._1},"files_second":${traffic._2},"fact_rows":${traffic._3}},
@@ -136,16 +138,7 @@ object MilanE2E {
     Files.writeString(outPath, json + "\n")
     System.err.println(s"[milan-e2e] wrote $outPath")
 
-    deleteRecursively(root)
+    IngestHarness.deleteRecursively(root)
     spark.stop()
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    if (!Files.exists(root)) return
-    val walk = Files.walk(root)
-    val all =
-      try walk.iterator().asScala.toSeq
-      finally walk.close()
-    all.reverse.foreach(p => Files.deleteIfExists(p))
   }
 }

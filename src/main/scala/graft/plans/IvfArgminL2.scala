@@ -113,8 +113,9 @@ object IvfArgminL2 {
   def magLimit(dim: Int): Long =
     (math.sqrt(Long.MaxValue.toDouble / dim) / 2).toLong
 
-  private def checkMag(q: Long, dim: Int): Unit = {
-    val lim = magLimit(dim)
+  // lim is hoisted by every caller (one sqrt per CALL, not per element —
+  // the argmin runs per row on a 100 TB column)
+  private def checkMag(q: Long, lim: Long, dim: Int): Unit = {
     if (q > lim || q < -lim)
       throw new ArithmeticException(
         s"graft_ivf_argmin: coordinate magnitude ${q / 1e6} exceeds the " +
@@ -127,7 +128,10 @@ object IvfArgminL2 {
     * Out-of-contract magnitudes fail loudly here, at build time. */
   def quantize(cents: Array[(Long, Seq[Double])]): (Array[Long], Array[Array[Long]]) = {
     val rows = cents.map(_._2.map(qz6).toArray)
-    rows.foreach(r => r.foreach(checkMag(_, r.length)))
+    rows.foreach { r =>
+      val lim = magLimit(r.length)
+      r.foreach(checkMag(_, lim, r.length))
+    }
     (cents.map(_._1), rows)
   }
 
@@ -142,11 +146,12 @@ object IvfArgminL2 {
     val n = a.numElements()
     if (n != dim) return null
     val q = new Array[Long](n)
+    val lim = magLimit(dim)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
       q(i) = qz6(if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
-      checkMag(q(i), dim)
+      checkMag(q(i), lim, dim)
       i += 1
     }
     var bestD = Long.MaxValue

@@ -94,9 +94,15 @@ object StreamingDedup {
     * Same query, same semantics, same output (catalog q206 value-checks
     * it against q200's oracle); only the state backend differs. */
   def dedupFileStreamRocksDb(spark: SparkSession, documentsPath: String): DataFrame =
-    dedupFileStream(spark, documentsPath, Seq(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true"))
+    dedupFileStream(spark, documentsPath, RocksDbConfs)
+
+  /** The RocksDB state-backend confs the twin runs under — public so the
+    * spec can pin that the provider KEY actually applies (a bogus class on
+    * the same key must fail the stream; equal outputs alone can't prove
+    * the conf engaged). */
+  val RocksDbConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 }

@@ -243,6 +243,39 @@ class StreamingSpec extends SparkSpec {
       .dedupFileStreamRocksDb(spark, docs).collect().map(_.getString(0)).toSet
     assert(viaRocks == viaDefault && viaRocks.nonEmpty)
     assert(spark.conf.getOption(key) == before)
+    // Equal outputs alone cannot prove the provider conf APPLIED (a
+    // mistyped key would silently leave the default provider running and
+    // the parity above would still hold). Pin the conf path: the SAME
+    // key list the twin uses (StreamingDedup.RocksDbConfs), with only the
+    // provider class swapped for a bogus name, must FAIL a stateful
+    // stream — Spark honoring the key is what produces the error.
+    val bogus = graft.streaming.StreamingDedup.RocksDbConfs.map {
+      case (k, _) if k == key => k -> "graft.DoesNotExistProvider"
+      case kv => kv
+    }
+    val priorVals = bogus.map { case (k, _) => k -> spark.conf.getOption(k) }
+    bogus.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Timestamp, String)]
+      val failing = graft.streaming.StreamingDedup
+        .dedupStream(input.toDF().toDF("ts", "text"), "ts", "text")
+      val boom = intercept[Exception] {
+        val q = failing.writeStream.format("memory")
+          .queryName("rocksdb_bogus_test")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "doc"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val chain = Iterator.iterate[Throwable](boom)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).mkString(" | ")
+      assert(chain.contains("DoesNotExist"), s"unexpected failure: $chain")
+    } finally priorVals.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("enrich joins a stream against a broadcast static dimension") {
