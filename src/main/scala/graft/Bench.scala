@@ -336,10 +336,8 @@ object Bench {
           """{"boundary":%d,"cpu_sec":%.4f,"fsync128_sec":%.4f}""",
           Integer.valueOf(b), Double.box(c), Double.box(io))
       }.mkString("[", ",", "]")
-      val sel = metrics.selectedJson(selection)
-      val sheet =
-        if (sel == "{}") s"""{"calibration":$calibJson}"""
-        else s"""{"calibration":$calibJson,""" + sel.substring(1)
+      val sheet = metrics.selectedJson(selection,
+        leading = Seq("calibration" -> calibJson))
       java.nio.file.Files.writeString(metricsPath, sheet + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] metrics write failed: $e") }
     spark.stop()

@@ -7798,6 +7798,43 @@ object Queries {
 
   private val q206Sql = q92Sql
 
+  // ---------------------------------------------------------------- q207
+  // q195's stream-stream interval join on the ROCKSDB state-store
+  // provider (StreamingJoin.intervalJoinFileStreamRocksDb) — the q206
+  // state-backend certificate extended to the state shape that actually
+  // outgrows heap FIRST (VERDICT r12 missing #2): the symmetric-hash
+  // join buffers BOTH input sides in the store for the watermark
+  // horizon, so its state is (two streams × horizon) wide where
+  // watermark dedup holds one fingerprint per key. Identical query,
+  // identical output contract — the oracle is q195's (= q94's batch
+  // interval-join replay) verbatim, so the gate value-checks that join
+  // state round-tripping through RocksDB's on-disk store changes
+  // NOTHING about which pairs match across micro-batch boundaries.
+  private val q207: Q = (s, dir) =>
+    graft.streaming.StreamingJoin
+      .intervalJoinFileStreamRocksDb(s, s"$dir/events.parquet")
+      .orderBy("probe_id", "match_id")
+
+  private val q207Sql = q94Sql
+
+  // ---------------------------------------------------------------- q208
+  // q174's flatMapGroupsWithState sessionizer on the ROCKSDB state-store
+  // provider (StreamingSessionize.sessionsFileStreamRocksDb) — the third
+  // and last stateful-class backend certificate: USER-DEFINED state, an
+  // encoder-serialized case-class blob per active user, round-tripped
+  // through RocksDB with event-time TIMEOUT eviction driven by the
+  // engine's watermark. The oracle is q174's verbatim — the
+  // tolerance-free μs→ms rounding + strict-compare timeout replay — so a
+  // backend that mangled the state bytes OR fired timeouts differently
+  // would hash-mismatch, not just row-count-drift.
+  private val q208: Q = (s, dir) =>
+    graft.streaming.StreamingSessionize
+      .sessionsFileStreamRocksDb(s, s"$dir/events.parquet")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val q208Sql = q174Sql
+
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -8004,7 +8041,9 @@ object Queries {
     "q203_stream_real_transitions" -> q203,
     "q204_stream_real_leaders" -> q204,
     "q205_planted_recall" -> q205,
-    "q206_stream_rocksdb_dedup" -> q206
+    "q206_stream_rocksdb_dedup" -> q206,
+    "q207_stream_rocksdb_join" -> q207,
+    "q208_stream_rocksdb_sessions" -> q208
   )
 
   val oracles: Map[String, String] = Map(
@@ -8211,6 +8250,8 @@ object Queries {
     "q203_stream_real_transitions" -> q203Sql,
     "q204_stream_real_leaders" -> q204Sql,
     "q205_planted_recall" -> q205Sql,
-    "q206_stream_rocksdb_dedup" -> q206Sql
+    "q206_stream_rocksdb_dedup" -> q206Sql,
+    "q207_stream_rocksdb_join" -> q207Sql,
+    "q208_stream_rocksdb_sessions" -> q208Sql
   )
 }

@@ -77,6 +77,12 @@ object ScaleDemo {
         } catch {
           case e: CandidateCapExceededException =>
             s""""outcome":"guard_trip","exception":"CandidateCapExceededException","message":"${esc(e.getMessage)}""""
+          // Any OTHER failure (OOM-adjacent Spark job error, bad input)
+          // must not abort the main before the artifact lands — the doc's
+          // "artifact is always written" contract covers the sibling row's
+          // measurement too (ADVICE r12).
+          case scala.util.control.NonFatal(e) =>
+            s""""outcome":"error","exception":"${esc(e.getClass.getName)}","message":"${esc(String.valueOf(e.getMessage))}""""
         }
       (body, (System.nanoTime() - t0) / 1e9)
     }

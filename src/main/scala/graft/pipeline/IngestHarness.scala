@@ -37,9 +37,12 @@ object IngestHarness {
       .otherwise((mh.bitwiseAND(lit(1023L)) - 100L).cast("double") / 10.0)
   }
 
-  /** The synthetic day-file rows, Milan traffic header layout. */
-  private[pipeline] def synthRows(ids: DataFrame): DataFrame = {
-    val day = (col("k") % 2 + 1).cast("int")
+  /** The synthetic day-file rows, Milan traffic header layout. `nDays`
+    * spreads ids over that many 2013-11 day-files (default 2 — the gate
+    * fixture's oracle replays `k % 2`; the reference-scale E2E run uses
+    * 7, the reference's own file count, BASELINE.md:13-16). */
+  private[pipeline] def synthRows(ids: DataFrame, nDays: Int = 2): DataFrame = {
+    val day = (col("k") % nDays + 1).cast("int")
     val dt = when(col("k") % 97 === 0, lit("not-a-timestamp"))
       .otherwise(format_string("2013-11-%02d %02d:%02d:00",
         day, (col("k") % 24).cast("int"), ((col("k") * 7) % 60).cast("int")))
@@ -56,8 +59,9 @@ object IngestHarness {
     * day-file IS one file by contract), then rename the part files to the
     * reference's day-file naming (`<prefix>-<date>.csv`) that
     * `MilanCsvSource.discover`'s glob expects. */
-  private[pipeline] def writeDayFiles(spark: SparkSession, rows: DataFrame, dataDir: Path, prefix: String): Unit = {
-    Seq(1, 2).foreach { d =>
+  private[pipeline] def writeDayFiles(spark: SparkSession, rows: DataFrame, dataDir: Path, prefix: String,
+                                      nDays: Int = 2): Unit = {
+    (1 to nDays).foreach { d =>
       val stage = dataDir.resolve(s"__stage_$d")
       rows.filter(col("__day") === d).drop("__day")
         .repartition(1)
@@ -85,7 +89,7 @@ object IngestHarness {
   def ingestTwiceRollup(
       spark: SparkSession, ids: DataFrame, fixtureKey: String = ""): DataFrame = {
     val (pipe, dataDir) =
-      stageFixture(spark, ids, synthRows, "sms-call-internet-mi", fixtureKey)
+      stageFixture(spark, ids, synthRows(_), "sms-call-internet-mi", fixtureKey)
     val first = pipe.loadTraffic(dataDir)
     val second = pipe.loadTraffic(dataDir) // ledger no-op, must be 0
     deleteRecursively(java.nio.file.Paths.get(dataDir))
@@ -122,8 +126,8 @@ object IngestHarness {
     MobilityCleanNames.filterNot(_ == "Atlantis").toDF("provincia")
   }
 
-  private[pipeline] def synthMobilityRows(ids: DataFrame): DataFrame = {
-    val day = (col("k") % 2 + 1).cast("int")
+  private[pipeline] def synthMobilityRows(ids: DataFrame, nDays: Int = 2): DataFrame = {
+    val day = (col("k") % nDays + 1).cast("int")
     val dt = when(col("k") % 97 === 0, lit("not-a-timestamp"))
       .otherwise(format_string("2013-11-%02d %02d:%02d:00",
         day, (col("k") % 24).cast("int"), ((col("k") * 7) % 60).cast("int")))
@@ -146,7 +150,7 @@ object IngestHarness {
   def mobilityIngestTwiceRollup(
       spark: SparkSession, ids: DataFrame, fixtureKey: String = ""): DataFrame = {
     val (pipe, dataDir) =
-      stageFixture(spark, ids, synthMobilityRows, "mi-to-provinces", fixtureKey)
+      stageFixture(spark, ids, synthMobilityRows(_), "mi-to-provinces", fixtureKey)
     val dim = provincesDim(spark)
     val first = pipe.loadMobility(dataDir, dim)
     val second = pipe.loadMobility(dataDir, dim) // ledger no-op, must be 0

@@ -61,6 +61,15 @@ final class MetricsListener extends SparkListener {
         if (n == 0 || total == 0) 1.0 else max.toDouble / (total.toDouble / n)
       }
 
+    /** Absolute max task ms WITHIN the hot stage — the tail the skew
+      * RATIO divides by a shrinking mean (VERDICT r12 #4: q73's width-pin
+      * cut total task-seconds 44% at a fixed ~1 s tail, and the ratio
+      * READ WORSE for a better plan). A floor adjudication cites this
+      * number staying flat across the change; a genuine hot key shows it
+      * GROWING with data. */
+    def hotStageTailMs: Long =
+      if (stageTasks.isEmpty) 0L else stageTasks.values.maxBy(_._2)._3
+
     /** The five heaviest stages by total task time — the per-stage profile
       * that turns an adverse `task_skew` into a diagnosis (is the max-task
       * outlier inside the heavy stage, or is a compact-input stage
@@ -81,6 +90,7 @@ final class MetricsListener extends SparkListener {
         // unparseable JSON, silently zeroing the round's metrics artifact
         s""""task_skew":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(skew))},""" +
         s""""hot_stage_skew":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(hotStageSkew))},""" +
+        s""""hot_stage_tail_ms":$hotStageTailMs,""" +
         s""""input_records":$inputRecords,"input_bytes":$inputBytes,""" +
         s""""output_records":$outputRecords,""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
@@ -156,9 +166,24 @@ final class MetricsListener extends SparkListener {
     * pass, so the emitted numbers describe one clean execution — not a
     * sum over warm-up, repeated passes, and cancelled attempts. */
   def selectedJson(selection: Seq[(String, String)]): String =
-    selection
-      .flatMap { case (out, group) => groupJson(group).map("\"" + out + "\":" + _) }
-      .mkString("{", ",", "}")
+    selectedJson(selection, Nil)
+
+  /** [[selectedJson]] with `leading` entries (key → raw JSON value)
+    * prepended as ordinary members of the same object — how Bench embeds
+    * the calibration array. Built as one member list, so the sheet's
+    * shape can never depend on textual surgery over the selection's
+    * rendering (ADVICE r12: the `substring(1)` splice silently coupled
+    * Bench to this method always emitting `{...}`). */
+  def selectedJson(
+      selection: Seq[(String, String)],
+      leading: Seq[(String, String)]): String = {
+    val members =
+      leading.map { case (k, raw) => "\"" + k + "\":" + raw } ++
+        selection.flatMap { case (out, group) =>
+          groupJson(group).map("\"" + out + "\":" + _)
+        }
+    members.mkString("{", ",", "}")
+  }
 
   /** Write the datasheet file (parent dirs created). */
   def write(path: java.nio.file.Path): Unit = {

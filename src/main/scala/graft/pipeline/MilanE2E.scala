@@ -21,25 +21,40 @@ import graft.sources.{GeoJsonFixture, GeoJsonSource}
   *
   * Fixtures (all deterministic — the artifact is refreshable bit-for-bit
   * when the pipeline changes):
-  *   - grid GeoJSON: [[GeoJsonFixture.gridJson]] over ids 0..99;
-  *   - provinces GeoJSON: [[GeoJsonFixture.provincesJson]] over ids
-  *     0..35 EXCLUDING `id % 12 == 9` — the "Atlantis" rows — so the
-  *     dimension lacks exactly the one mobility vocabulary name whose
-  *     rows the semi-join must drop (the E1 unknown-province semantic);
+  *   - grid GeoJSON: [[GeoJsonFixture.gridJson]];
+  *   - provinces GeoJSON: [[GeoJsonFixture.provincesJson]] EXCLUDING
+  *     `id % 12 == 9` — the "Atlantis" rows — so the dimension lacks
+  *     exactly the one mobility vocabulary name whose rows the semi-join
+  *     must drop (the E1 unknown-province semantic);
   *   - traffic + mobility day-file CSVs: the gate's own
-  *     [[IngestHarness]] synthesizers over ids 0..19999 (every cleaning
-  *     branch populated: bad-datetime drop, null→0 fill, negative clamp,
-  *     cell-range filter, province normalization).
+  *     [[IngestHarness]] synthesizers (every cleaning branch populated:
+  *     bad-datetime drop, null→0 fill, negative clamp, cell-range filter,
+  *     province normalization).
   *
-  * Output path: first arg, else `MILAN_E2E.json` under the Bench
-  * convention's per-user tmp fallback when cwd is a repo root (a
-  * deliberate refresh passes the repo path explicitly).
+  * Two shapes (VERDICT r12 #1 — the operators were proven piecewise and
+  * at sf10, but the E1 COMPOSITION had only run at 1/100th the
+  * reference's own data shape):
+  *   - default (small): 2 day-files per table over 20k ids, grid 100,
+  *     provinces 33 — the seconds-fast refresh fixture (`MILAN_E2E.json`);
+  *   - `--full`: the reference's ACTUAL workload shape (notebook cells
+  *     3/6/7, BASELINE.md:13-16) — 7 traffic day-files × 1,891,928 rows,
+  *     7 mobility day-files × 2,307,306 rows, grid 10,000 cells,
+  *     provinces 110 features (`MILAN_E2E_full.json`). This is the run
+  *     that proves the composition — ledger skip-scan over 7 files,
+  *     dynamic-partition overwrite width at 7 (event_date, src_file)
+  *     partitions per table, audit wall — at the reference's own scale.
   *
-  * Usage: runMain graft.pipeline.MilanE2E [outPath]
+  * Output path: first non-flag arg, else `MILAN_E2E[_full].json` under
+  * the Bench convention's per-user tmp fallback when cwd is a repo root
+  * (a deliberate refresh passes the repo path explicitly).
+  *
+  * Usage: runMain graft.pipeline.MilanE2E [--full] [outPath]
   */
 object MilanE2E {
 
   def main(args: Array[String]): Unit = {
+    val full = args.contains("--full")
+    val outArg = args.filterNot(_ == "--full").headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.prepare(
       SparkSession.builder()
@@ -50,7 +65,11 @@ object MilanE2E {
         .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    val root = Paths.get(sys.props("java.io.tmpdir"), "graft-milan-e2e")
+    // Per-user root (ADVICE r12: a fixed world-shared path is wiped on
+    // entry — two users on one host would clobber each other's in-flight
+    // runs; same convention as the graft_bench-$USER fallback).
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-milan-e2e-${sys.props.getOrElse("user.name", "unknown")}")
     IngestHarness.deleteRecursively(root)
     val dataDir = Files.createDirectories(root.resolve("data"))
     val whDir = root.resolve("wh").toString
@@ -65,18 +84,27 @@ object MilanE2E {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     // ---- stage fixtures (not timed as pipeline work: input synthesis) --
-    val gridIds = 0L until 100L
-    val provinceIds = (0L until 36L).filter(_ % 12 != 9)
-    val nDayFileIds = 20000L
+    // Full shape = the reference's measured workload: 1,891,928 traffic /
+    // 2,307,306 mobility rows PER day-file (notebook cells 3/6/7), 7
+    // day-files each, 10,000 grid cells, 110 province features.
+    val nDayFiles = if (full) 7 else 2
+    val gridIds = if (full) 0L until 10000L else 0L until 100L
+    val provinceIds =
+      (0L until (if (full) 120L else 36L)).filter(_ % 12 != 9)
+    val trafficIds = if (full) 7L * 1891928L else 20000L
+    val mobilityIds = if (full) 7L * 2307306L else 20000L
     GeoJsonFixture.write(dataDir, "milano-grid.geojson",
       GeoJsonFixture.gridJson(gridIds))
     GeoJsonFixture.write(dataDir, "Italian_provinces.geojson",
       GeoJsonFixture.provincesJson(provinceIds))
-    val ids = spark.range(0, nDayFileIds).toDF("k")
     IngestHarness.writeDayFiles(spark,
-      IngestHarness.synthRows(ids), dataDir, "sms-call-internet-mi")
+      IngestHarness.synthRows(
+        spark.range(0, trafficIds).toDF("k"), nDayFiles),
+      dataDir, "sms-call-internet-mi", nDayFiles)
     IngestHarness.writeDayFiles(spark,
-      IngestHarness.synthMobilityRows(ids), dataDir, "mi-to-provinces")
+      IngestHarness.synthMobilityRows(
+        spark.range(0, mobilityIds).toDF("k"), nDayFiles),
+      dataDir, "mi-to-provinces", nDayFiles)
 
     // ---- stage 1: geometries (MilanApp --geometries) -------------------
     val (geo, geoSec) = timed {
@@ -116,7 +144,8 @@ object MilanE2E {
       .map { case (c, v) => "\"" + c + "\":" + v }.mkString("{", ",", "}")
 
     val json =
-      s"""{"fixture":{"grid_ids":${gridIds.size},"province_features":${provinceIds.size},"day_file_ids":$nDayFileIds,"day_files_per_table":2},
+      s"""{"shape":"${if (full) "full_reference_scale" else "small"}",
+         |"fixture":{"grid_ids":${gridIds.size},"province_features":${provinceIds.size},"traffic_ids":$trafficIds,"mobility_ids":$mobilityIds,"day_files_per_table":$nDayFiles},
          |"stages":{
          | "geometries":{"wall_sec":${j(geoSec)},"grid_cells":${geo._1},"provinces":${geo._2}},
          | "traffic":{"wall_sec":${j(trafficSec)},"files_first":${traffic._1},"files_second":${traffic._2},"fact_rows":${traffic._3}},
@@ -126,12 +155,13 @@ object MilanE2E {
         .stripMargin.replace("\n", "")
     println(json)
 
-    val outPath = args.headOption.map(Paths.get(_)).getOrElse {
+    val defaultName = if (full) "MILAN_E2E_full.json" else "MILAN_E2E.json"
+    val outPath = outArg.map(Paths.get(_)).getOrElse {
       if (Files.isDirectory(Paths.get(".git")))
         Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
           s"graft_bench-${sys.props.getOrElse("user.name", "unknown")}",
-          "MILAN_E2E.json")
-      else Paths.get("MILAN_E2E.json")
+          defaultName)
+      else Paths.get(defaultName)
     }
     val parent = outPath.toAbsolutePath.getParent
     if (parent != null) Files.createDirectories(parent)
