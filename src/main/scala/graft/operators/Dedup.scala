@@ -207,7 +207,21 @@ object Dedup {
       numHashes: Int = 64,
       rowsPerBand: Int = 4
   ): DataFrame = {
+    // Repartition the banded table by the join key BEFORE the self-join:
+    // without an exchange directly above it, the expensive signature
+    // pipeline (tokenize → shingle explode → numHashes seeded mins → band
+    // fold) is planned ONCE PER JOIN SIDE and executed twice — runtime
+    // exchange reuse only recovered the raw document-table shuffle below
+    // it (measured at sf0.1: two ~13 task-second signature stages per
+    // query, the two hottest stages of every LSH consumer). With the
+    // (band, bucket) exchange here, the whole signature subtree sits
+    // below one reusable shuffle: side b becomes a ReusedExchange and the
+    // signatures are computed exactly once (guide §2.4 — two operations
+    // keyed the same way share one exchange). The extra shuffle carries
+    // (doc, band, bucket) — docs × bands rows of ~24 bytes, orders of
+    // magnitude lighter than recomputing the signature pass at any scale.
     val banded = bandedBuckets(df, idCol, textCol, k, numHashes, rowsPerBand)
+      .repartition(col("band"), col("bucket"))
     banded.as("a")
       .join(
         banded.as("b"),

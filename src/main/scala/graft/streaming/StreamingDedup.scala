@@ -79,7 +79,8 @@ object StreamingDedup {
       spark,
       dedupStream(docs, "ts", "text", horizon = "3650 days").select(col("fp")),
       "append",
-      extraConfs)
+      extraConfs,
+      Seq(documentsPath))
   }
 
   /** [[dedupFileStream]] on the RocksDB state-store provider — the 100 TB

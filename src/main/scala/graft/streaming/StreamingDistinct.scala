@@ -140,7 +140,7 @@ object StreamingDistinct {
         graft.Tables.instantTs(raw.schema, "ts").as("ts"))
       .as[KeyedValue]
     val all = StreamingHarness.runToMemorySink(
-      spark, runningDistinct(kv).toDF(), "update")
+      spark, runningDistinct(kv).toDF(), "update", Nil, Seq(eventsPath))
     val w = Window.partitionBy(col("group")).orderBy(col("n_events").desc)
     all
       .withColumn("__rn", row_number().over(w))

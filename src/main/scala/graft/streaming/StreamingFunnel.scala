@@ -96,6 +96,6 @@ object StreamingFunnel {
       col("event_type"),
       graft.Tables.instantTs(raw.schema, "ts").as("ts")).as[Event]
     StreamingHarness.runToMemorySink(
-      spark, stepsReached(ev, steps).toDF(), "append")
+      spark, stepsReached(ev, steps).toDF(), "append", Nil, Seq(eventsPath))
   }
 }

@@ -103,8 +103,12 @@ object StreamingJoin {
       .select(col("user_id"), col("ts").as("match_ts"), col("event_id").as("match_id"))
     val joined = intervalJoin(probes, matches, "user_id", "probe_ts", "match_ts",
       band = "1 hour", watermark = "3650 days")
+    // Both sides stream the same events table — pass the path twice so the
+    // sizing sees the real buffered-state volume (the join holds BOTH
+    // sides for the watermark horizon).
     StreamingHarness.runToMemorySink(
-      spark, joined.select(col("probe_id"), col("match_id")), "append", extraConfs)
+      spark, joined.select(col("probe_id"), col("match_id")), "append", extraConfs,
+      Seq(eventsPath, eventsPath))
   }
 
   /** [[intervalJoinFileStream]] on the RocksDB state-store provider — the

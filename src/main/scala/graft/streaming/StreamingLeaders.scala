@@ -73,6 +73,6 @@ object StreamingLeaders {
     StreamingHarness.runToMemorySink(
       spark,
       topKLeaders(ev, Seq("event_type"), col("value"), col("event_id"), k),
-      "complete")
+      "complete", Nil, Seq(eventsPath))
   }
 }

@@ -81,7 +81,7 @@ object StreamingRollup {
     // copy: the two sites drifting is exactly how that bug shipped once.
     val stream = raw.withColumn(tsCol, graft.Tables.instantTs(raw.schema, tsCol))
     val rolled = hourlyWindow(stream, tsCol, keys, valueCol)
-    StreamingHarness.runToMemorySink(spark, rolled, "complete")
+    StreamingHarness.runToMemorySink(spark, rolled, "complete", Nil, Seq(eventsPath))
   }
 
   /** Gap-based sessions via Spark's BUILT-IN `session_window` — the

@@ -145,7 +145,8 @@ object StreamingSessionize {
         col("value").cast("double").as("value"))
       .withWatermark("ts", watermarkDelay)
       .as[Event]
-    StreamingHarness.runToMemorySink(spark, sessions(ev, gapMs).toDF(), "append", extraConfs)
+    StreamingHarness.runToMemorySink(spark, sessions(ev, gapMs).toDF(), "append",
+      extraConfs, Seq(eventsPath))
   }
 
   /** [[sessionsFileStream]] on the RocksDB state-store provider — the

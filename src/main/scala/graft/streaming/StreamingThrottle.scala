@@ -85,7 +85,7 @@ object StreamingThrottle {
       col("event_type"),
       graft.Tables.instantTs(raw.schema, "ts").as("ts")).as[Event]
     StreamingHarness
-      .runToMemorySink(spark, throttled(ev, limit).toDF(), "append")
+      .runToMemorySink(spark, throttled(ev, limit).toDF(), "append", Nil, Seq(eventsPath))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_admitted"))
   }

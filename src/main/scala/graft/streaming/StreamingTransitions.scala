@@ -83,7 +83,7 @@ object StreamingTransitions {
       col("event_type"),
       graft.Tables.instantTs(raw.schema, "ts").as("ts")).as[Event]
     StreamingHarness
-      .runToMemorySink(spark, edges(ev).toDF(), "append")
+      .runToMemorySink(spark, edges(ev).toDF(), "append", Nil, Seq(eventsPath))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
   }
