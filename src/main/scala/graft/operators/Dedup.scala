@@ -607,6 +607,20 @@ object Dedup {
       conf.toLong,
       math.max(math.max(conf / 2, 16).toLong, proj.count() / 50000L + 1L)).toInt
     val base = proj.repartition(para, col("__id"))
+    // The deletion-key build (the ×(len+1) explode + two substrings per
+    // key) is consumed by the frequency pass AND both sides of every
+    // candidate-join tier (light a/b, hot a/b when salting) — planned
+    // lazily, that subtree executes once PER CONSUMER, because runtime
+    // exchange reuse only recovers work below an exchange and the only
+    // exchange sat below the explode (measured at sf0.1: the key build
+    // ran 4-6×, two ~6 task-second stages per join side). Shuffling the
+    // exploded table by the join/grouping key __k puts the build below
+    // ONE reusable exchange (guide §2.4): the frequency aggregation
+    // reads it co-partitioned (no further exchange), and every join leg
+    // above it becomes a ReusedExchange. The explode itself still runs
+    // in the __id exchange's `para` partitions, so build parallelism is
+    // unchanged; the extra shuffle carries the keys table once — always
+    // cheaper than re-building it per consumer.
     val keys = base
       .select(col("__id"), col("__s"),
         explode(sequence(lit(0), length(col("__s")))).as("__i"))
@@ -616,6 +630,7 @@ object Dedup {
             col("__s").substr(lit(1), col("__i") - 1),
             col("__s").substr(col("__i") + 1, length(col("__s")))))
           .as("__k"))
+      .repartition(para, col("__k"))
     val saltOn = hotKeyFreq > 0 && hotSalts > 1
     // One frequency pass serves both the prune and the hot-tier split.
     val freq = keys.groupBy(col("__k")).agg(count(lit(1)).as("__kf"))
