@@ -7673,25 +7673,40 @@ object Queries {
       (when((d % 16) === c * 2, lit(10.0)).otherwise(lit(0.0))
         + ((id * 31 + d.cast("long") * 7) % 97).cast("double") / 1000.0).cast("float")
     })
+    // The planted fixture is 384 rows by construction, yet ~10 training
+    // collects re-derived it (parquet scan + the 64-way when-chain
+    // transform) per job and re-compiled that tree into every plan.
+    // Materialize it ONCE — the knnIvfPq-internal precedent: checkpointing
+    // a bounded TRAINING SAMPLE, not a corpus — so every training job and
+    // the truth/search legs read 384 in-memory rows from trivially small
+    // plans. Values are unchanged (localCheckpoint materializes, never
+    // recomputes differently).
     val e = Tables.documents(s, dir)
       .filter(col("doc_id") < 384)
       .select(id.as("vec_id"), emb.as("embedding"))
+      .localCheckpoint()
     val qs = e.filter(col("vec_id") < 5)
     val truth = Similarity.knnExactL2(e, qs, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    // three eager training chains (each collects centroids/codebooks at
-    // construction), no shared state — build concurrently (q190's move)
+    // The IVF and IVFPQ legs need the SAME deterministic coarse quantizer
+    // (same corpus, kClusters=8, iters=1 — bit-identical retrain): train it
+    // once and hand it to both instead of paying two ivfTrain collect
+    // chains. The remaining eager chains (PQ codebooks ×2) still share no
+    // state — build concurrently (q190's move).
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", k = 8, iters = 1)
     val Seq(ivf, pq, ivfpq) = graft.operators.Concurrency.inParallel(Seq(
       () => Similarity
         .knnIvf(e, qs, "vec_id", "embedding",
-          k = 5, kClusters = 8, nProbe = 2, iters = 1, exact = true)
+          k = 5, kClusters = 8, nProbe = 2, iters = 1, exact = true,
+          pretrained = Some(cents))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivf")),
       () => Similarity
         .knnPq(e, qs, "vec_id", "embedding", dim = 64, k = 5, m = 4, kCodes = 8, iters = 1)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("__pq")),
       () => Similarity
         .knnIvfPq(e, qs, "vec_id", "embedding",
-          dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1)
+          dim = 64, k = 5, kClusters = 8, nProbe = 2, m = 4, kCodes = 8, iters = 1,
+          pretrained = Some(cents))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("__ivfpq"))))
     def recallCols(hits: Column, tag: String) = Seq(
       hits.as(s"${tag}_hits"),

@@ -271,8 +271,13 @@ object Similarity {
       kClusters: Int = 8,
       nProbe: Int = 2,
       iters: Int = 1,
-      exact: Boolean = false): DataFrame = {
-    val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
+      exact: Boolean = false,
+      pretrained: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
+    // `pretrained` lets a caller that ALREADY trained this exact quantizer
+    // (same corpus/k/iters — training is fully deterministic, so the arrays
+    // are bit-identical) share it instead of paying the ivfTrain collect
+    // chain again (q205 runs knnIvf and knnIvfPq over one corpus).
+    val cents = pretrained.getOrElse(ivfTrain(corpus, idCol, vecCol, kClusters, iters))
     val assigned = ivfAssign(corpus, vecCol, cents)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cluster"))
     val probes = broadcast(
@@ -463,18 +468,62 @@ object Similarity {
       iters: Int = 1): Array[Array[Seq[Double]]] = {
     require(m > 0 && dim % m == 0, s"pqTrain: dim=$dim not divisible into m=$m subspaces")
     val sub = dim / m
-    requireVectorWidth(corpus, vecCol, dim, "pqTrain")
-    // Subspace quantizers are INDEPENDENT (each sees only its own slice),
-    // but each ivfTrain is a chain of driver-synchronous collects — run
-    // sequentially they serialize m·(iters+1) small jobs behind one driver
-    // thread while the cluster idles (measured ~2x off q185/q187's wall at
-    // sf0.1). Train them concurrently: Spark's scheduler is thread-safe,
-    // results land positionally, so the codebooks are bit-identical to the
-    // sequential order.
-    Concurrency.inParallel((0 until m).map { s => () =>
-      val sv = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
-      ivfTrain(sv, idCol, vecCol, k, iters).sortBy(_._1).map(_._2)
-    }).toArray
+    // Subspace quantizers are INDEPENDENT (each sees only its own slice) but
+    // share the SAME input rows, so the m per-subspace Lloyd chains fuse into
+    // one driver loop over shared jobs: ONE TakeOrdered collect seeds all m
+    // codebooks (slice the k smallest-id full vectors driver-side — the same
+    // values the per-subspace seed collects returned), and each Lloyd round
+    // is ONE aggregation keyed (subspace, cluster, dimInSub) instead of m
+    // independent (cluster, dim) jobs. m·(iters+1)(+1 width) driver-
+    // synchronous jobs collapse to iters+2, and each corpus pass is read
+    // ONCE per round instead of m times. Arithmetic is unchanged group for
+    // group — assignment by the same IvfArgminL2 kernel over the same slice
+    // expression, means by the same DECIMAL(38,6)-sum/count — so codebooks
+    // are bit-identical to the per-subspace chains (oracle replays agree).
+    // The width guard keeps its own full-scan aggregate but overlaps the
+    // seed TakeOrdered (independent jobs; failure ordering is unaffected —
+    // both must complete before any result is used).
+    @volatile var seeds: Array[(Long, Seq[Double])] = null
+    Concurrency.inParallel(Seq[() => Unit](
+      () => requireVectorWidth(corpus, vecCol, dim, "pqTrain"),
+      () => seeds = corpus
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .orderBy(col(idCol))
+        .limit(k)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))))
+    var cents: Array[Array[(Long, Seq[Double])]] = Array.tabulate(m)(s =>
+      seeds.map { case (id, v) => (id, v.slice(s * sub, (s + 1) * sub)) })
+    for (_ <- 1 to iters) {
+      val clusterCols = (0 until m).map { s =>
+        val (labels, rows) = graft.plans.IvfArgminL2.quantize(cents(s))
+        graft.plans.GraftFunctions.ivfArgmin(
+          slice(col(vecCol), s * sub + 1, sub), labels, rows)
+      }
+      val means = corpus
+        .select(array(clusterCols: _*).as("__cl"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(
+          (col("dim") / lit(sub)).cast("int").as("s"),
+          element_at(col("__cl"), (col("dim") / lit(sub)).cast("int") + 1).as("cluster"),
+          (col("dim") % lit(sub)).as("d"),
+          col("x"))
+        .groupBy(col("s"), col("cluster"), col("d"))
+        .agg(graft.functions.AggFunctions.avgExact(col("x"), 6).as("m"))
+        .collect()
+      cents = Array.tabulate(m) { s =>
+        means.iterator
+          .filter(r => !r.isNullAt(0) && r.getInt(0) == s)
+          .toArray
+          .groupBy(r => if (r.isNullAt(1)) null.asInstanceOf[java.lang.Long]
+                        else java.lang.Long.valueOf(r.getLong(1)))
+          .collect { case (lbl, rows) if lbl != null =>
+            (lbl.longValue, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+          .toArray
+          .sortBy(_._1)
+      }
+    }
+    cents.map(_.map(_._2))
   }
 
   /** Encode each vector as `m` dense codes — the 0-based index of the
@@ -566,8 +615,11 @@ object Similarity {
       nProbe: Int = 2,
       m: Int = 4,
       kCodes: Int = 8,
-      iters: Int = 1): DataFrame = {
-    val cents = ivfTrain(corpus, idCol, vecCol, kClusters, iters)
+      iters: Int = 1,
+      pretrained: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
+    // Same contract as knnIvf's `pretrained`: a deterministic retrain of the
+    // identical (corpus, kClusters, iters) quantizer may be shared.
+    val cents = pretrained.getOrElse(ivfTrain(corpus, idCol, vecCol, kClusters, iters))
     // Same contract as knnPq: a ragged query would null-pad both its probe
     // distances and its per-cell residual LUTs.
     requireVectorWidth(queries, vecCol, dim, "knnIvfPq queries")
