@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 object VectorFunctions {
 
-  private val Elem = DecimalType(18, 6)
+  // Element quantization (DECIMAL(18,6)) lives in the ExactVecScaled /
+  // IvfArgminL2 kernels since r13; only the accumulator type is still
+  // composed column-side (sumExactDec).
   // Precision 30, not 38: Spark's decimal addition widens precision by one,
   // and past the 38 cap it TRIMS SCALE in the add result itself (scale 12 →
   // 11) before any re-cast can intervene. (30,12)+(30,12) → (31,12) stays
@@ -33,16 +35,16 @@ object VectorFunctions {
     * in double precision lands one unit off Spark's exact BigDecimal
     * rounding measurably often). From there everything is exact decimal:
     * products at scale 12, order-independent sum, one cast back to double.
+    *
+    * Since r13 the decimal pipeline runs inside the
+    * [[graft.plans.ExactVecScaled]] codegen kernel (scaled-long arithmetic,
+    * same DECIMAL(18,6)-quantize / scale-12-sum rational, bit-identical
+    * result) — the old `aggregate(zip_with(...))` composition was
+    * CodegenFallback: a boxed lambda call and ~4 BigDecimal allocations per
+    * ELEMENT, on the one genuinely compute-bound per-pair path.
     */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double").cast(Elem) * y.cast("double").cast(Elem)).cast(Acc)),
-      lit(0).cast(Acc),
-      // Re-cast after each add: Spark's decimal + widens precision (and
-      // trims scale at the 38 cap), but aggregate() needs a fixed
-      // accumulator type. Value-lossless for unit-norm embedding sums.
-      (acc, x) => (acc + x).cast(Acc)
-    ).cast("double")
+    graft.plans.GraftFunctions.dotExactDec(a, b).cast("double")
 
   def norm2Exact(a: Column): Column = dotExact(a, a)
 
@@ -56,16 +58,10 @@ object VectorFunctions {
   /** [[l2SqExact]] WITHOUT the final double cast — DECIMAL(30,12) out, for
     * callers that keep accumulating exactly across terms (the PQ ADC sum
     * over per-subspace distances, where a double-fold's addition order
-    * would diverge cross-engine). */
+    * would diverge cross-engine). Kernel-backed since r13 (see
+    * [[dotExact]]). */
   def l2SqExactDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = (x.cast("double").cast(Elem) - y.cast("double").cast(Elem)).cast(Elem)
-        (d * d).cast(Acc)
-      }),
-      lit(0).cast(Acc),
-      (acc, x) => (acc + x).cast(Acc)
-    )
+    graft.plans.GraftFunctions.l2SqExactDec(a, b)
 
   /** Exact-decimal sum of an array of DECIMAL(30,12) terms (order-
     * independent — the reduction any cross-engine-deterministic total over

@@ -537,14 +537,20 @@ object Similarity {
       books: Array[Array[Seq[Double]]],
       codesCol: String = "codes"): DataFrame = {
     val sub = books(0)(0).size
+    // Each subspace's code IS a nearest-centroid assignment over the
+    // codebook — exactly the IvfArgminL2 kernel with labels 0..k'−1 (same
+    // exact scaled-long L2, same tie-to-smaller-label rule the old
+    // `least(struct(l2SqExactDec, code))` implemented, compared without the
+    // per-candidate Decimal allocations). The corpus-wide encode pass was
+    // the hottest stage of every PQ consumer; the codebook ships once per
+    // task as a reference object instead of k × sub plan literals.
     val codeExprs = books.zipWithIndex.map { case (book, s) =>
-      val sv = slice(col(vecCol), s * sub + 1, sub)
-      val dcs = book.zipWithIndex.map { case (cv, c) =>
-        struct(
-          VectorFunctions.l2SqExactDec(sv, typedLit(cv)).as("d"),
-          lit(c).as("c"))
-      }
-      least(dcs.toSeq: _*).getField("c")
+      val (labels, rows) = graft.plans.IvfArgminL2.quantize(
+        book.zipWithIndex.map { case (cv, c) => (c.toLong, cv) }.toArray)
+      // cast back to int: codes were (and stay) array<int> — labels here are
+      // dense 0..k'−1 by construction, far inside int range
+      graft.plans.GraftFunctions.ivfArgmin(
+        slice(col(vecCol), s * sub + 1, sub), labels, rows).cast("int")
     }
     corpus.withColumn(codesCol, array(codeExprs.toSeq: _*))
   }

@@ -79,6 +79,18 @@ object GraftFunctions {
   def ivfArgmin(vec: Column, labels: Array[Long], cents: Array[Array[Long]]): Column =
     ColumnBridge.column(IvfArgminL2(ColumnBridge.expression(vec), labels, cents))
 
+  /** Exact-decimal dot product as DECIMAL(30,12) (see [[ExactVecScaled]])
+    * — the oracle-tier pair-scoring kernel behind
+    * [[graft.functions.VectorFunctions.dotExact]]. */
+  def dotExactDec(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ExactVecScaled(ColumnBridge.expression(a), ColumnBridge.expression(b), dot = true))
+
+  /** Exact-decimal squared L2 as DECIMAL(30,12) (see [[ExactVecScaled]]). */
+  def l2SqExactDec(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ExactVecScaled(ColumnBridge.expression(a), ColumnBridge.expression(b), dot = false))
+
   private[plans] val nfcBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 1, "graft_nfc expects exactly 1 argument")
     NfcNormalize(children.head)

@@ -114,8 +114,9 @@ object IvfArgminL2 {
     (math.sqrt(Long.MaxValue.toDouble / dim) / 2).toLong
 
   // lim is hoisted by every caller (one sqrt per CALL, not per element —
-  // the argmin runs per row on a 100 TB column)
-  private def checkMag(q: Long, lim: Long, dim: Int): Unit = {
+  // the argmin runs per row on a 100 TB column). private[plans]: the
+  // ExactVecScaled kernel shares the same quantization contract and guard.
+  private[plans] def requireMag(q: Long, lim: Long, dim: Int): Unit = {
     if (q > lim || q < -lim)
       throw new ArithmeticException(
         s"graft_ivf_argmin: coordinate magnitude ${q / 1e6} exceeds the " +
@@ -130,7 +131,7 @@ object IvfArgminL2 {
     val rows = cents.map(_._2.map(qz6).toArray)
     rows.foreach { r =>
       val lim = magLimit(r.length)
-      r.foreach(checkMag(_, lim, r.length))
+      r.foreach(requireMag(_, lim, r.length))
     }
     (cents.map(_._1), rows)
   }
@@ -151,7 +152,7 @@ object IvfArgminL2 {
     while (i < n) {
       if (a.isNullAt(i)) return null
       q(i) = qz6(if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
-      checkMag(q(i), lim, dim)
+      requireMag(q(i), lim, dim)
       i += 1
     }
     var bestD = Long.MaxValue
