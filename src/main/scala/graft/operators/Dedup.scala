@@ -784,7 +784,14 @@ object Dedup {
     * operator-call time and fails loudly driver-side BEFORE the candidate
     * join is planned, naming the estimate — turning "6 hours of shuffle
     * spill" into an immediate, actionable error (raise τ, use shingles,
-    * set `maxPrefixFreq`). The same measured mass sizes the candidate
+    * set `maxPrefixFreq`). "Use shingles" is now a committed measurement,
+    * not prose: `KCORE_DEMO_sf10.json` (graft.KCoreDemo) runs q148's
+    * exact k-core shape twice at sf10 — unigram (the fixture's dense
+    * 31-token vocabulary) reproduces the committed 54 GB disk / 238 GB
+    * memory verify-sort spill at 956 s wall, while 3-shingles with every
+    * other parameter identical runs the same operator with ZERO spill at
+    * 54 s wall. The spill is the fixture's vocabulary density, not the
+    * operator's plan. The same measured mass sizes the candidate
     * join's reducer count (pair-proportional — see the width comment in
     * the body), so the aggregation runs once regardless of caps. The
     * estimate is an upper bound on candidate-join output (length/position
